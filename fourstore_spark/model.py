@@ -1,0 +1,185 @@
+"""Quad / RDF-term data model.
+
+The reference stores quads as 4 x 64-bit resource IDs (``fs_rid``,
+src/common/4s-datatypes.h:52) plus a separate resource table mapping RID ->
+(lexical form, datatype-or-lang attribute) (src/backend/rhash.c:76-87).  We
+instead keep the lexical data *inline* in one ``quads`` DataFrame — this
+deletes the reference's entire RID-resolve path (src/frontend/results.c:
+2533-2594) and lets Parquet dictionary encoding do what the rhash did.
+
+Quads schema (FIXTURES.md F1):
+
+    g       STRING   graph/model URI; default graph = ``default:``
+    s       STRING   subject URI or bnode id (``_:b<N>``)
+    s_kind  TINYINT  0=URI, 1=BNODE
+    p       STRING   predicate URI
+    o_kind  TINYINT  0=URI, 1=BNODE, 2=LITERAL
+    o_lex   STRING   object lexical form (the URI string when o_kind=0)
+    o_dt    STRING   datatype URI; NULL for plain/lang literals, non-literals
+    o_lang  STRING   lowercase language tag or NULL
+    o_num   DOUBLE   pre-parsed numeric value when o_dt is numeric else NULL
+
+RDF terms bound to SPARQL variables travel through the engine as one struct
+column per variable:
+
+    STRUCT<kind TINYINT, lex STRING, dt STRING, lang STRING, num DOUBLE>
+
+Term equality == struct equality (kind, lex, dt, lang determine num), so
+multi-pattern joins are plain equi-joins on the variable columns and Spark
+is free to pick broadcast/SMJ per join.
+
+Kind codes follow the reference's 2-bit RID tag (src/common/4s-hash.h:8-13,
+FS_IS_BNODE/FS_IS_URI/FS_IS_LITERAL) renumbered densely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KIND_URI = 0
+KIND_BNODE = 1
+KIND_LITERAL = 2
+
+DEFAULT_GRAPH = "default:"  # reserved default-graph model, src/common/rdf-constants.h:44
+SYSTEM_CONFIG_GRAPH = "system:config"  # src/common/rdf-constants.h:45
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_FLOAT = XSD + "float"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATE = XSD + "date"
+
+# Numeric datatypes recognized for o_num pre-parsing; mirrors the pre-hashed
+# XSD types in struct fs_globals (src/common/4s-hash.h:22-60).
+NUMERIC_DATATYPES = frozenset(
+    [
+        XSD_INTEGER,
+        XSD_DECIMAL,
+        XSD_DOUBLE,
+        XSD_FLOAT,
+        XSD + "int",
+        XSD + "long",
+        XSD + "short",
+        XSD + "byte",
+        XSD + "unsignedInt",
+        XSD + "unsignedLong",
+        XSD + "unsignedShort",
+        XSD + "unsignedByte",
+        XSD + "nonNegativeInteger",
+        XSD + "nonPositiveInteger",
+        XSD + "negativeInteger",
+        XSD + "positiveInteger",
+    ]
+)
+
+QUADS_SCHEMA = StructType(
+    [
+        StructField("g", StringType(), False),
+        StructField("s", StringType(), False),
+        StructField("s_kind", ByteType(), False),
+        StructField("p", StringType(), False),
+        StructField("o_kind", ByteType(), False),
+        StructField("o_lex", StringType(), False),
+        StructField("o_dt", StringType(), True),
+        StructField("o_lang", StringType(), True),
+        StructField("o_num", DoubleType(), True),
+    ]
+)
+
+TERM_SCHEMA = StructType(
+    [
+        StructField("kind", ByteType(), True),
+        StructField("lex", StringType(), True),
+        StructField("dt", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("num", DoubleType(), True),
+    ]
+)
+
+TERM_FIELDS = ("kind", "lex", "dt", "lang", "num")
+
+
+def term_struct(kind: Column, lex: Column, dt: Column, lang: Column, num: Column) -> Column:
+    """Assemble a term struct column from its parts."""
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.cast("string").alias("lex"),
+        dt.cast("string").alias("dt"),
+        lang.cast("string").alias("lang"),
+        num.cast("double").alias("num"),
+    )
+
+
+def uri_term(lex: Column) -> Column:
+    n = F.lit(None)
+    return term_struct(F.lit(KIND_URI), lex, n, n, n.cast("double"))
+
+
+def subject_term(s: Column, s_kind: Column) -> Column:
+    n = F.lit(None)
+    return term_struct(s_kind, s, n, n, n.cast("double"))
+
+
+def object_term(o_kind: Column, o_lex: Column, o_dt: Column, o_lang: Column, o_num: Column) -> Column:
+    return term_struct(o_kind, o_lex, o_dt, o_lang, o_num)
+
+
+def lit_term(lex: Column, dt: Column | None = None, lang: Column | None = None) -> Column:
+    dt = F.lit(None) if dt is None else dt
+    lang = F.lit(None) if lang is None else lang
+    num = F.when(dt.isin(list(NUMERIC_DATATYPES)), lex.cast("double"))
+    return term_struct(F.lit(KIND_LITERAL), lex, dt, lang, num)
+
+
+def py_literal_term(value) -> Column:
+    """Build a constant literal term struct from a Python value."""
+    if isinstance(value, bool):
+        return lit_term(F.lit("true" if value else "false"), F.lit(XSD_BOOLEAN))
+    if isinstance(value, int):
+        return term_struct(
+            F.lit(KIND_LITERAL), F.lit(str(value)), F.lit(XSD_INTEGER), F.lit(None), F.lit(float(value))
+        )
+    if isinstance(value, float):
+        return term_struct(
+            F.lit(KIND_LITERAL), F.lit(repr(value)), F.lit(XSD_DOUBLE), F.lit(None), F.lit(value)
+        )
+    return lit_term(F.lit(str(value)))
+
+
+# SPARQL total term order (src/frontend/order.c:66-126): unbound < blank
+# nodes < URIs (lexical) < literals (by value, then lexical form).
+def term_order_key(term: Column) -> Column:
+    """Sort-key struct implementing the reference's ORDER BY comparator."""
+    rank = (
+        F.when(term.isNull(), F.lit(0))
+        .when(term["kind"] == KIND_BNODE, F.lit(1))
+        .when(term["kind"] == KIND_URI, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    # Literals compare numerically when both numeric, else by lexical form.
+    num = F.when(term["kind"] == KIND_LITERAL, term["num"])
+    has_num = num.isNotNull().cast("tinyint")
+    return F.struct(
+        rank.alias("rank"),
+        # numeric literals sort before non-numeric ones at equal rank
+        (1 - has_num).alias("nonnum"),
+        num.alias("num"),
+        term["lex"].alias("lex"),
+        term["dt"].alias("dt"),
+        term["lang"].alias("lang"),
+    )

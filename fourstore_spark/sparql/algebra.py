@@ -1,0 +1,204 @@
+"""SPARQL algebra AST.
+
+The reference parses with Rasqal and flattens the graph-pattern tree into
+numbered blocks with per-block join types (graph_pattern_walk,
+src/frontend/query.c:1305-1437; fs_join_type enum FS_INNER/FS_LEFT/FS_UNION/
+FS_MINUS, src/frontend/query-datatypes.h:34).  We keep the tree: each node
+translates compositionally to a DataFrame, and Catalyst does the
+flattening/reordering the reference did by hand (src/frontend/optimiser.c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------- terms
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Literal:
+    lex: str
+    dt: str | None = None
+    lang: str | None = None
+
+
+@dataclass(frozen=True)
+class BNode:
+    label: str
+
+
+Term = Var | Iri | Literal | BNode
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+# ---------------------------------------------------------- expressions
+@dataclass
+class EVar:
+    name: str
+
+
+@dataclass
+class EConst:
+    term: Iri | Literal
+
+
+@dataclass
+class EOr:
+    args: list
+
+
+@dataclass
+class EAnd:
+    args: list
+
+
+@dataclass
+class ECompare:
+    op: str  # = != < > <= >=
+    left: object
+    right: object
+
+
+@dataclass
+class EArith:
+    op: str  # + - * /
+    left: object
+    right: object
+
+
+@dataclass
+class EUnary:
+    op: str  # ! + -
+    arg: object
+
+
+@dataclass
+class EIn:
+    expr: object
+    options: list
+    negated: bool = False
+
+
+@dataclass
+class ECall:
+    """Builtin or cast call; name is the uppercased builtin keyword or the
+    full IRI for cast/extension functions."""
+
+    name: str
+    args: list
+
+
+@dataclass
+class EExists:
+    pattern: object
+    negated: bool = False
+
+
+@dataclass
+class EAggregate:
+    name: str  # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
+    expr: object | None  # None for COUNT(*)
+    distinct: bool = False
+    separator: str = " "
+
+
+# ------------------------------------------------------------- patterns
+@dataclass
+class BGP:
+    triples: list
+
+
+@dataclass
+class Join:
+    left: object
+    right: object
+
+
+@dataclass
+class LeftJoin:
+    left: object
+    right: object
+    expr: object | None = None  # filter lifted from the OPTIONAL group
+
+
+@dataclass
+class Union:
+    left: object
+    right: object
+
+
+@dataclass
+class Minus:
+    left: object
+    right: object
+
+
+@dataclass
+class Filter:
+    expr: object
+    pattern: object
+
+
+@dataclass
+class Extend:
+    pattern: object
+    var: str
+    expr: object
+
+
+@dataclass
+class GraphPattern:
+    graph: Term  # Var or Iri
+    pattern: object
+
+
+@dataclass
+class ValuesTable:
+    variables: list
+    rows: list  # list of list[Term|None]; None == UNDEF
+
+
+@dataclass
+class SubSelect:
+    query: "Query"
+
+
+@dataclass
+class Unit:
+    """Empty group {} — the single empty solution."""
+
+
+# --------------------------------------------------------------- query
+@dataclass
+class Query:
+    form: str  # SELECT ASK CONSTRUCT DESCRIBE
+    pattern: object = None
+    # SELECT: list of ('var', name) | ('expr', expr, name); empty == *
+    projection: list = field(default_factory=list)
+    distinct: bool = False
+    reduced: bool = False
+    group_by: list = field(default_factory=list)  # exprs or ('as', expr, var)
+    having: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # (expr, ascending)
+    limit: int | None = None
+    offset: int | None = None
+    values: ValuesTable | None = None  # trailing VALUES
+    construct_template: list = field(default_factory=list)
+    describe_terms: list = field(default_factory=list)
+    from_graphs: list = field(default_factory=list)
+    from_named: list = field(default_factory=list)

@@ -1,0 +1,512 @@
+"""SPARQL expression -> Spark Column compiler.
+
+Re-expresses the reference's expression evaluator (fs_expression_eval,
+src/frontend/results.c:335-943) and filter-function library
+(src/frontend/filter.c, 1792 LoC; value promotion in
+src/frontend/filter-datatypes.c) as *column expressions* over term structs
+— everything stays JVM-side inside whole-stage codegen; there are no
+Python UDFs in this module.
+
+Conventions:
+- every expression compiles to a term-struct Column
+  STRUCT<kind,lex,dt,lang,num> (model.TERM_SCHEMA);
+- the SPARQL "error" value (fs_value_error, src/frontend/filter-datatypes.h:62)
+  is a NULL struct — filters drop error rows exactly like the reference's
+  3-valued logic;
+- effective boolean value mirrors fn_ebv (src/frontend/filter.c:1356).
+
+Catalyst's SimplifyExtractValueOps collapses the struct-build/field-extract
+pairs this generates, so the struct convention costs nothing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from fourstore_spark.model import (
+    KIND_BNODE,
+    KIND_LITERAL,
+    KIND_URI,
+    NUMERIC_DATATYPES,
+    XSD,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_FLOAT,
+    XSD_INTEGER,
+    XSD_STRING,
+    term_struct,
+)
+from fourstore_spark.sparql import algebra as A
+
+def _NULL_S() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _NULL_D() -> Column:
+    return F.lit(None).cast("double")
+
+
+def null_term() -> Column:
+    return F.lit(None).cast(
+        "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
+    )
+
+
+def make_uri(lex: Column) -> Column:
+    return term_struct(F.lit(KIND_URI), lex, _NULL_S(), _NULL_S(), _NULL_D())
+
+
+def make_string(lex: Column, lang: Column | None = None) -> Column:
+    lang = _NULL_S() if lang is None else lang
+    return term_struct(F.lit(KIND_LITERAL), lex, _NULL_S(), lang, _NULL_D())
+
+
+def make_bool(b: Column) -> Column:
+    lex = F.when(b, "true").when(~b, "false")  # null propagates as error
+    return term_struct(F.lit(KIND_LITERAL), lex, F.lit(XSD_BOOLEAN), _NULL_S(), _NULL_D())
+
+
+def make_num(num: Column, dt: Column) -> Column:
+    is_int = dt == XSD_INTEGER
+    lex = F.when(is_int, num.cast("long").cast("string")).otherwise(num.cast("string"))
+    return term_struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num)
+
+
+def make_datetime(ts: Column, dt: str = XSD_DATETIME) -> Column:
+    fmt = "yyyy-MM-dd" if dt == XSD_DATE else "yyyy-MM-dd'T'HH:mm:ss"
+    return term_struct(
+        F.lit(KIND_LITERAL), F.date_format(ts, fmt), F.lit(dt), _NULL_S(), _NULL_D()
+    )
+
+
+def const_term(t) -> Column:
+    """Constant Iri/Literal -> term struct (const_literal_to_rid,
+    src/frontend/query.c:2015-2077, minus the hashing)."""
+    if isinstance(t, A.Iri):
+        return make_uri(F.lit(t.value))
+    if isinstance(t, A.Literal):
+        num = F.lit(float(t.lex)) if t.dt in NUMERIC_DATATYPES else _NULL_D()
+        return term_struct(
+            F.lit(KIND_LITERAL),
+            F.lit(t.lex),
+            F.lit(t.dt).cast("string") if t.dt else _NULL_S(),
+            F.lit(t.lang).cast("string") if t.lang else _NULL_S(),
+            num,
+        )
+    raise TypeError(f"not a constant term: {t!r}")
+
+
+# --------------------------------------------------------------- helpers
+def _is_lit(t: Column) -> Column:
+    return t["kind"] == KIND_LITERAL
+
+
+def _ts(t: Column) -> Column:
+    """Temporal literal -> timestamp (reference keeps epoch seconds,
+    src/frontend/filter-datatypes.h:51)."""
+    return F.when(
+        t["dt"].isin(XSD_DATETIME, XSD_DATE), F.to_timestamp(t["lex"])
+    ).otherwise(F.lit(None).cast("timestamp"))
+
+
+def _string_like(t: Column) -> Column:
+    """plain literal or xsd:string (fn 'simple literal or string')."""
+    return _is_lit(t) & (t["dt"].isNull() | (t["dt"] == XSD_STRING)) & t["lang"].isNull()
+
+
+def _plainish(t: Column) -> Column:
+    """literal usable in string fns: plain, xsd:string, or lang-tagged."""
+    return _is_lit(t) & (t["dt"].isNull() | (t["dt"] == XSD_STRING))
+
+
+def ebv(t: Column) -> Column:
+    """Effective boolean value (fn_ebv, src/frontend/filter.c:1356).
+    Returns a BooleanColumn; error -> NULL (row dropped by where())."""
+    return (
+        F.when(t.isNull(), F.lit(None).cast("boolean"))
+        .when(_is_lit(t) & (t["dt"] == XSD_BOOLEAN), t["lex"] == "true")
+        .when(t["num"].isNotNull(), (t["num"] != 0.0) & ~F.isnan(t["num"]))
+        .when(_plainish(t), F.length(t["lex"]) > 0)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# ------------------------------------------------------ comparison logic
+def _compare(op: str, lt: Column, rt: Column) -> Column:
+    """SPARQL operator mapping (fn_equal/fn_less_than etc.,
+    src/frontend/filter.c:526-921): numeric promotion, datetime compare,
+    string compare, URI equality; incomparable -> error (NULL)."""
+    both_num = lt["num"].isNotNull() & rt["num"].isNotNull()
+    both_time = lt["dt"].isin(XSD_DATETIME, XSD_DATE) & rt["dt"].isin(
+        XSD_DATETIME, XSD_DATE
+    )
+    both_str = _plainish(lt) & _plainish(rt) & (lt["lang"].eqNullSafe(rt["lang"]))
+    both_bool = (lt["dt"] == XSD_BOOLEAN) & (rt["dt"] == XSD_BOOLEAN)
+
+    def cmp(a: Column, b: Column) -> Column:
+        if op == "=":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == ">":
+            return a > b
+        if op == "<=":
+            return a <= b
+        return a >= b
+
+    res = (
+        F.when(both_num, cmp(lt["num"], rt["num"]))
+        .when(both_time, cmp(_ts(lt), _ts(rt)))
+        .when(both_bool, cmp(lt["lex"] == "true", rt["lex"] == "true"))
+        .when(both_str, cmp(lt["lex"], rt["lex"]))
+    )
+    if op in ("=", "!="):
+        same_kind_nonlit = (lt["kind"] == rt["kind"]) & (lt["kind"] != KIND_LITERAL)
+        eq_nonlit = lt["lex"] == rt["lex"]
+        res = res.when(same_kind_nonlit, eq_nonlit if op == "=" else ~eq_nonlit)
+        # same-typed literals: term equality as last resort (fn_rdfterm_equal)
+        same_dt = lt["dt"].eqNullSafe(rt["dt"]) & lt["lang"].eqNullSafe(rt["lang"])
+        both_lit = _is_lit(lt) & _is_lit(rt)
+        res = res.when(
+            both_lit & same_dt,
+            (lt["lex"] == rt["lex"]) if op == "=" else (lt["lex"] != rt["lex"]),
+        )
+    return res.otherwise(F.lit(None).cast("boolean"))
+
+
+def _same_term(lt: Column, rt: Column) -> Column:
+    return (
+        (lt["kind"] == rt["kind"])
+        & (lt["lex"] == rt["lex"])
+        & lt["dt"].eqNullSafe(rt["dt"])
+        & lt["lang"].eqNullSafe(rt["lang"])
+    )
+
+
+# ------------------------------------------------------ numeric promote
+_PROMO = {XSD_INTEGER: 0, XSD_DECIMAL: 1, XSD_FLOAT: 2, XSD_DOUBLE: 3}
+
+
+def _promoted_dt(ldt: Column, rdt: Column, is_div: bool) -> Column:
+    """Numeric type promotion ladder (fn_numeric_add,
+    src/frontend/filter.c:420-523): integer < decimal < float < double;
+    '/' on integers yields decimal."""
+    def rank(dt: Column) -> Column:
+        return (
+            F.when(dt == XSD_DOUBLE, 3)
+            .when(dt == XSD_FLOAT, 2)
+            .when(dt == XSD_DECIMAL, 1)
+            .otherwise(0)
+        )
+
+    mx = F.greatest(rank(ldt), rank(rdt))
+    out = (
+        F.when(mx == 3, XSD_DOUBLE)
+        .when(mx == 2, XSD_FLOAT)
+        .when(mx == 1, XSD_DECIMAL)
+        .otherwise(XSD_INTEGER)
+    )
+    if is_div:
+        out = F.when(out == XSD_INTEGER, XSD_DECIMAL).otherwise(out)
+    return out
+
+
+# --------------------------------------------------------------- compiler
+class ExprContext:
+    """Resolution environment: variable -> term-struct Column, plus
+    pre-computed aggregate columns (see translator grouping)."""
+
+    def __init__(self, resolve_var=None, agg_map: dict | None = None):
+        self._resolve = resolve_var or (lambda name: F.col(name))
+        self.agg_map = agg_map or {}
+        self.columns: set[str] | None = None  # known vars, None = unknown
+
+    def var(self, name: str) -> Column:
+        if self.columns is not None and name not in self.columns:
+            return null_term()  # unbound everywhere
+        return self._resolve(name)
+
+
+def agg_key(e: A.EAggregate) -> str:
+    return repr(e)
+
+
+def compile_expr(e, ctx: ExprContext) -> Column:
+    if isinstance(e, A.EVar):
+        return ctx.var(e.name)
+    if isinstance(e, A.EConst):
+        return const_term(e.term)
+    if isinstance(e, A.EAggregate):
+        k = agg_key(e)
+        if k not in ctx.agg_map:
+            raise ValueError("aggregate used outside aggregation context")
+        return ctx.agg_map[k]
+    if isinstance(e, A.EOr):
+        # SPARQL 3VL: true || error = true (fn_logical_or, filter.c:949)
+        cols = [ebv(compile_expr(a, ctx)) for a in e.args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return make_bool(out)
+    if isinstance(e, A.EAnd):
+        cols = [ebv(compile_expr(a, ctx)) for a in e.args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return make_bool(out)
+    if isinstance(e, A.ECompare):
+        return make_bool(
+            _compare(e.op, compile_expr(e.left, ctx), compile_expr(e.right, ctx))
+        )
+    if isinstance(e, A.EIn):
+        t = compile_expr(e.expr, ctx)
+        conds = [_compare("=", t, compile_expr(o, ctx)) for o in e.options]
+        out = conds[0] if conds else F.lit(False)
+        for c in conds[1:]:
+            out = out | c
+        return make_bool(~out if e.negated else out)
+    if isinstance(e, A.EArith):
+        lt, rt = compile_expr(e.left, ctx), compile_expr(e.right, ctx)
+        ln, rn = lt["num"], rt["num"]
+        if e.op == "+":
+            num = ln + rn
+        elif e.op == "-":
+            num = ln - rn
+        elif e.op == "*":
+            num = ln * rn
+        else:
+            num = F.when(rn != 0.0, ln / rn)  # div-by-zero -> error
+        dt = _promoted_dt(lt["dt"], rt["dt"], e.op == "/")
+        return F.when(ln.isNotNull() & rn.isNotNull(), make_num(num, dt)).otherwise(
+            null_term()
+        )
+    if isinstance(e, A.EUnary):
+        t = compile_expr(e.arg, ctx)
+        if e.op == "!":
+            return make_bool(~ebv(t))
+        if e.op == "-":
+            return F.when(t["num"].isNotNull(), make_num(-t["num"], t["dt"])).otherwise(
+                null_term()
+            )
+        return F.when(t["num"].isNotNull(), t).otherwise(null_term())
+    if isinstance(e, A.ECall):
+        return _compile_call(e, ctx)
+    if isinstance(e, A.EExists):
+        raise NotImplementedError(
+            "EXISTS is handled by the translator's filter rewrite"
+        )
+    raise TypeError(f"cannot compile expression {e!r}")
+
+
+def _numeric_fn(t: Column, f) -> Column:
+    return F.when(t["num"].isNotNull(), make_num(f(t["num"]), t["dt"])).otherwise(
+        null_term()
+    )
+
+
+def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
+    name = e.name
+    args = [compile_expr(a, ctx) for a in e.args]
+
+    # -- casts: xsd:TYPE(expr) arrives with the full datatype IRI as name
+    # (fn_cast, src/frontend/filter.c:1335)
+    if name.startswith(XSD):
+        return _compile_cast(name, args[0])
+
+    a0 = args[0] if args else None
+
+    if name == "STR":  # fn_str, filter.c:1068
+        return F.when(
+            a0.isNotNull() & (a0["kind"] != KIND_BNODE), make_string(a0["lex"])
+        ).otherwise(null_term())
+    if name in ("IRI", "URI"):
+        return F.when(
+            (a0["kind"] == KIND_URI) | _string_like(a0), make_uri(a0["lex"])
+        ).otherwise(null_term())
+    if name == "BNODE":
+        lex = F.concat(F.lit("_:gen"), F.abs(F.xxhash64(F.rand())).cast("string"))
+        return term_struct(F.lit(KIND_BNODE), lex, _NULL_S(), _NULL_S(), _NULL_D())
+    if name == "LANG":  # fn_lang, filter.c:1130 — non-literal is an error
+        return F.when(
+            _is_lit(a0), make_string(F.coalesce(a0["lang"], F.lit("")))
+        ).otherwise(null_term())
+    if name == "DATATYPE":  # fn_datatype, filter.c:1177
+        dt = F.when(a0["lang"].isNotNull(), XSD + "langString").otherwise(
+            F.coalesce(a0["dt"], F.lit(XSD_STRING))
+        )
+        return F.when(_is_lit(a0), make_uri(dt)).otherwise(null_term())
+    if name == "BOUND":  # fn_bound, filter.c:1015
+        return make_bool(a0.isNotNull())
+    if name in ("ISIRI", "ISURI"):
+        return F.when(a0.isNotNull(), make_bool(a0["kind"] == KIND_URI)).otherwise(null_term())
+    if name == "ISBLANK":
+        return F.when(a0.isNotNull(), make_bool(a0["kind"] == KIND_BNODE)).otherwise(null_term())
+    if name == "ISLITERAL":
+        return F.when(a0.isNotNull(), make_bool(_is_lit(a0))).otherwise(null_term())
+    if name == "ISNUMERIC":
+        return F.when(a0.isNotNull(), make_bool(a0["num"].isNotNull())).otherwise(null_term())
+    if name == "SAMETERM":
+        return make_bool(_same_term(a0, args[1]))
+    if name == "IF":
+        return F.when(ebv(a0), args[1]).when(~ebv(a0), args[2]).otherwise(null_term())
+    if name == "COALESCE":
+        return F.coalesce(*args)
+    if name == "STRLANG":
+        return F.when(
+            _string_like(a0) & _string_like(args[1]),
+            make_string(a0["lex"], F.lower(args[1]["lex"])),
+        ).otherwise(null_term())
+    if name == "STRDT":
+        return F.when(
+            _string_like(a0) & (args[1]["kind"] == KIND_URI),
+            _retyped(a0["lex"], args[1]["lex"]),
+        ).otherwise(null_term())
+
+    # ---- strings (filter.c:1380-1668)
+    if name == "STRLEN":
+        return F.when(_plainish(a0), make_num(F.length(a0["lex"]).cast("double"), F.lit(XSD_INTEGER))).otherwise(null_term())
+    if name == "SUBSTR":
+        start = args[1]["num"].cast("int")
+        if len(args) >= 3:
+            sub = F.substring(a0["lex"], start, args[2]["num"].cast("int"))
+        else:
+            sub = a0["lex"].substr(start, F.length(a0["lex"]))
+        return F.when(_plainish(a0), make_string(sub, a0["lang"])).otherwise(null_term())
+    if name == "UCASE":
+        return F.when(_plainish(a0), make_string(F.upper(a0["lex"]), a0["lang"])).otherwise(null_term())
+    if name == "LCASE":
+        return F.when(_plainish(a0), make_string(F.lower(a0["lex"]), a0["lang"])).otherwise(null_term())
+    if name == "CONCAT":
+        return make_string(F.concat(*[a["lex"] for a in args]))
+    if name == "CONTAINS":
+        return make_bool(a0["lex"].contains(args[1]["lex"]))
+    if name == "STRSTARTS":
+        return make_bool(a0["lex"].startswith(args[1]["lex"]))
+    if name == "STRENDS":
+        return make_bool(a0["lex"].endswith(args[1]["lex"]))
+    if name == "STRBEFORE":
+        pos = F.instr(a0["lex"], args[1]["lex"])
+        out = F.when(pos > 0, F.substring(a0["lex"], F.lit(1), pos - 1)).otherwise("")
+        return make_string(out, a0["lang"])
+    if name == "STRAFTER":
+        pos = F.instr(a0["lex"], args[1]["lex"])
+        out = F.when(
+            pos > 0,
+            F.substring(
+                a0["lex"], pos + F.length(args[1]["lex"]), F.length(a0["lex"])
+            ),
+        ).otherwise("")
+        return make_string(out, a0["lang"])
+    if name == "ENCODE_FOR_URI":
+        # fn_encode_for_uri (filter.c:1452); url_encode is form-encoding, so
+        # fix the space convention ('+' -> '%20')
+        return make_string(F.replace(F.url_encode(a0["lex"]), F.lit("+"), F.lit("%20")))
+    if name == "REGEX":  # fn_matches, filter.c:1259 (PCRE flags i/s/m/x)
+        pat = args[1]["lex"]
+        if len(args) >= 3:
+            pat = F.concat(F.lit("(?"), args[2]["lex"], F.lit(")"), pat)
+        return make_bool(a0["lex"].rlike(pat))
+    if name == "REPLACE":
+        # reference errors "not yet implemented" (results.c:379) — we support it
+        pat = args[1]["lex"]
+        if len(args) >= 4:
+            pat = F.concat(F.lit("(?"), args[3]["lex"], F.lit(")"), pat)
+        return make_string(F.regexp_replace(a0["lex"], pat, args[2]["lex"]), a0["lang"])
+    if name == "LANGMATCHES":  # fn_lang_matches, filter.c:987
+        lang = F.lower(a0["lex"])
+        rng = F.lower(args[1]["lex"])
+        m = F.when(rng == "*", F.length(lang) > 0).otherwise(
+            (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+        )
+        return make_bool(m)
+
+    # ---- numerics (filter.c:185-360)
+    if name == "ABS":
+        return _numeric_fn(a0, F.abs)
+    if name == "CEIL":
+        return _numeric_fn(a0, lambda c: F.ceil(c).cast("double"))
+    if name == "FLOOR":
+        return _numeric_fn(a0, lambda c: F.floor(c).cast("double"))
+    if name == "ROUND":
+        # xpath round: half away from zero... reference uses C round()
+        return _numeric_fn(a0, lambda c: F.round(c, 0))
+    if name == "RAND":
+        return make_num(F.rand(), F.lit(XSD_DOUBLE))
+
+    # ---- dates (filter.c:1486-1577)
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+        fn = {
+            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+            "HOURS": F.hour, "MINUTES": F.minute,
+        }[name]
+        return F.when(
+            _ts(a0).isNotNull(),
+            make_num(fn(_ts(a0)).cast("double"), F.lit(XSD_INTEGER)),
+        ).otherwise(null_term())
+    if name == "SECONDS":
+        return F.when(
+            _ts(a0).isNotNull(),
+            make_num(F.second(_ts(a0)).cast("double"), F.lit(XSD_DECIMAL)),
+        ).otherwise(null_term())
+    if name in ("TIMEZONE", "TZ"):
+        # reference: TZ unimplemented (results.c:358-360); lexes here are
+        # normalized UTC-naive, so TZ() == ""
+        return make_string(F.lit(""))
+    if name == "NOW":
+        return make_datetime(F.current_timestamp())
+    if name == "FROM_UNIXTIME":
+        return make_datetime(F.to_timestamp(F.from_unixtime(a0["num"].cast("long"))))
+    if name == "TO_UNIXTIME":
+        return make_num(F.unix_timestamp(_ts(a0)).cast("double"), F.lit(XSD_INTEGER))
+
+    # ---- hashes / uuids (filter.c:1670-1792)
+    if name == "MD5":
+        return make_string(F.md5(a0["lex"].cast("binary")))
+    if name == "SHA1":
+        return make_string(F.sha1(a0["lex"].cast("binary")))
+    if name in ("SHA256", "SHA384", "SHA512"):
+        # 384/512 error out in the reference (results.c:361-370); we allow
+        return make_string(F.sha2(a0["lex"].cast("binary"), int(name[3:])))
+    if name == "UUID":
+        return make_uri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+    if name == "STRUUID":
+        return make_string(F.expr("uuid()"))
+
+    raise NotImplementedError(f"function {name} not implemented")
+
+
+def _retyped(lex: Column, dt: Column) -> Column:
+    num = F.when(dt.isin(list(NUMERIC_DATATYPES)), lex.cast("double"))
+    return term_struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num)
+
+
+def _compile_cast(dt_iri: str, t: Column) -> Column:
+    """xsd:*() constructor casts (fn_cast_intl, filter.c:1315; cast_*
+    helpers filter.c:42-183). Invalid input -> error (NULL)."""
+    if dt_iri in NUMERIC_DATATYPES:
+        src = F.when(t["num"].isNotNull(), t["num"]).when(
+            (t["dt"] == XSD_BOOLEAN), F.when(t["lex"] == "true", 1.0).otherwise(0.0)
+        ).when(_plainish(t), t["lex"].cast("double"))
+        if dt_iri == XSD_INTEGER:
+            src = F.floor(src).cast("double")
+        return F.when(src.isNotNull(), make_num(src, F.lit(dt_iri))).otherwise(null_term())
+    if dt_iri == XSD_BOOLEAN:
+        b = (
+            F.when(t["dt"] == XSD_BOOLEAN, t["lex"] == "true")
+            .when(t["num"].isNotNull(), t["num"] != 0.0)
+            .when(t["lex"].isin("true", "1"), F.lit(True))
+            .when(t["lex"].isin("false", "0"), F.lit(False))
+        )
+        return F.when(b.isNotNull(), make_bool(b)).otherwise(null_term())
+    if dt_iri == XSD_STRING:
+        return F.when(t.isNotNull() & (t["kind"] != KIND_BNODE), make_string(t["lex"])).otherwise(null_term())
+    if dt_iri in (XSD_DATETIME, XSD_DATE):
+        ts = F.to_timestamp(t["lex"])
+        return F.when(ts.isNotNull(), make_datetime(ts, dt_iri)).otherwise(null_term())
+    raise NotImplementedError(f"cast to {dt_iri} not implemented")

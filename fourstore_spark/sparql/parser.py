@@ -1,0 +1,760 @@
+"""SPARQL 1.1 recursive-descent parser -> algebra.
+
+Covers the reference's query surface (it links Rasqal's "sparql11" grammar,
+src/frontend/query.c:347-354): SELECT/ASK/CONSTRUCT/DESCRIBE, BGPs with
+';'/','/'a'/bnode-property-lists/collections, OPTIONAL/UNION/MINUS/GRAPH/
+FILTER/BIND/VALUES, sub-SELECT, expressions and aggregates, solution
+modifiers, FROM/FROM NAMED.  Property paths are not in the reference's
+surface and raise a clear error.
+
+Group -> algebra translation follows SPARQL 1.1 §18.2.2.6 (the reference's
+equivalent is graph_pattern_walk, src/frontend/query.c:1305-1437).
+"""
+
+from __future__ import annotations
+
+import re
+
+from fourstore_spark.model import RDF, XSD_BOOLEAN, XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER
+from fourstore_spark.sparql import algebra as A
+from fourstore_spark.sparql.tokenizer import SparqlSyntaxError, Token, tokenize
+
+RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+BUILTINS = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI", "BNODE",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS",
+    "STRBEFORE", "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1",
+    "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT",
+    "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "REGEX", "SUBSTR", "REPLACE", "FROM_UNIXTIME", "TO_UNIXTIME",
+}
+AGGREGATES = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
+
+_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "u" and i + 6 <= len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(s):
+                out.append(chr(int(s[i + 2:i + 10], 16)))
+                i += 10
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.tokens = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self._bnode_n = 0
+
+    # ------------------------------------------------------- token utils
+    def peek(self, k: int = 0) -> Token:
+        return self.tokens[min(self.i + k, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.type == "IDENT" and t.value.upper() in kws
+
+    def take_kw(self, *kws: str) -> str | None:
+        if self.at_kw(*kws):
+            return self.next().value.upper()
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.take_kw(kw):
+            raise SparqlSyntaxError(f"expected {kw} at {self.peek().pos}, got {self.peek().value!r}")
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t.type == "OP" and t.value == op
+
+    def take_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.take_op(op):
+            raise SparqlSyntaxError(f"expected {op!r} at {self.peek().pos}, got {self.peek().value!r}")
+
+    def err(self, msg: str):
+        t = self.peek()
+        raise SparqlSyntaxError(f"{msg} at {t.pos} (near {t.value!r})")
+
+    def fresh_bnode(self) -> A.BNode:
+        self._bnode_n += 1
+        return A.BNode(f"__anon{self._bnode_n}")
+
+    # ------------------------------------------------------------ terms
+    def resolve_iri(self, raw: str) -> str:
+        iri = raw[1:-1]
+        return iri  # BASE resolution: queries in scope use absolute IRIs
+
+    def resolve_pname(self, raw: str) -> str:
+        pfx, _, local = raw.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"undefined prefix {pfx!r}:")
+        local = re.sub(r"\\(.)", r"\1", local)
+        return self.prefixes[pfx] + local
+
+    def parse_iri(self) -> A.Iri:
+        t = self.peek()
+        if t.type == "IRIREF":
+            self.next()
+            return A.Iri(self.resolve_iri(t.value))
+        if t.type == "PNAME":
+            self.next()
+            return A.Iri(self.resolve_pname(t.value))
+        self.err("expected IRI")
+
+    def _string_token_value(self, raw: str) -> str:
+        if raw[:3] in ('"""', "'''"):
+            return _unescape(raw[3:-3])
+        return _unescape(raw[1:-1])
+
+    def parse_literal(self) -> A.Literal:
+        t = self.next()
+        lex = self._string_token_value(t.value)
+        nxt = self.peek()
+        if nxt.type == "LANGTAG":
+            self.next()
+            return A.Literal(lex, lang=nxt.value[1:].lower())
+        if nxt.type == "OP" and nxt.value == "^^":
+            self.next()
+            return A.Literal(lex, dt=self.parse_iri().value)
+        return A.Literal(lex)
+
+    def parse_numeric(self, sign: str = "") -> A.Literal:
+        t = self.next()
+        if t.type == "INTEGER":
+            return A.Literal(sign + t.value, dt=XSD_INTEGER)
+        if t.type == "DECIMAL":
+            return A.Literal(sign + t.value, dt=XSD_DECIMAL)
+        return A.Literal(sign + t.value, dt=XSD_DOUBLE)
+
+    # term in data (graph pattern) position; may emit extra triples for
+    # bnode property lists / collections
+    def parse_graph_node(self, triples: list) -> object:
+        t = self.peek()
+        if t.type == "VAR":
+            self.next()
+            return A.Var(t.value[1:])
+        if t.type in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        if t.type == "STRING":
+            return self.parse_literal()
+        if t.type in ("INTEGER", "DECIMAL", "DOUBLE"):
+            return self.parse_numeric()
+        if t.type == "BLANK":
+            self.next()
+            return A.BNode(t.value[2:])
+        if t.type == "IDENT" and t.value.lower() in ("true", "false"):
+            self.next()
+            return A.Literal(t.value.lower(), dt=XSD_BOOLEAN)
+        if self.at_op("+") or self.at_op("-"):
+            sign = self.next().value
+            if self.peek().type in ("INTEGER", "DECIMAL", "DOUBLE"):
+                return self.parse_numeric("-" if sign == "-" else "")
+            self.err("expected number after sign")
+        if self.at_op("["):
+            self.next()
+            node = self.fresh_bnode()
+            if not self.take_op("]"):
+                self.parse_property_list(node, triples)
+                self.expect_op("]")
+            return node
+        if self.at_op("("):
+            self.next()
+            if self.take_op(")"):
+                return A.Iri(RDF_NIL)
+            items = []
+            while not self.take_op(")"):
+                items.append(self.parse_graph_node(triples))
+            head = self.fresh_bnode()
+            cur = head
+            for j, item in enumerate(items):
+                triples.append(A.TriplePattern(cur, A.Iri(RDF_FIRST), item))
+                rest = self.fresh_bnode() if j + 1 < len(items) else A.Iri(RDF_NIL)
+                triples.append(A.TriplePattern(cur, A.Iri(RDF_REST), rest))
+                cur = rest
+            return head
+        self.err("expected term")
+
+    def parse_verb(self) -> object:
+        t = self.peek()
+        if t.type == "IDENT" and t.value == "a":
+            self.next()
+            return A.Iri(RDF_TYPE)
+        if t.type == "VAR":
+            self.next()
+            return A.Var(t.value[1:])
+        if t.type in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        if t.type == "OP" and t.value in ("^", "|", "/", "*", "+", "!", "("):
+            self.err("property paths are not supported (reference parity: 4store/rasqal BGP-only)")
+        self.err("expected predicate")
+
+    def parse_property_list(self, subj, triples: list) -> None:
+        while True:
+            verb = self.parse_verb()
+            while True:
+                obj = self.parse_graph_node(triples)
+                triples.append(A.TriplePattern(subj, verb, obj))
+                if not self.take_op(","):
+                    break
+            if not self.take_op(";"):
+                return
+            # allow trailing ';'
+            t = self.peek()
+            if (t.type == "OP" and t.value in (".", "}", "]")) or t.type == "EOF":
+                return
+
+    def parse_triples_block(self) -> list:
+        triples: list = []
+        while True:
+            t = self.peek()
+            if t.type == "OP" and t.value in ("{", "}"):
+                break
+            if t.type == "EOF" or (t.type == "IDENT" and t.value.upper() in (
+                "FILTER", "OPTIONAL", "MINUS", "GRAPH", "BIND", "VALUES",
+                "SERVICE", "UNION",
+            )):
+                break
+            if self.at_op("["):
+                # bnode property list as subject
+                self.next()
+                subj = self.fresh_bnode()
+                if not self.take_op("]"):
+                    self.parse_property_list(subj, triples)
+                    self.expect_op("]")
+                if not (self.at_op(".") or self.at_op("}")):
+                    self.parse_property_list(subj, triples)
+            else:
+                subj = self.parse_graph_node(triples)
+                self.parse_property_list(subj, triples)
+            if not self.take_op("."):
+                break
+        return triples
+
+    # ------------------------------------------------------ expressions
+    def parse_expression(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        args = [left]
+        while self.take_op("||"):
+            args.append(self.parse_and())
+        return args[0] if len(args) == 1 else A.EOr(args)
+
+    def parse_and(self):
+        left = self.parse_relational()
+        args = [left]
+        while self.take_op("&&"):
+            args.append(self.parse_relational())
+        return args[0] if len(args) == 1 else A.EAnd(args)
+
+    def parse_relational(self):
+        left = self.parse_additive()
+        for op in ("<=", ">=", "!=", "=", "<", ">"):
+            if self.at_op(op):
+                self.next()
+                return A.ECompare(op, left, self.parse_additive())
+        if self.at_kw("IN"):
+            self.next()
+            return A.EIn(left, self.parse_expr_list(), negated=False)
+        if self.at_kw("NOT") and self.peek(1).type == "IDENT" and self.peek(1).value.upper() == "IN":
+            self.next()
+            self.next()
+            return A.EIn(left, self.parse_expr_list(), negated=True)
+        return left
+
+    def parse_expr_list(self) -> list:
+        self.expect_op("(")
+        out = []
+        if not self.take_op(")"):
+            out.append(self.parse_expression())
+            while self.take_op(","):
+                out.append(self.parse_expression())
+            self.expect_op(")")
+        return out
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next().value
+            left = A.EArith(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next().value
+            left = A.EArith(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.take_op("!"):
+            return A.EUnary("!", self.parse_unary())
+        if self.take_op("+"):
+            return A.EUnary("+", self.parse_unary())
+        if self.take_op("-"):
+            return A.EUnary("-", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expression()
+            self.expect_op(")")
+            return e
+        if t.type == "VAR":
+            self.next()
+            return A.EVar(t.value[1:])
+        if t.type == "STRING":
+            return A.EConst(self.parse_literal())
+        if t.type in ("INTEGER", "DECIMAL", "DOUBLE"):
+            return A.EConst(self.parse_numeric())
+        if t.type == "IDENT":
+            kw = t.value.upper()
+            if kw in ("TRUE", "FALSE"):
+                self.next()
+                return A.EConst(A.Literal(kw.lower(), dt=XSD_BOOLEAN))
+            if kw in AGGREGATES:
+                return self.parse_aggregate()
+            if kw in ("EXISTS", "NOT"):
+                negated = False
+                if kw == "NOT":
+                    self.next()
+                    self.expect_kw("EXISTS")
+                    negated = True
+                else:
+                    self.next()
+                grp = self.parse_group_graph_pattern()
+                return A.EExists(grp, negated=negated)
+            if kw in BUILTINS:
+                self.next()
+                if kw == "BNODE" and not self.at_op("("):
+                    return A.ECall("BNODE", [])
+                if kw in ("NOW", "RAND", "UUID", "STRUUID"):
+                    self.expect_op("(")
+                    self.expect_op(")")
+                    return A.ECall(kw, [])
+                args = self.parse_expr_list()
+                return A.ECall(kw, args)
+            self.err(f"unknown function {t.value!r}")
+        if t.type in ("IRIREF", "PNAME"):
+            iri = self.parse_iri()
+            if self.at_op("("):
+                args = self.parse_expr_list()
+                return A.ECall(iri.value, args)  # cast / extension function
+            return A.EConst(iri)
+        self.err("expected expression")
+
+    def parse_aggregate(self):
+        name = self.next().value.upper()
+        self.expect_op("(")
+        distinct = bool(self.take_kw("DISTINCT"))
+        if name == "COUNT" and self.at_op("*"):
+            self.next()
+            self.expect_op(")")
+            return A.EAggregate("COUNT", None, distinct)
+        expr = self.parse_expression()
+        sep = " "
+        if name == "GROUP_CONCAT" and self.take_op(";"):
+            self.expect_kw("SEPARATOR")
+            self.expect_op("=")
+            sep = self._string_token_value(self.next().value)
+        self.expect_op(")")
+        return A.EAggregate(name, expr, distinct, sep)
+
+    # ---------------------------------------------------- graph patterns
+    def parse_group_graph_pattern(self):
+        self.expect_op("{")
+        if self.at_kw("SELECT"):
+            sub = self.parse_select_query(subselect=True)
+            self.expect_op("}")
+            return A.SubSelect(sub)
+        elements: list = []
+        filters: list = []
+        while not self.at_op("}"):
+            if self.at_kw("FILTER"):
+                self.next()
+                filters.append(self.parse_constraint())
+                self.take_op(".")
+            elif self.at_kw("OPTIONAL"):
+                self.next()
+                grp = self.parse_group_graph_pattern()
+                elements.append(("optional", grp))
+                self.take_op(".")
+            elif self.at_kw("MINUS"):
+                self.next()
+                grp = self.parse_group_graph_pattern()
+                elements.append(("minus", grp))
+                self.take_op(".")
+            elif self.at_kw("GRAPH"):
+                self.next()
+                t = self.peek()
+                if t.type == "VAR":
+                    self.next()
+                    gterm = A.Var(t.value[1:])
+                else:
+                    gterm = self.parse_iri()
+                grp = self.parse_group_graph_pattern()
+                elements.append(("pattern", A.GraphPattern(gterm, grp)))
+                self.take_op(".")
+            elif self.at_kw("BIND"):
+                self.next()
+                self.expect_op("(")
+                expr = self.parse_expression()
+                self.expect_kw("AS")
+                var = self.next()
+                if var.type != "VAR":
+                    self.err("expected variable in BIND")
+                self.expect_op(")")
+                elements.append(("bind", expr, var.value[1:]))
+                self.take_op(".")
+            elif self.at_kw("VALUES"):
+                self.next()
+                elements.append(("pattern", self.parse_inline_data()))
+                self.take_op(".")
+            elif self.at_kw("SERVICE"):
+                self.err("SERVICE (federated query) is not supported")
+            elif self.at_op("{"):
+                grp = self.parse_group_graph_pattern()
+                while self.at_kw("UNION"):
+                    self.next()
+                    rhs = self.parse_group_graph_pattern()
+                    grp = A.Union(grp, rhs)
+                elements.append(("pattern", grp))
+                self.take_op(".")
+            else:
+                triples = self.parse_triples_block()
+                if not triples:
+                    self.err("expected graph pattern element")
+                elements.append(("bgp", triples))
+        self.expect_op("}")
+        return self._translate_group(elements, filters)
+
+    def parse_constraint(self):
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expression()
+            self.expect_op(")")
+            return e
+        return self.parse_primary()  # BuiltInCall or FunctionCall
+
+    def _translate_group(self, elements: list, filters: list):
+        # SPARQL 1.1 §18.2.2.6
+        g: object = A.Unit()
+        for el in elements:
+            if el[0] == "bgp":
+                bgp = A.BGP(el[1])
+                g = bgp if isinstance(g, A.Unit) else A.Join(g, bgp)
+            elif el[0] == "optional":
+                rhs = el[1]
+                if isinstance(rhs, A.Filter):
+                    g = A.LeftJoin(g, rhs.pattern, rhs.expr)
+                else:
+                    g = A.LeftJoin(g, rhs, None)
+            elif el[0] == "minus":
+                g = A.Minus(g, el[1])
+            elif el[0] == "bind":
+                g = A.Extend(g, el[2], el[1])
+            elif el[0] == "pattern":
+                p = el[1]
+                g = p if isinstance(g, A.Unit) else A.Join(g, p)
+        if filters:
+            expr = filters[0] if len(filters) == 1 else A.EAnd(filters)
+            g = A.Filter(expr, g)
+        return g
+
+    def parse_inline_data(self) -> A.ValuesTable:
+        t = self.peek()
+        if t.type == "VAR":
+            self.next()
+            variables = [t.value[1:]]
+            self.expect_op("{")
+            rows = []
+            while not self.take_op("}"):
+                rows.append([self.parse_data_value()])
+            return A.ValuesTable(variables, rows)
+        self.expect_op("(")
+        variables = []
+        while not self.take_op(")"):
+            v = self.next()
+            if v.type != "VAR":
+                self.err("expected variable in VALUES")
+            variables.append(v.value[1:])
+        self.expect_op("{")
+        rows = []
+        while not self.take_op("}"):
+            self.expect_op("(")
+            row = []
+            while not self.take_op(")"):
+                row.append(self.parse_data_value())
+            if len(row) != len(variables):
+                self.err("VALUES row arity mismatch")
+            rows.append(row)
+        return A.ValuesTable(variables, rows)
+
+    def parse_data_value(self):
+        t = self.peek()
+        if t.type == "IDENT" and t.value.upper() == "UNDEF":
+            self.next()
+            return None
+        if t.type in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        if t.type == "STRING":
+            return self.parse_literal()
+        if t.type in ("INTEGER", "DECIMAL", "DOUBLE"):
+            return self.parse_numeric()
+        if t.type == "IDENT" and t.value.lower() in ("true", "false"):
+            self.next()
+            return A.Literal(t.value.lower(), dt=XSD_BOOLEAN)
+        if self.at_op("+") or self.at_op("-"):
+            sign = self.next().value
+            return self.parse_numeric("-" if sign == "-" else "")
+        self.err("expected VALUES data value")
+
+    # -------------------------------------------------------- queries
+    def parse_query(self) -> A.Query:
+        self.parse_prologue()
+        if self.at_kw("SELECT"):
+            q = self.parse_select_query()
+        elif self.at_kw("ASK"):
+            q = self.parse_ask_query()
+        elif self.at_kw("CONSTRUCT"):
+            q = self.parse_construct_query()
+        elif self.at_kw("DESCRIBE"):
+            q = self.parse_describe_query()
+        else:
+            self.err("expected SELECT/ASK/CONSTRUCT/DESCRIBE")
+        if self.at_kw("VALUES"):
+            self.next()
+            q.values = self.parse_inline_data()
+        if self.peek().type != "EOF":
+            self.err("unexpected trailing input")
+        return q
+
+    def parse_prologue(self):
+        while True:
+            if self.at_kw("PREFIX"):
+                self.next()
+                p = self.next()
+                if p.type != "PNAME" or not p.value.endswith(":"):
+                    self.err("expected prefix name")
+                iri = self.next()
+                if iri.type != "IRIREF":
+                    self.err("expected IRI in PREFIX")
+                self.prefixes[p.value[:-1]] = self.resolve_iri(iri.value)
+            elif self.at_kw("BASE"):
+                self.next()
+                iri = self.next()
+                self.base = self.resolve_iri(iri.value)
+            else:
+                return
+
+    def parse_dataset_clauses(self, q: A.Query):
+        while self.at_kw("FROM"):
+            self.next()
+            if self.take_kw("NAMED"):
+                q.from_named.append(self.parse_iri().value)
+            else:
+                q.from_graphs.append(self.parse_iri().value)
+
+    def parse_select_query(self, subselect: bool = False) -> A.Query:
+        self.expect_kw("SELECT")
+        q = A.Query(form="SELECT")
+        if self.take_kw("DISTINCT"):
+            q.distinct = True
+        elif self.take_kw("REDUCED"):
+            q.reduced = True
+        if self.take_op("*"):
+            q.projection = []
+        else:
+            proj = []
+            while True:
+                t = self.peek()
+                if t.type == "VAR":
+                    self.next()
+                    proj.append(("var", t.value[1:]))
+                elif self.at_op("("):
+                    self.next()
+                    expr = self.parse_expression()
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v.type != "VAR":
+                        self.err("expected variable after AS")
+                    self.expect_op(")")
+                    proj.append(("expr", expr, v.value[1:]))
+                else:
+                    break
+            if not proj:
+                self.err("empty SELECT list")
+            q.projection = proj
+        if not subselect:
+            self.parse_dataset_clauses(q)
+        self.take_kw("WHERE")
+        q.pattern = self.parse_group_graph_pattern()
+        self.parse_solution_modifier(q)
+        if subselect and self.at_kw("VALUES"):
+            self.next()
+            q.values = self.parse_inline_data()
+        return q
+
+    def parse_ask_query(self) -> A.Query:
+        self.expect_kw("ASK")
+        q = A.Query(form="ASK")
+        self.parse_dataset_clauses(q)
+        self.take_kw("WHERE")
+        q.pattern = self.parse_group_graph_pattern()
+        self.parse_solution_modifier(q)
+        return q
+
+    def parse_construct_query(self) -> A.Query:
+        self.expect_kw("CONSTRUCT")
+        q = A.Query(form="CONSTRUCT")
+        if self.at_op("{"):
+            self.next()
+            q.construct_template = self.parse_triples_block()
+            self.expect_op("}")
+            self.parse_dataset_clauses(q)
+            self.take_kw("WHERE")
+            q.pattern = self.parse_group_graph_pattern()
+        else:
+            # short form: CONSTRUCT WHERE { triples }
+            self.parse_dataset_clauses(q)
+            self.expect_kw("WHERE")
+            self.expect_op("{")
+            q.construct_template = self.parse_triples_block()
+            self.expect_op("}")
+            q.pattern = A.BGP(list(q.construct_template))
+        self.parse_solution_modifier(q)
+        return q
+
+    def parse_describe_query(self) -> A.Query:
+        self.expect_kw("DESCRIBE")
+        q = A.Query(form="DESCRIBE")
+        if self.take_op("*"):
+            q.describe_terms = ["*"]
+        else:
+            terms = []
+            while True:
+                t = self.peek()
+                if t.type == "VAR":
+                    self.next()
+                    terms.append(A.Var(t.value[1:]))
+                elif t.type in ("IRIREF", "PNAME"):
+                    terms.append(self.parse_iri())
+                else:
+                    break
+            q.describe_terms = terms
+        self.parse_dataset_clauses(q)
+        if self.take_kw("WHERE") or self.at_op("{"):
+            q.pattern = self.parse_group_graph_pattern()
+        self.parse_solution_modifier(q)
+        return q
+
+    def parse_solution_modifier(self, q: A.Query):
+        if self.at_kw("GROUP"):
+            self.next()
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t.type == "VAR":
+                    self.next()
+                    q.group_by.append(A.EVar(t.value[1:]))
+                elif self.at_op("("):
+                    self.next()
+                    expr = self.parse_expression()
+                    if self.take_kw("AS"):
+                        v = self.next()
+                        self.expect_op(")")
+                        q.group_by.append(("as", expr, v.value[1:]))
+                    else:
+                        self.expect_op(")")
+                        q.group_by.append(expr)
+                elif t.type == "IDENT" and t.value.upper() in BUILTINS:
+                    q.group_by.append(self.parse_primary())
+                else:
+                    break
+            if not q.group_by:
+                self.err("empty GROUP BY")
+        if self.at_kw("HAVING"):
+            self.next()
+            while self.at_op("(") or (self.peek().type == "IDENT" and self.peek().value.upper() in BUILTINS | AGGREGATES):
+                q.having.append(self.parse_constraint())
+            if not q.having:
+                self.err("empty HAVING")
+        if self.at_kw("ORDER"):
+            self.next()
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if self.at_kw("ASC") or self.at_kw("DESC"):
+                    asc = self.next().value.upper() == "ASC"
+                    self.expect_op("(")
+                    expr = self.parse_expression()
+                    self.expect_op(")")
+                    q.order_by.append((expr, asc))
+                elif t.type == "VAR":
+                    self.next()
+                    q.order_by.append((A.EVar(t.value[1:]), True))
+                elif self.at_op("("):
+                    self.next()
+                    expr = self.parse_expression()
+                    self.expect_op(")")
+                    q.order_by.append((expr, True))
+                elif t.type == "IDENT" and t.value.upper() in BUILTINS:
+                    q.order_by.append((self.parse_primary(), True))
+                else:
+                    break
+            if not q.order_by:
+                self.err("empty ORDER BY")
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_kw("LIMIT"):
+                self.next()
+                q.limit = int(self.next().value)
+            elif self.at_kw("OFFSET"):
+                self.next()
+                q.offset = int(self.next().value)
+
+
+def parse_query(text: str) -> A.Query:
+    return Parser(text).parse_query()

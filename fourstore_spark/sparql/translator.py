@@ -1,0 +1,727 @@
+"""SPARQL algebra -> DataFrame translator.
+
+This module is the engine proper: the reference's block executor + join
+machinery (fs_handle_query_triple src/frontend/query.c:1791-1922,
+fs_binding_merge/fs_binding_join src/frontend/query-datatypes.c:669-1118,
+block combination src/frontend/query.c:916-1024) collapses into a recursive
+translation where:
+
+- a solution set is a DataFrame with one term-struct column per variable;
+- a quad-pattern scan (fs_bind, src/backend/query-backend.c:155-596) is a
+  filter+project of the quads table — constant slots become pushed-down
+  parquet predicates, and all the reference's access-path special cases
+  are Catalyst's problem;
+- every join (sort-merge in the reference) is df.join and Catalyst picks
+  broadcast/SMJ/shuffle-hash per side statistics (AQE re-picks at runtime);
+- the reference's greedy selectivity ordering (fs_optimise_triple_pattern,
+  src/frontend/optimiser.c:212-396) survives only as a constant-count
+  heuristic for the *initial* BGP join order — Catalyst/AQE reorders from
+  there.
+
+SPARQL *compatible-mapping* semantics (unbound = wildcard; the reference's
+binding_row_compare treats NULL this way, src/frontend/query-datatypes.c:476)
+are honored by tracking which variables are certainly-bound per node:
+certain∩certain join keys stay equi-joins (shuffle-able, broadcast-able);
+only maybe-unbound shared variables degrade to a residual OR condition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fourstore_spark.model import (
+    KIND_BNODE,
+    KIND_LITERAL,
+    KIND_URI,
+    NUMERIC_DATATYPES,
+    TERM_SCHEMA,
+    term_order_key,
+)
+from fourstore_spark.sparql import algebra as A
+from fourstore_spark.sparql.expr import (
+    ExprContext,
+    agg_key,
+    compile_expr,
+    const_term,
+    ebv,
+    make_num,
+    make_string,
+    null_term,
+)
+from fourstore_spark.model import XSD_INTEGER
+
+TERM_DDL = "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
+
+
+@dataclass
+class Sol:
+    """A solution-set DataFrame + the set of certainly-bound variables."""
+
+    df: DataFrame
+    certain: frozenset
+
+    @property
+    def variables(self) -> list[str]:
+        return self.df.columns
+
+
+class Translator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        quads: DataFrame,
+        union_default_graph: bool = True,
+    ):
+        self.spark = spark
+        self.quads = quads
+        # 4store's default graph is effectively the union of all models
+        # unless restricted (FS_QUERY_DEFAULT_GRAPH,
+        # src/backend/query-backend.c:71-80)
+        self.union_default_graph = union_default_graph
+        self._uid = 0
+
+    def _fresh(self, prefix: str) -> str:
+        self._uid += 1
+        return f"__{prefix}{self._uid}"
+
+    # ---------------------------------------------------------- entry
+    def translate_query(self, q: A.Query):
+        self.from_graphs = q.from_graphs
+        self.from_named = q.from_named
+        sol = self.translate(q.pattern, graph=None) if q.pattern else self._unit()
+        if q.values is not None:
+            sol = self._join(sol, self._values(q.values), "inner")
+        if q.form == "SELECT":
+            return self._select(q, sol)
+        if q.form == "ASK":
+            return sol.df.limit(1)
+        if q.form == "CONSTRUCT":
+            return self._construct(q, sol)
+        if q.form == "DESCRIBE":
+            return self._describe(q, sol)
+        raise ValueError(q.form)
+
+    # -------------------------------------------------------- patterns
+    def translate(self, node, graph) -> Sol:
+        if isinstance(node, A.Unit):
+            return self._unit()
+        if isinstance(node, A.BGP):
+            return self._bgp(node.triples, graph)
+        if isinstance(node, A.Join):
+            return self._join(
+                self.translate(node.left, graph), self.translate(node.right, graph), "inner"
+            )
+        if isinstance(node, A.LeftJoin):
+            return self._join(
+                self.translate(node.left, graph),
+                self.translate(node.right, graph),
+                "left",
+                expr=node.expr,
+            )
+        if isinstance(node, A.Union):
+            return self._union(
+                self.translate(node.left, graph), self.translate(node.right, graph)
+            )
+        if isinstance(node, A.Minus):
+            return self._minus(
+                self.translate(node.left, graph), self.translate(node.right, graph)
+            )
+        if isinstance(node, A.Filter):
+            return self._filter(node, graph)
+        if isinstance(node, A.Extend):
+            base = self.translate(node.pattern, graph)
+            ctx = self._ctx(base)
+            col = compile_expr(node.expr, ctx)
+            return Sol(base.df.withColumn(node.var, col), base.certain)
+        if isinstance(node, A.GraphPattern):
+            return self.translate(node.pattern, graph=node.graph)
+        if isinstance(node, A.ValuesTable):
+            return self._values(node)
+        if isinstance(node, A.SubSelect):
+            df = self.translate_query(node.query)
+            return Sol(df, frozenset())  # projection may expose unbound vars
+        raise TypeError(f"cannot translate {node!r}")
+
+    def _unit(self) -> Sol:
+        return Sol(self.spark.range(1).select(), frozenset())
+
+    def _ctx(self, sol: Sol, agg_map: dict | None = None) -> ExprContext:
+        ctx = ExprContext(agg_map=agg_map)
+        ctx.columns = set(sol.df.columns)
+        return ctx
+
+    # ------------------------------------------------------------- BGP
+    def _pattern_df(self, tp: A.TriplePattern, graph) -> Sol:
+        """One quad-pattern scan: fs_bind (src/backend/query-backend.c:155)
+        as filter+project; constant slots push down to the parquet scan."""
+        df = self.quads
+        # graph slot
+        if graph is None:
+            if self.from_graphs:
+                df = df.where(F.col("g").isin(self.from_graphs))
+            elif not self.union_default_graph:
+                df = df.where(F.col("g") == "default:")
+        elif isinstance(graph, A.Iri):
+            df = df.where(F.col("g") == graph.value)
+        elif isinstance(graph, A.Var) and self.from_named:
+            df = df.where(F.col("g").isin(self.from_named))
+
+        cond = []
+        proj: dict[str, Column] = {}
+
+        def s_term() -> Column:
+            return F.struct(
+                F.col("s_kind").alias("kind"),
+                F.col("s").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            )
+
+        def p_term() -> Column:
+            return F.struct(
+                F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                F.col("p").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            )
+
+        def g_term() -> Column:
+            return F.struct(
+                F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                F.col("g").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            )
+
+        def o_term() -> Column:
+            return F.struct(
+                F.col("o_kind").alias("kind"),
+                F.col("o_lex").alias("lex"),
+                F.col("o_dt").alias("dt"),
+                F.col("o_lang").alias("lang"),
+                F.col("o_num").alias("num"),
+            )
+
+        def slot_var(term, col_expr):
+            name = term.name if isinstance(term, A.Var) else "__bn_" + term.label
+            if name in proj:
+                # repeated variable in one pattern (FS_BIND_SAME_*,
+                # src/common/4s-datatypes.h:23-38)
+                cond.append(proj[name] == col_expr())
+            else:
+                proj[name] = col_expr()
+
+        # subject
+        if isinstance(tp.s, (A.Var, A.BNode)):
+            slot_var(tp.s, s_term)
+        elif isinstance(tp.s, A.Iri):
+            cond.append(F.col("s") == tp.s.value)
+            cond.append(F.col("s_kind") == KIND_URI)
+        else:
+            raise ValueError("literal subject")
+        # predicate
+        if isinstance(tp.p, A.Var):
+            slot_var(tp.p, p_term)
+        elif isinstance(tp.p, A.Iri):
+            cond.append(F.col("p") == tp.p.value)
+        # object
+        if isinstance(tp.o, (A.Var, A.BNode)):
+            slot_var(tp.o, o_term)
+        elif isinstance(tp.o, A.Iri):
+            cond.append(F.col("o_kind") == KIND_URI)
+            cond.append(F.col("o_lex") == tp.o.value)
+        elif isinstance(tp.o, A.Literal):
+            cond.append(F.col("o_kind") == KIND_LITERAL)
+            cond.append(F.col("o_lex") == tp.o.lex)
+            cond.append(F.col("o_dt").eqNullSafe(F.lit(tp.o.dt)))
+            cond.append(F.col("o_lang").eqNullSafe(F.lit(tp.o.lang)))
+        # graph variable binding
+        if isinstance(graph, A.Var):
+            slot_var(graph, g_term)
+
+        for c in cond:
+            df = df.where(c)
+        if not proj:
+            return Sol(df.limit(1).select(), frozenset())  # all-const pattern
+        out = df.select(*[c.alias(n) for n, c in proj.items()])
+        return Sol(out, frozenset(proj))
+
+    @staticmethod
+    def _pattern_const_count(tp: A.TriplePattern) -> int:
+        """Selectivity proxy mirroring the reference's greedy ladder
+        (fs_optimise_triple_pattern, src/frontend/optimiser.c:226-347)."""
+        score = 0
+        for t in (tp.s, tp.p, tp.o):
+            if not isinstance(t, (A.Var, A.BNode)):
+                score += 1
+        return score
+
+    def _bgp(self, triples: list, graph) -> Sol:
+        if not triples:
+            return self._unit()
+
+        def tp_vars(tp):
+            out = set()
+            for t in (tp.s, tp.p, tp.o):
+                if isinstance(t, A.Var):
+                    out.add(t.name)
+                elif isinstance(t, A.BNode):
+                    out.add("__bn_" + t.label)
+            if isinstance(graph, A.Var):
+                out.add(graph.name)
+            return out
+
+        remaining = sorted(
+            triples, key=self._pattern_const_count, reverse=True
+        )
+        ordered = [remaining.pop(0)]
+        bound = tp_vars(ordered[0])
+        # greedily keep the join connected (avoid cross products), most
+        # constants first
+        while remaining:
+            pick = None
+            for tp in remaining:
+                if tp_vars(tp) & bound:
+                    pick = tp
+                    break
+            if pick is None:
+                pick = remaining[0]
+            remaining.remove(pick)
+            ordered.append(pick)
+            bound |= tp_vars(pick)
+
+        sol = self._pattern_df(ordered[0], graph)
+        for tp in ordered[1:]:
+            sol = self._join(sol, self._pattern_df(tp, graph), "inner")
+        # bnodes are scoped to the BGP — drop their columns
+        drop = [c for c in sol.df.columns if c.startswith("__bn_")]
+        if drop:
+            sol = Sol(sol.df.drop(*drop), sol.certain - set(drop))
+        return sol
+
+    # ------------------------------------------------------------ joins
+    def _join(self, left: Sol, right: Sol, how: str, expr=None) -> Sol:
+        """Compatible-mapping join (fs_binding_join,
+        src/frontend/query-datatypes.c:919-1118). Certain/certain shared
+        vars are plain equi-keys; maybe-unbound ones get the
+        NULL-is-wildcard residual the reference implements in
+        binding_row_compare (query-datatypes.c:476)."""
+        lcols, rcols = set(left.df.columns), set(right.df.columns)
+        if not lcols:
+            if how == "inner" and expr is None:
+                return right
+        shared = sorted(lcols & rcols)
+        ldf = left.df
+        rdf = right.df
+        # rename shared right columns
+        ren = {c: self._fresh("r") for c in shared}
+        for c, n in ren.items():
+            rdf = rdf.withColumnRenamed(c, n)
+        conds: list[Column] = []
+        for c in shared:
+            lc, rc = ldf[c], rdf[ren[c]]
+            if c in left.certain and c in right.certain:
+                conds.append(lc == rc)
+            else:
+                conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+        if expr is not None:
+            # LeftJoin filter: evaluated over the merged solution
+            merged = {c: F.coalesce(ldf[c], rdf[ren[c]]) for c in shared}
+            ctx = ExprContext(
+                resolve_var=lambda v: merged.get(
+                    v, ldf[v] if v in lcols else (rdf[v] if v in rcols else null_term())
+                )
+            )
+            conds.append(ebv(compile_expr(expr, ctx)))
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+        else:
+            cond = F.lit(True)
+        joined = ldf.join(rdf, cond, "inner" if how == "inner" else "left_outer")
+        sel = []
+        for c in left.df.columns:
+            if c in ren:
+                sel.append(F.coalesce(joined[c], joined[ren[c]]).alias(c))
+            else:
+                sel.append(joined[c])
+        for c in right.df.columns:
+            if c not in ren and c not in lcols:
+                sel.append(joined[c])
+        out = joined.select(*sel)
+        if how == "inner":
+            certain = left.certain | right.certain
+        else:
+            certain = left.certain
+        return Sol(out, frozenset(certain))
+
+    def _union(self, left: Sol, right: Sol) -> Sol:
+        # fs_binding_union (src/frontend/query-datatypes.c:646-665):
+        # missing columns null-padded
+        df = left.df.unionByName(right.df, allowMissingColumns=True)
+        certain = frozenset(left.certain & right.certain)
+        return Sol(df, certain)
+
+    def _minus(self, left: Sol, right: Sol) -> Sol:
+        """SPARQL MINUS (fs_binding_minus, query-datatypes.c:1120):
+        remove left rows having a compatible right row with overlapping
+        domain; disjoint domains keep everything."""
+        shared = sorted(set(left.df.columns) & set(right.df.columns))
+        if not shared:
+            return left
+        rdf = right.df
+        ren = {c: self._fresh("r") for c in shared}
+        for c, n in ren.items():
+            rdf = rdf.withColumnRenamed(c, n)
+        compat = []
+        overlap = []
+        for c in shared:
+            lc, rc = left.df[c], rdf[ren[c]]
+            if c in left.certain and c in right.certain:
+                compat.append(lc == rc)
+                overlap.append(F.lit(True))
+            else:
+                compat.append(lc.isNull() | rc.isNull() | (lc == rc))
+                overlap.append(lc.isNotNull() & rc.isNotNull())
+        cond = compat[0]
+        for c in compat[1:]:
+            cond = cond & c
+        ov = overlap[0]
+        for o in overlap[1:]:
+            ov = ov | o
+        return Sol(left.df.join(rdf, cond & ov, "left_anti"), left.certain)
+
+    def _filter(self, node: A.Filter, graph) -> Sol:
+        base = self.translate(node.pattern, graph)
+        # split top-level AND into EXISTS parts (semi/anti joins) and
+        # ordinary predicates
+        parts = node.expr.args if isinstance(node.expr, A.EAnd) else [node.expr]
+        plain = []
+        for p in parts:
+            if isinstance(p, A.EExists):
+                base = self._exists(base, p, graph)
+            else:
+                plain.append(p)
+        if plain:
+            e = plain[0] if len(plain) == 1 else A.EAnd(plain)
+            ctx = self._ctx(base)
+            base = Sol(base.df.where(ebv(compile_expr(e, ctx))), base.certain)
+        return base
+
+    def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
+        inner = self.translate(e.pattern, graph)
+        shared = sorted(set(base.df.columns) & set(inner.df.columns))
+        how = "left_anti" if e.negated else "left_semi"
+        if not shared:
+            # EXISTS {} with no correlation: keep all iff inner nonempty
+            nonempty = inner.df.limit(1).count() > 0
+            keep = nonempty != e.negated
+            return base if keep else Sol(base.df.where(F.lit(False)), base.certain)
+        rdf = inner.df
+        ren = {c: self._fresh("r") for c in shared}
+        for c, n in ren.items():
+            rdf = rdf.withColumnRenamed(c, n)
+        conds = []
+        for c in shared:
+            lc, rc = base.df[c], rdf[ren[c]]
+            if c in base.certain and c in inner.certain:
+                conds.append(lc == rc)
+            else:
+                conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return Sol(base.df.join(rdf, cond, how), base.certain)
+
+    def _values(self, v: A.ValuesTable) -> Sol:
+        rows = []
+        for row in v.rows:
+            out = []
+            for t in row:
+                if t is None:
+                    out.append(None)
+                elif isinstance(t, A.Iri):
+                    out.append((KIND_URI, t.value, None, None, None))
+                else:
+                    num = float(t.lex) if t.dt in NUMERIC_DATATYPES else None
+                    out.append((KIND_LITERAL, t.lex, t.dt, t.lang, num))
+            rows.append(tuple(out))
+        ddl = ", ".join(f"`{name}` {TERM_DDL}" for name in v.variables)
+        df = self.spark.createDataFrame(rows, ddl)
+        certain = frozenset(
+            v.variables[i]
+            for i in range(len(v.variables))
+            if all(r[i] is not None for r in v.rows)
+        )
+        return Sol(df, certain)
+
+    # --------------------------------------------------------- SELECT
+    def _select(self, q: A.Query, sol: Sol) -> DataFrame:
+        df = sol.df
+        proj = q.projection
+
+        aggs = self._collect_aggregates(q)
+        grouped = bool(q.group_by) or bool(aggs)
+
+        if grouped:
+            df, agg_map, group_names = self._aggregate(q, sol, aggs)
+            ctx = ExprContext(agg_map=agg_map)
+            ctx.columns = set(df.columns) | set(agg_map)
+        else:
+            agg_map = {}
+            ctx = self._ctx(Sol(df, sol.certain))
+
+        # HAVING (src/frontend/results.c:2681-2704)
+        for h in q.having:
+            df = df.where(ebv(compile_expr(h, ctx)))
+            ctx.columns = set(df.columns) | set(agg_map)
+
+        # SELECT expressions (query.c:551-562)
+        out_cols: list[str] = []
+        for item in proj:
+            if item[0] == "var":
+                name = item[1]
+                if name not in df.columns:
+                    df = df.withColumn(name, null_term())
+                out_cols.append(name)
+            else:
+                _, expr, name = item
+                df = df.withColumn(name, compile_expr(expr, ctx))
+                ctx.columns = set(df.columns) | set(agg_map)
+                out_cols.append(name)
+        if not proj:  # SELECT *
+            out_cols = [c for c in df.columns if not c.startswith("__")]
+
+        # ORDER BY before projection so order exprs see all vars
+        # (fs_query_order, src/frontend/order.c:194-269)
+        if q.order_by:
+            sort_cols = []
+            for expr, asc in q.order_by:
+                key = term_order_key(compile_expr(expr, ctx))
+                sort_cols.append(key.asc() if asc else key.desc())
+            df = df.orderBy(*sort_cols)
+
+        df = df.select(*out_cols)
+        if q.distinct or q.reduced:
+            df = df.distinct()
+            if q.order_by:
+                # distinct loses ordering; reapply on projected columns
+                sort_cols = []
+                ctx2 = ExprContext()
+                ctx2.columns = set(df.columns)
+                for expr, asc in q.order_by:
+                    try:
+                        key = term_order_key(compile_expr(expr, ctx2))
+                    except Exception:
+                        continue
+                    sort_cols.append(key.asc() if asc else key.desc())
+                if sort_cols:
+                    df = df.orderBy(*sort_cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _collect_aggregates(self, q: A.Query) -> list[A.EAggregate]:
+        found: dict[str, A.EAggregate] = {}
+
+        def walk(e):
+            if isinstance(e, A.EAggregate):
+                found.setdefault(agg_key(e), e)
+                return
+            for attr in ("args", "options"):
+                for sub in getattr(e, attr, []) or []:
+                    walk(sub)
+            for attr in ("left", "right", "arg", "expr"):
+                sub = getattr(e, attr, None)
+                if sub is not None and not isinstance(sub, str):
+                    walk(sub)
+
+        for item in q.projection:
+            if item[0] == "expr":
+                walk(item[1])
+        for h in q.having:
+            walk(h)
+        for e, _ in q.order_by:
+            walk(e)
+        return list(found.values())
+
+    def _aggregate(self, q: A.Query, sol: Sol, aggs: list):
+        """GROUP BY + aggregates (src/frontend/group.c:25-60 synthetic
+        _group column; per-group evaluation src/frontend/results.c:524-901).
+        Spark's hash aggregate replaces the sort-by-XOR-of-RIDs trick —
+        and unlike group.c:47-48 it has no hash-collision caveat."""
+        df = sol.df
+        ctx = self._ctx(sol)
+        group_cols: list[str] = []
+        for g in q.group_by:
+            if isinstance(g, tuple) and g[0] == "as":
+                df = df.withColumn(g[2], compile_expr(g[1], ctx))
+                group_cols.append(g[2])
+            elif isinstance(g, A.EVar):
+                group_cols.append(g.name)
+            else:
+                name = self._fresh("grp")
+                df = df.withColumn(name, compile_expr(g, ctx))
+                group_cols.append(name)
+            ctx.columns = set(df.columns)
+
+        agg_exprs: list[Column] = []
+        agg_names: list[str] = []
+        for a in aggs:
+            name = self._fresh("agg")
+            agg_names.append(name)
+            agg_exprs.append(self._agg_column(a, ctx).alias(name))
+
+        if group_cols:
+            out = df.groupBy(*group_cols).agg(*agg_exprs) if agg_exprs else df.groupBy(
+                *group_cols
+            ).agg(F.count(F.lit(1)).alias(self._fresh("dummy")))
+            if not agg_exprs:
+                out = out.select(*group_cols)
+        else:
+            out = df.agg(*agg_exprs)
+
+        agg_map = {agg_key(a): F.col(n) for a, n in zip(aggs, agg_names)}
+        return out, agg_map, group_cols
+
+    def _agg_column(self, a: A.EAggregate, ctx: ExprContext) -> Column:
+        """One aggregate -> a term-struct aggregate Column
+        (src/frontend/results.c:524-901)."""
+        if a.name == "COUNT" and a.expr is None:
+            cnt = F.count_distinct(F.struct(*[F.col(c) for c in sorted(ctx.columns)])) if a.distinct and ctx.columns else F.count(F.lit(1))
+            return make_num(cnt.cast("double"), F.lit(XSD_INTEGER))
+        val = compile_expr(a.expr, ctx)
+        if a.name == "COUNT":
+            cnt = F.count_distinct(val) if a.distinct else F.count(val)
+            return make_num(cnt.cast("double"), F.lit(XSD_INTEGER))
+        if a.name in ("SUM", "AVG"):
+            num = val["num"]
+            if a.distinct:
+                # DISTINCT over terms, then sum/avg their numeric values
+                agg = (
+                    F.sum_distinct(num) if a.name == "SUM" else
+                    F.try_divide(F.sum_distinct(num), F.count_distinct(num))
+                )
+            else:
+                agg = F.sum(num) if a.name == "SUM" else F.avg(num)
+            # result dt: integer stays integer for SUM; AVG -> decimal
+            # (fn_numeric_add promotion, filter.c:420)
+            dt = F.max(
+                F.when(val["dt"] == XSD_INTEGER, XSD_INTEGER).otherwise(val["dt"])
+            )
+            if a.name == "AVG":
+                dt = F.when(dt == XSD_INTEGER, F.lit("http://www.w3.org/2001/XMLSchema#decimal")).otherwise(dt)
+            return F.when(agg.isNotNull(), make_num(agg, dt)).otherwise(null_term())
+        if a.name in ("MIN", "MAX"):
+            # SPARQL term order, not numeric order (results.c:820-872 uses
+            # the ORDER BY comparator, src/frontend/order.c:66-126)
+            key = term_order_key(val)
+            picked = F.min_by(val, key) if a.name == "MIN" else F.max_by(val, key)
+            return picked
+        if a.name == "SAMPLE":
+            return F.first(val, ignorenulls=True)
+        if a.name == "GROUP_CONCAT":
+            lexes = F.collect_list(val["lex"])
+            if a.distinct:
+                lexes = F.array_distinct(lexes)
+            return make_string(F.array_join(lexes, a.separator))
+        raise NotImplementedError(f"aggregate {a.name}")
+
+    # ----------------------------------------------- CONSTRUCT/DESCRIBE
+    def _construct(self, q: A.Query, sol: Sol) -> DataFrame:
+        """Template instantiation (handle_construct,
+        src/frontend/results.c:1765-1898): per-solution bnode renumbering,
+        invalid triples dropped, result de-duplicated."""
+        df = sol.df
+        row_id = F.monotonically_increasing_id()
+        df = df.withColumn("__row", row_id)
+        parts = []
+        for i, tp in enumerate(q.construct_template):
+            def term_col(t, allow_literal):
+                if isinstance(t, A.Var):
+                    return F.col(t.name) if t.name in sol.df.columns else null_term()
+                if isinstance(t, A.BNode):
+                    lex = F.concat(F.lit(f"_:c{t.label}_"), F.col("__row").cast("string"))
+                    return F.struct(
+                        F.lit(KIND_BNODE).cast("tinyint").alias("kind"),
+                        lex.alias("lex"),
+                        F.lit(None).cast("string").alias("dt"),
+                        F.lit(None).cast("string").alias("lang"),
+                        F.lit(None).cast("double").alias("num"),
+                    )
+                return const_term(t)
+
+            s = term_col(tp.s, False)
+            p = term_col(tp.p, False)
+            o = term_col(tp.o, True)
+            part = df.select(s.alias("st"), p.alias("pt"), o.alias("ot")).where(
+                F.col("st").isNotNull()
+                & F.col("pt").isNotNull()
+                & F.col("ot").isNotNull()
+                & (F.col("st")["kind"] != KIND_LITERAL)
+                & (F.col("pt")["kind"] == KIND_URI)
+            )
+            parts.append(part)
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "s string, s_kind tinyint, p string, o_kind tinyint, "
+                "o_lex string, o_dt string, o_lang string, o_num double"
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        flat = out.select(
+            F.col("st")["lex"].alias("s"),
+            F.col("st")["kind"].alias("s_kind"),
+            F.col("pt")["lex"].alias("p"),
+            F.col("ot")["kind"].alias("o_kind"),
+            F.col("ot")["lex"].alias("o_lex"),
+            F.col("ot")["dt"].alias("o_dt"),
+            F.col("ot")["lang"].alias("o_lang"),
+            F.col("ot")["num"].alias("o_num"),
+        )
+        return flat.distinct()
+
+    def _describe(self, q: A.Query, sol: Sol) -> DataFrame:
+        """DESCRIBE (describe_uri, src/frontend/results.c:1659-1710): all
+        quads whose subject is a described resource — a semi-join."""
+        nodes = []
+        for t in q.describe_terms:
+            if t == "*":
+                for c in sol.df.columns:
+                    nodes.append(sol.df.select(F.col(c).alias("t")))
+            elif isinstance(t, A.Var):
+                if t.name in sol.df.columns:
+                    nodes.append(sol.df.select(F.col(t.name).alias("t")))
+            else:
+                nodes.append(
+                    self.spark.createDataFrame([(t.value,)], "lex string").select(
+                        F.struct(
+                            F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                            F.col("lex").alias("lex"),
+                            F.lit(None).cast("string").alias("dt"),
+                            F.lit(None).cast("string").alias("lang"),
+                            F.lit(None).cast("double").alias("num"),
+                        ).alias("t")
+                    )
+                )
+        if not nodes:
+            return self.quads.where(F.lit(False)).drop("g")
+        terms = nodes[0]
+        for n in nodes[1:]:
+            terms = terms.unionByName(n)
+        subjects = terms.where(
+            F.col("t")["kind"] != KIND_LITERAL
+        ).select(F.col("t")["lex"].alias("__subj")).distinct()
+        return self.quads.join(
+            subjects, self.quads["s"] == subjects["__subj"], "left_semi"
+        ).drop("g")

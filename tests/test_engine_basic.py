@@ -1,0 +1,203 @@
+"""End-to-end SPARQL engine tests over the relational->quads mapping,
+cross-checked against DuckDB on the raw parquet (the reference's
+golden-output pattern, tests/query/run.pl)."""
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def duck_set(duck, sql):
+    return {tuple(r) for r in duck.execute(sql).fetchall()}
+
+
+def test_single_pattern_scan(engine, duck):
+    # S1: quad-pattern scan with constant predicate
+    df = engine.select(
+        "SELECT ?s ?name WHERE { ?s <urn:col:region#r_name> ?name }"
+    )
+    exp = duck_set(
+        duck,
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR), r_name FROM region",
+    )
+    assert rows_set(df) == exp
+
+
+def test_two_pattern_join(engine, duck):
+    # J1: shared-subject join
+    df = engine.select(
+        """SELECT ?n ?r WHERE {
+             ?nat <urn:col:nation#n_name> ?n .
+             ?nat <urn:col:nation#n_regionkey> ?reg .
+             ?reg <urn:col:region#r_name> ?r }"""
+    )
+    exp = duck_set(
+        duck,
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    )
+    assert rows_set(df) == exp
+
+
+def test_filter_numeric(engine, duck):
+    df = engine.select(
+        """SELECT ?s WHERE {
+             ?c <urn:col:customer#c_acctbal> ?b FILTER(?b > 5000)
+             . ?c <urn:col:customer#c_name> ?s }"""
+    )
+    exp = duck_set(
+        duck, "SELECT c_name FROM customer WHERE c_acctbal > 5000"
+    )
+    assert rows_set(df) == exp
+
+
+def test_optional_left_join(engine, duck, spark, quads):
+    # J3: OPTIONAL = left outer join; orders without lineitems survive
+    df = engine.select(
+        """SELECT ?o ?pk WHERE {
+             ?o <urn:col:orders#o_orderstatus> ?st .
+             OPTIONAL { ?li <urn:col:lineitem#l_orderkey> ?o ;
+                            <urn:col:lineitem#l_partkey> ?pk }
+           }"""
+    )
+    exp = duck_set(
+        duck,
+        """SELECT 'urn:orders:' || CAST(o.o_orderkey AS VARCHAR),
+                  CASE WHEN l.l_partkey IS NULL THEN NULL
+                       ELSE 'urn:part:' || CAST(l.l_partkey AS VARCHAR) END
+           FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+    )
+    assert rows_set(df) == exp
+
+
+def test_union(engine, duck):
+    df = engine.select(
+        """SELECT ?name WHERE {
+             { ?x <urn:col:nation#n_name> ?name }
+             UNION { ?x <urn:col:region#r_name> ?name } }"""
+    )
+    exp = duck_set(
+        duck,
+        "SELECT n_name FROM nation UNION ALL SELECT r_name FROM region",
+    )
+    assert rows_set(df) == exp
+
+
+def test_distinct_order_limit(engine, duck):
+    df = engine.select(
+        """SELECT DISTINCT ?seg WHERE {
+             ?c <urn:col:customer#c_mktsegment> ?seg }
+           ORDER BY ?seg LIMIT 3"""
+    )
+    exp = duck.execute(
+        "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment LIMIT 3"
+    ).fetchall()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in exp]
+
+
+def test_aggregate_group_by(engine, duck):
+    df = engine.select(
+        """SELECT ?nat (COUNT(?c) AS ?n) (SUM(?bal) AS ?total)
+           WHERE { ?c <urn:col:customer#c_nationkey> ?nat ;
+                      <urn:col:customer#c_acctbal> ?bal }
+           GROUP BY ?nat""",
+        n="int", total="num",
+    )
+    exp = duck_set(
+        duck,
+        """SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR),
+                  COUNT(*), SUM(c_acctbal)
+           FROM customer GROUP BY c_nationkey""",
+    )
+    got = {(s, n, round(t, 6)) for s, n, t in rows_set(df)}
+    exp = {(s, n, round(t, 6)) for s, n, t in exp}
+    assert got == exp
+
+
+def test_ask(engine):
+    assert engine.ask("ASK { ?s <urn:col:region#r_name> ?o }")
+    assert not engine.ask('ASK { ?s <urn:col:region#r_name> "NOPE_XYZ" }')
+
+
+def test_minus(engine, duck):
+    # customers with no orders
+    df = engine.select(
+        """SELECT ?c WHERE {
+             ?c <urn:col:customer#c_name> ?n
+             MINUS { ?o <urn:col:orders#o_custkey> ?c } }"""
+    )
+    exp = duck_set(
+        duck,
+        """SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    )
+    assert rows_set(df) == exp
+
+
+def test_bind_expression(engine, duck):
+    df = engine.select(
+        """SELECT ?name ?double_bal WHERE {
+             ?c <urn:col:customer#c_name> ?name ;
+                <urn:col:customer#c_acctbal> ?bal .
+             BIND(?bal * 2 AS ?double_bal) }""",
+        double_bal="num",
+    )
+    exp = duck_set(duck, "SELECT c_name, c_acctbal * 2 FROM customer")
+    got = {(n, round(v, 6)) for n, v in rows_set(df)}
+    assert got == {(n, round(v, 6)) for n, v in exp}
+
+
+def test_values_inline(engine):
+    df = engine.select(
+        """SELECT ?r ?name WHERE {
+             VALUES ?name { "AFRICA" "EUROPE" }
+             ?r <urn:col:region#r_name> ?name }"""
+    )
+    rows = rows_set(df)
+    assert {n for _, n in rows} == {"AFRICA", "EUROPE"}
+
+
+def test_graph_var_binding(engine):
+    df = engine.select(
+        "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s <urn:col:region#r_name> ?o } }"
+    )
+    assert rows_set(df) == {("urn:g:region",)}
+
+
+def test_construct(engine):
+    res = engine.query(
+        """CONSTRUCT { ?r <urn:ex:label> ?name }
+           WHERE { ?r <urn:col:region#r_name> ?name }"""
+    )
+    rows = res.df.collect()
+    assert len(rows) == 5
+    assert all(r["p"] == "urn:ex:label" for r in rows)
+
+
+def test_exists_not_exists(engine, duck):
+    df = engine.select(
+        """SELECT ?c WHERE {
+             ?c <urn:col:customer#c_name> ?n .
+             FILTER NOT EXISTS { ?o <urn:col:orders#o_custkey> ?c } }"""
+    )
+    exp = duck_set(
+        duck,
+        """SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    )
+    assert rows_set(df) == exp
