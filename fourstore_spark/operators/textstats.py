@@ -1,0 +1,109 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Extends the reference's free-text machinery (token/stem/metaphone derived
+quads, src/frontend/import.c:603-700) with the text-quality primitives a
+training-data pipeline needs. Everything is a column expression — at 100 TB
+these run inside the parquet scan projection with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small + ASCII so the same logic is expressible in the DuckDB
+# oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "es"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces + punctuation marks counted
+    separately (a cheap proxy for tokenizer-length filtering)."""
+    words = F.size(F.split(F.trim(text), r"\s+"))
+    puncts = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return (words + puncts).cast("long")
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax language guess; 'und' when nothing matches.
+
+    (A deterministic heuristic — deliberately simple so it has an exact
+    SQL oracle; swap in a real n-gram model per-partition if needed.)
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    # deterministic tie-break: alphabetically-first language wins, so build
+    # the when-chain bottom-up in reverse order
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalizes very short docs,
+    high punctuation ratio, and low mean word length."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    length_term = F.least(n_tokens / 100.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    wordlen_term = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round((length_term + punct_term + wordlen_term) / 3.0, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercase, punctuation-stripped,
+    whitespace-collapsed text — the exact-dedup key for 'same modulo
+    formatting' documents."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return F.md5(norm.cast("binary"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        word_token_count(t).alias("n_bpeish_tokens"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

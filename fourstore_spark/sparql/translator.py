@@ -82,6 +82,7 @@ class Translator:
         # src/backend/query-backend.c:71-80)
         self.union_default_graph = union_default_graph
         self._uid = 0
+        self._last_select_certain: set = set()
 
     def _fresh(self, prefix: str) -> str:
         self._uid += 1
@@ -142,7 +143,9 @@ class Translator:
             return self._values(node)
         if isinstance(node, A.SubSelect):
             df = self.translate_query(node.query)
-            return Sol(df, frozenset())  # projection may expose unbound vars
+            # certainty computed by _select for the projected columns, so
+            # outer joins on subquery vars stay equi-joins
+            return Sol(df, frozenset(self._last_select_certain))
         raise TypeError(f"cannot translate {node!r}")
 
     def _unit(self) -> Sol:
@@ -507,6 +510,17 @@ class Translator:
                 key = term_order_key(compile_expr(expr, ctx))
                 sort_cols.append(key.asc() if asc else key.desc())
             df = df.orderBy(*sort_cols)
+
+        # certainty of projected columns (for enclosing sub-SELECT joins):
+        # plain vars keep their certainty; group keys stay certain; COUNT
+        # aggregates always bind
+        certain_out = set()
+        for item in proj:
+            if item[0] == "var" and item[1] in sol.certain:
+                certain_out.add(item[1])
+            elif item[0] == "expr" and isinstance(item[1], A.EAggregate) and item[1].name == "COUNT":
+                certain_out.add(item[2])
+        self._last_select_certain = certain_out
 
         df = df.select(*out_cols)
         if q.distinct or q.reduced:

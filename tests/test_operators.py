@@ -1,0 +1,180 @@
+"""LLM-pipeline operator tests over the documents/embeddings testdata."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_exact_dedup(docs, duck):
+    from fourstore_spark.operators.dedup import exact_dedup
+
+    got = {tuple(r) for r in exact_dedup(docs, ["text"], "doc_id").select("doc_id").collect()}
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            "SELECT MIN(doc_id) FROM documents GROUP BY text"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_charset_jaccard_matches_duckdb(docs, duck):
+    from fourstore_spark.operators.dedup import charset_jaccard
+
+    pairs = docs.alias("a").join(
+        docs.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.round(charset_jaccard(F.col("a.text"), F.col("b.text")), 6).alias("j"),
+    )
+    got = dict(pairs.collect())
+    exp = dict(
+        duck.execute(
+            """SELECT a.doc_id, ROUND(jaccard(a.text, b.text), 6)
+               FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from fourstore_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park today"),
+        (2, "the quick brown fox jumps over the lazy dog in the park tonight"),
+        (3, "completely different content about spark query optimization engines"),
+        (4, "totally unrelated text regarding database storage internals design"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    from fourstore_spark.operators.dedup import simhash_dedup_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_dedup_candidates(df, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] < 16
+
+
+def test_text_stats(docs, duck):
+    from fourstore_spark.operators.textstats import text_stats
+
+    got = text_stats(docs).select("doc_id", "n_tokens", "fingerprint")
+    exp = duck.execute(
+        """SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END,
+                  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+           FROM documents"""
+    ).fetchall()
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp}
+
+
+def test_lang_id_deterministic(spark):
+    from fourstore_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park that day"),
+            (2, "le chat et la souris sont dans la maison des voisins"),
+            (3, "el perro y el gato que viven en la casa de los abuelos"),
+            (4, "zzz qqq xxx yyy www"),
+        ],
+        "id long, text string",
+    )
+    got = dict(df.select("id", lang_id(F.col("text")).alias("l")).collect())
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "es" and got[4] == "und"
+
+
+def test_cosine_topk_matches_duckdb(emb, duck):
+    from fourstore_spark.operators.similarity import cosine_topk
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=3).select("query_id", "vec_id", "rank")
+    exp = duck.execute(
+        """SELECT q.vec_id AS query_id, c.vec_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+           QUALIFY rank <= 3"""
+    ).fetchall()
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp}
+
+
+def test_lsh_ann_reasonable(emb):
+    from fourstore_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = lsh_ann_topk(emb, queries, k=5, nbits=4)
+    # every returned neighbor must share the query's bucket and be ranked
+    rows = approx.collect()
+    assert len(rows) > 0
+    assert all(r.rank <= 5 for r in rows)
+
+
+def test_multimodal_plumbing(docs):
+    from fourstore_spark.operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(docs.limit(50))
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic: same input -> same feature
+    again = extract_features(media, dim=8).collect()
+    assert {(r.media_id, tuple(r.feature)) for r in rows} == {
+        (r.media_id, tuple(r.feature)) for r in again
+    }
+
+
+def test_multimodal_stub_raises(docs):
+    from fourstore_spark.operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(docs.limit(2))
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub=False).collect()
