@@ -177,6 +177,9 @@ def _compare(op: str, lt: Column, rt: Column) -> Column:
             both_lit & same_dt,
             (lt["lex"] == rt["lex"]) if op == "=" else (lt["lex"] != rt["lex"]),
         )
+        # kind mismatch (URI vs literal vs bnode): '=' is false, '!=' true
+        # (fn_equal filter.c:560 / fn_not_equal filter.c:589-593), not error
+        res = res.when(lt["kind"] != rt["kind"], F.lit(op == "!="))
     return res.otherwise(F.lit(None).cast("boolean"))
 
 
@@ -434,8 +437,12 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     if name == "FLOOR":
         return _numeric_fn(a0, lambda c: F.floor(c).cast("double"))
     if name == "ROUND":
-        # xpath round: half away from zero... reference uses C round()
-        return _numeric_fn(a0, lambda c: F.round(c, 0))
+        # half away from zero for negatives too (C round(), filter.c:328);
+        # Spark F.round alone is half-up on the signed value
+        return _numeric_fn(
+            a0,
+            lambda c: F.when(c < 0, -F.round(-c, 0)).otherwise(F.round(c, 0)),
+        )
     if name == "RAND":
         return make_num(F.rand(), F.lit(XSD_DOUBLE))
 
@@ -494,7 +501,9 @@ def _compile_cast(dt_iri: str, t: Column) -> Column:
             (t["dt"] == XSD_BOOLEAN), F.when(t["lex"] == "true", 1.0).otherwise(0.0)
         ).when(_plainish(t), t["lex"].cast("double"))
         if dt_iri == XSD_INTEGER:
-            src = F.floor(src).cast("double")
+            # truncate toward zero (cast_integer, filter.c:128; XPath),
+            # not floor: xsd:integer(-2.7) = -2
+            src = src.cast("long").cast("double")
         return F.when(src.isNotNull(), make_num(src, F.lit(dt_iri))).otherwise(null_term())
     if dt_iri == XSD_BOOLEAN:
         b = (

@@ -31,7 +31,8 @@ _TOKEN_RES = [
     ("STRING", r'"""(?:[^"\\]|\\.|"(?!""))*"""' + r"|'''(?:[^'\\]|\\.|'(?!''))*'''"
      r'|"(?:[^"\\\n]|\\.)*"' + r"|'(?:[^'\\\n]|\\.)*'"),
     ("VAR", r"[?$][A-Za-z_][A-Za-z_0-9]*"),
-    ("BLANK", r"_:[A-Za-z_0-9][A-Za-z_0-9.]*"),
+    # label cannot end in "." (BLANK_NODE_LABEL): "_:b1." is b1 + dot
+    ("BLANK", r"_:[A-Za-z_0-9](?:[A-Za-z_0-9.]*[A-Za-z_0-9])?"),
     ("LANGTAG", r"@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*"),
     ("DOUBLE", r"(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+"),
     ("DECIMAL", r"\d+\.\d*|\.\d+"),

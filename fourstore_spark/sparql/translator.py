@@ -33,11 +33,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fourstore_spark.model import (
+    DEFAULT_GRAPH,
     KIND_BNODE,
     KIND_LITERAL,
     KIND_URI,
     NUMERIC_DATATYPES,
     TERM_SCHEMA,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_FLOAT,
     term_order_key,
 )
 from fourstore_spark.sparql import algebra as A
@@ -142,7 +146,11 @@ class Translator:
         if isinstance(node, A.ValuesTable):
             return self._values(node)
         if isinstance(node, A.SubSelect):
+            # translate_query resets the dataset clause to the subquery's
+            # (always empty) one — save/restore the outer FROM/FROM NAMED
+            saved = (self.from_graphs, self.from_named)
             df = self.translate_query(node.query)
+            self.from_graphs, self.from_named = saved
             # certainty computed by _select for the projected columns, so
             # outer joins on subquery vars stay equi-joins
             return Sol(df, frozenset(self._last_select_certain))
@@ -169,8 +177,11 @@ class Translator:
                 df = df.where(F.col("g") == "default:")
         elif isinstance(graph, A.Iri):
             df = df.where(F.col("g") == graph.value)
-        elif isinstance(graph, A.Var) and self.from_named:
-            df = df.where(F.col("g").isin(self.from_named))
+        elif isinstance(graph, A.Var):
+            # GRAPH ?g ranges over *named* graphs only — never default:
+            df = df.where(F.col("g") != DEFAULT_GRAPH)
+            if self.from_named:
+                df = df.where(F.col("g").isin(self.from_named))
 
         cond = []
         proj: dict[str, Column] = {}
@@ -423,10 +434,12 @@ class Translator:
         shared = sorted(set(base.df.columns) & set(inner.df.columns))
         how = "left_anti" if e.negated else "left_semi"
         if not shared:
-            # EXISTS {} with no correlation: keep all iff inner nonempty
-            nonempty = inner.df.limit(1).count() > 0
-            keep = nonempty != e.negated
-            return base if keep else Sol(base.df.where(F.lit(False)), base.certain)
+            # EXISTS {} with no correlation: keep all iff inner nonempty.
+            # Stays lazy — a 1-row probe joined cross-wise, instead of a
+            # blocking .count() at plan time.
+            probe = inner.df.limit(1).select(F.lit(1).alias(self._fresh("ex")))
+            how0 = "left_anti" if e.negated else "left_semi"
+            return Sol(base.df.join(probe, F.lit(True), how0), base.certain)
         rdf = inner.df
         ren = {c: self._fresh("r") for c in shared}
         for c, n in ren.items():
@@ -533,7 +546,9 @@ class Translator:
                 for expr, asc in q.order_by:
                     try:
                         key = term_order_key(compile_expr(expr, ctx2))
-                    except Exception:
+                    except ValueError:
+                        # aggregate ref not visible post-projection; the
+                        # pre-distinct sort already applied it
                         continue
                     sort_cols.append(key.asc() if asc else key.desc())
                 if sort_cols:
@@ -619,21 +634,38 @@ class Translator:
             return make_num(cnt.cast("double"), F.lit(XSD_INTEGER))
         if a.name in ("SUM", "AVG"):
             num = val["num"]
+            # exact, order-independent accumulation: sum fixed-point
+            # decimals, not doubles (the reference's fn_numeric_add keeps
+            # int64/fs_decimal exact too, filter.c:420-523).  decimal(38,6)
+            # covers xsd:integer exactly to 1e31 and 2-dp money columns.
+            dec = num.cast("decimal(38,6)")
             if a.distinct:
-                # DISTINCT over terms, then sum/avg their numeric values
-                agg = (
-                    F.sum_distinct(num) if a.name == "SUM" else
-                    F.try_divide(F.sum_distinct(num), F.count_distinct(num))
-                )
+                sum_dec = F.sum_distinct(dec)
+                cnt = F.count_distinct(num)
             else:
-                agg = F.sum(num) if a.name == "SUM" else F.avg(num)
-            # result dt: integer stays integer for SUM; AVG -> decimal
-            # (fn_numeric_add promotion, filter.c:420)
-            dt = F.max(
-                F.when(val["dt"] == XSD_INTEGER, XSD_INTEGER).otherwise(val["dt"])
+                sum_dec = F.sum(dec)
+                cnt = F.count(num)
+            # result dt via the promotion ladder rank, NOT lexicographic
+            # max over IRI strings (fn_numeric_add, filter.c:420)
+            rank = (
+                F.when(val["dt"] == XSD_DOUBLE, 3)
+                .when(val["dt"] == XSD_FLOAT, 2)
+                .when(val["dt"] == XSD_DECIMAL, 1)
+                .when(num.isNotNull(), 0)
             )
-            if a.name == "AVG":
-                dt = F.when(dt == XSD_INTEGER, F.lit("http://www.w3.org/2001/XMLSchema#decimal")).otherwise(dt)
+            max_rank = F.max(rank)
+            dt = (
+                F.when(max_rank == 3, XSD_DOUBLE)
+                .when(max_rank == 2, XSD_FLOAT)
+                .when(max_rank == 1, XSD_DECIMAL)
+                .otherwise(XSD_INTEGER)
+            )
+            if a.name == "SUM":
+                agg = sum_dec.cast("double")
+            else:
+                # one double division of the exact sum — deterministic
+                agg = sum_dec.cast("double") / cnt
+                dt = F.when(dt == XSD_INTEGER, F.lit(XSD_DECIMAL)).otherwise(dt)
             return F.when(agg.isNotNull(), make_num(agg, dt)).otherwise(null_term())
         if a.name in ("MIN", "MAX"):
             # SPARQL term order, not numeric order (results.c:820-872 uses
