@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry exercises one operator family from SURVEY.md §2
+(SPARQL text run through :class:`fourstore_spark.SparqlEngine` over the
+relational->quads mapping of FIXTURES.md F6) or one LLM-pipeline operator
+(``fourstore_spark.operators``), paired with an equivalent DuckDB oracle in
+``oracle_sql()``.  Column names and types are aligned on both sides:
+BIGINT<->long, DOUBLE<->double, VARCHAR<->string, BOOLEAN<->boolean.
+
+Float discipline: aggregates that sum fractional doubles go through
+DECIMAL(38,6) on BOTH sides (the engine's SUM/AVG already accumulates
+decimal — translator._agg_column), so results are exact and
+order-independent, never "close enough".
 """
 
 from __future__ import annotations
@@ -12,27 +18,792 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared session state: the quads mapping is built once per (session, sf_dir)
+# and persisted so the ~45 correctness queries don't re-scan the parquet.
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        from fourstore_spark.sources.relational import quads_from_sf_dir
+        from fourstore_spark.sparql.engine import SparqlEngine
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        quads = quads_from_sf_dir(spark, sf_dir).persist()
+        eng = SparqlEngine(spark, quads)
+        _ENGINES[key] = eng
+    return eng
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _sq(text: str, **types: str):
+    """A queries() callable that runs SPARQL and flattens term structs."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).select(text, **types)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# flagship: TPC-H Q1-shaped group-aggregate over lineitem (A1/A2/A3/A7/A9
+# in one plan: single shuffle, map-side partial aggregation)
+_FLAGSHIP = """
+SELECT ?rf ?ls (SUM(?qty) AS ?sum_qty) (SUM(?price) AS ?sum_price)
+       (AVG(?disc) AS ?avg_disc) (COUNT(?li) AS ?cnt)
+WHERE {
+  ?li <urn:col:lineitem#l_returnflag> ?rf ;
+      <urn:col:lineitem#l_linestatus> ?ls ;
+      <urn:col:lineitem#l_quantity> ?qty ;
+      <urn:col:lineitem#l_extendedprice> ?price ;
+      <urn:col:lineitem#l_discount> ?disc }
+GROUP BY ?rf ?ls
+"""
+_FLAGSHIP_TYPES = dict(sum_qty="num", sum_price="num", avg_disc="num", cnt="int")
+
+_FLAGSHIP_SQL = """
+SELECT l_returnflag AS rf, l_linestatus AS ls,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _engine(spark, "/root/testdata/sf0.001").select(
+        _FLAGSHIP, **_FLAGSHIP_TYPES
+    )
+
+
+# --------------------------------------------------------------------------
+# non-SELECT query forms need bespoke callables
+def _q_ask(spark, sf_dir):
+    res = _engine(spark, sf_dir).query(
+        'ASK { ?c <urn:col:customer#c_mktsegment> "BUILDING" }'
+    )
+    return res.df.select(F.lit(True).alias("ask")).limit(1)
+
+
+def _q_construct(spark, sf_dir):
+    res = _engine(spark, sf_dir).query(
+        "CONSTRUCT { ?c <urn:rel:inSegment> ?seg } "
+        "WHERE { ?c <urn:col:customer#c_mktsegment> ?seg }"
+    )
+    return res.df.select("s", "p", "o_lex")
+
+
+def _q_describe(spark, sf_dir):
+    res = _engine(spark, sf_dir).query("DESCRIBE <urn:nation:7>")
+    return res.df.select("s", "p", "o_lex")
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators
+def _op_dedup_exact(spark, sf_dir):
+    from fourstore_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id").select("doc_id")
+
+
+def _op_dedup_fingerprint(spark, sf_dir):
+    from fourstore_spark.operators.textstats import fingerprint
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _op_minhash_lsh(spark, sf_dir):
+    from fourstore_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _op_simhash(spark, sf_dir):
+    from fourstore_spark.operators.dedup import simhash_dedup_candidates
+
+    return simhash_dedup_candidates(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _op_jaccard(spark, sf_dir):
+    from fourstore_spark.operators.dedup import charset_jaccard
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.round(charset_jaccard(F.col("a.text"), F.col("b.text")), 6).alias("j"),
+        )
+    )
+
+
+def _op_text_stats(spark, sf_dir):
+    from fourstore_spark.operators.textstats import text_stats
+
+    return text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_bpeish_tokens", "fingerprint"
+    )
+
+
+def _op_lang_quality(spark, sf_dir):
+    from fourstore_spark.operators.textstats import lang_id, quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _op_cosine_topk(spark, sf_dir):
+    from fourstore_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+def _op_lsh_ann(spark, sf_dir):
+    from fourstore_spark.operators.similarity import lsh_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, k=5, nbits=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _op_multimodal(spark, sf_dir):
+    from fourstore_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media, dim=8).select("media_id", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL helpers
+def _sum6(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+# lineitem's key cols aren't unique in the synthetic data; the mapping adds
+# a deterministic rank suffix (sources.relational.TableMap.rank_key) which
+# oracles referencing lineitem *subjects* must replicate:
+_LI_KEYED = (
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber "
+    "ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "l_shipdate) AS __rn FROM lineitem)"
+)
+
+
+_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))"
+)
+_NTOK_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+
+
+def _lang_quality_sql() -> str:
+    from fourstore_spark.operators.textstats import STOPWORDS
+
+    score_cols = []
+    for lang in sorted(STOPWORDS):
+        arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array("
+            f"trim(lower(text)), '\\s+')), {arr})) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(STOPWORDS)) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in sorted(STOPWORDS)
+    ) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {', '.join(score_cols)},
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({_NTOK_SQL} AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+  FROM documents
+), ranked AS (
+  SELECT *, {best} AS best,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_word_len
+  FROM scored
+)
+SELECT doc_id, {lang_case} AS lang_guess,
+       ROUND((least(n_tokens / 100.0, 1.0)
+            + greatest(0.0, 1.0 - punct_ratio * 5.0)
+            + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0
+                   THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# the registry: name -> (callable, oracle SQL or None for rows-only checks)
+def _registry() -> dict[str, tuple]:
+    P = "urn:col:"
+    r: dict[str, tuple] = {}
+
+    # ---- scans (S1/S2) -------------------------------------------------
+    r["s1_scan"] = (
+        _sq(f"SELECT ?s ?name WHERE {{ ?s <{P}region#r_name> ?name }}"),
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS name FROM region",
+    )
+    r["s1_scan_subject"] = (
+        _sq("SELECT ?p ?o WHERE { <urn:nation:3> ?p ?o }"),
+        "SELECT 'urn:col:nation#n_name' AS p, n_name AS o FROM nation "
+        "WHERE n_nationkey = 3 UNION ALL "
+        "SELECT 'urn:col:nation#n_regionkey', 'urn:region:' || "
+        "CAST(n_regionkey AS VARCHAR) FROM nation WHERE n_nationkey = 3",
+    )
+    r["s2_star_join"] = (
+        _sq(
+            f"""SELECT ?c ?name ?seg ?bal WHERE {{
+                  ?c <{P}customer#c_name> ?name ;
+                     <{P}customer#c_mktsegment> ?seg ;
+                     <{P}customer#c_acctbal> ?bal }}""",
+            bal="num",
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_name AS name, c_mktsegment AS seg, c_acctbal AS bal FROM customer",
+    )
+
+    # ---- projections / filters (P1-P5) --------------------------------
+    r["p2_const_object"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  ?c <{P}customer#c_mktsegment> "BUILDING" ;
+                     <{P}customer#c_name> ?name }}"""
+        ),
+        "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'",
+    )
+    r["p3_repeated_var"] = (
+        _sq("SELECT ?x WHERE { ?x ?p ?x }"),
+        "SELECT CAST(NULL AS VARCHAR) AS x WHERE false",
+    )
+    r["p4_filter_range"] = (
+        _sq(
+            f"""SELECT ?name ?bal WHERE {{
+                  ?c <{P}customer#c_acctbal> ?bal ;
+                     <{P}customer#c_name> ?name
+                  FILTER(?bal > 5000 && ?bal < 8000) }}""",
+            bal="num",
+        ),
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer "
+        "WHERE c_acctbal > 5000 AND c_acctbal < 8000",
+    )
+    r["p5_filter_disjunct"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  ?c <{P}customer#c_mktsegment> ?seg ;
+                     <{P}customer#c_name> ?name
+                  FILTER(?seg = "BUILDING" || ?seg = "AUTOMOBILE") }}"""
+        ),
+        "SELECT c_name AS name FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')",
+    )
+    r["f_in"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  ?c <{P}customer#c_mktsegment> ?seg ;
+                     <{P}customer#c_name> ?name
+                  FILTER(?seg IN ("BUILDING", "HOUSEHOLD")) }}"""
+        ),
+        "SELECT c_name AS name FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'HOUSEHOLD')",
+    )
+
+    # ---- joins (J1-J6) -------------------------------------------------
+    r["j1_chain_join"] = (
+        _sq(
+            f"""SELECT ?n ?r WHERE {{
+                  ?nat <{P}nation#n_name> ?n .
+                  ?nat <{P}nation#n_regionkey> ?reg .
+                  ?reg <{P}region#r_name> ?r }}"""
+        ),
+        "SELECT n_name AS n, r_name AS r FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey",
+    )
+    r["j2_two_hop"] = (
+        _sq(
+            f"""SELECT ?cname ?nname ?rname WHERE {{
+                  ?c <{P}customer#c_name> ?cname ;
+                     <{P}customer#c_nationkey> ?nat .
+                  ?nat <{P}nation#n_name> ?nname ;
+                       <{P}nation#n_regionkey> ?reg .
+                  ?reg <{P}region#r_name> ?rname }}"""
+        ),
+        "SELECT c_name AS cname, n_name AS nname, r_name AS rname "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey",
+    )
+    r["j3_optional"] = (
+        _sq(
+            f"""SELECT ?o ?pk WHERE {{
+                  ?o <{P}orders#o_orderstatus> ?st .
+                  OPTIONAL {{ ?li <{P}lineitem#l_orderkey> ?o ;
+                                  <{P}lineitem#l_partkey> ?pk }} }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o.o_orderkey AS VARCHAR) AS o, "
+        "CASE WHEN l.l_partkey IS NULL THEN NULL "
+        "ELSE 'urn:part:' || CAST(l.l_partkey AS VARCHAR) END AS pk "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey",
+    )
+    r["j4_minus"] = (
+        _sq(
+            f"""SELECT ?o WHERE {{
+                  ?o <{P}orders#o_orderstatus> ?st
+                  MINUS {{ ?li <{P}lineitem#l_orderkey> ?o }} }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o "
+        "FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+    )
+    r["j6_values"] = (
+        _sq(
+            f"""SELECT ?name ?seg WHERE {{
+                  ?c <{P}customer#c_mktsegment> ?seg ;
+                     <{P}customer#c_name> ?name }}
+                VALUES (?seg) {{ ("BUILDING") ("MACHINERY") }}"""
+        ),
+        "SELECT c_name AS name, c_mktsegment AS seg FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    )
+
+    # ---- aggregates (A1-A9) --------------------------------------------
+    r["a1_count_group"] = (
+        _sq(
+            f"SELECT ?nat (COUNT(?c) AS ?n) WHERE {{ "
+            f"?c <{P}customer#c_nationkey> ?nat }} GROUP BY ?nat",
+            n="int",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        "COUNT(*) AS n FROM customer GROUP BY c_nationkey",
+    )
+    r["a1_count_distinct"] = (
+        _sq(
+            f"SELECT (COUNT(DISTINCT ?seg) AS ?n) WHERE {{ "
+            f"?c <{P}customer#c_mktsegment> ?seg }}",
+            n="int",
+        ),
+        "SELECT COUNT(DISTINCT c_mktsegment) AS n FROM customer",
+    )
+    r["a2_sum"] = (
+        _sq(
+            f"""SELECT ?nat (SUM(?bal) AS ?total) WHERE {{
+                  ?c <{P}customer#c_nationkey> ?nat ;
+                     <{P}customer#c_acctbal> ?bal }} GROUP BY ?nat""",
+            total="num",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        f"{_sum6('c_acctbal')} AS total FROM customer GROUP BY c_nationkey",
+    )
+    r["a3_avg"] = (
+        _sq(
+            f"""SELECT ?nat (AVG(?bal) AS ?avgbal) WHERE {{
+                  ?c <{P}customer#c_nationkey> ?nat ;
+                     <{P}customer#c_acctbal> ?bal }} GROUP BY ?nat""",
+            avgbal="num",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        f"{_sum6('c_acctbal')} / COUNT(c_acctbal) AS avgbal "
+        "FROM customer GROUP BY c_nationkey",
+    )
+    r["a4_min_max"] = (
+        _sq(
+            f"""SELECT ?nat (MIN(?bal) AS ?minbal) (MAX(?name) AS ?maxname)
+                WHERE {{ ?c <{P}customer#c_nationkey> ?nat ;
+                            <{P}customer#c_acctbal> ?bal ;
+                            <{P}customer#c_name> ?name }} GROUP BY ?nat""",
+            minbal="num",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        "MIN(c_acctbal) AS minbal, MAX(c_name) AS maxname "
+        "FROM customer GROUP BY c_nationkey",
+    )
+    r["a5_sample"] = (
+        _sq(
+            f"SELECT ?c (SAMPLE(?name) AS ?sname) WHERE {{ "
+            f"?c <{P}customer#c_name> ?name }} GROUP BY ?c"
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_name AS sname FROM customer",
+    )
+    r["a6_group_concat"] = (
+        _sq(
+            f'SELECT ?c (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) '
+            f"WHERE {{ ?c <{P}customer#c_name> ?name }} GROUP BY ?c"
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_name AS names FROM customer",
+    )
+    r["a7_groupby_multi"] = (_sq(_FLAGSHIP, **_FLAGSHIP_TYPES), _FLAGSHIP_SQL)
+    r["a8_having"] = (
+        _sq(
+            f"SELECT ?nat (COUNT(?c) AS ?n) WHERE {{ "
+            f"?c <{P}customer#c_nationkey> ?nat }} GROUP BY ?nat "
+            f"HAVING (COUNT(?c) > 20)",
+            n="int",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        "COUNT(*) AS n FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 20",
+    )
+    r["a9_implicit_agg"] = (
+        _sq(
+            f"SELECT (COUNT(?li) AS ?n) (SUM(?qty) AS ?total) WHERE {{ "
+            f"?li <{P}lineitem#l_quantity> ?qty }}",
+            n="int",
+            total="num",
+        ),
+        f"SELECT COUNT(*) AS n, {_sum6('l_quantity')} AS total FROM lineitem",
+    )
+
+    # ---- solution modifiers (O1-O4) ------------------------------------
+    r["o1_order_limit"] = (
+        _sq(
+            f"SELECT ?c ?bal WHERE {{ ?c <{P}customer#c_acctbal> ?bal }} "
+            f"ORDER BY DESC(?bal) ?c LIMIT 10",
+            bal="num",
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_acctbal AS bal FROM customer ORDER BY c_acctbal DESC, "
+        "('urn:customer:' || CAST(c_custkey AS VARCHAR)) ASC LIMIT 10",
+    )
+    r["o2_offset"] = (
+        _sq(
+            f"SELECT ?name WHERE {{ ?n <{P}nation#n_name> ?name }} "
+            f"ORDER BY ?name LIMIT 5 OFFSET 5"
+        ),
+        "SELECT n_name AS name FROM nation ORDER BY n_name LIMIT 5 OFFSET 5",
+    )
+    r["o4_distinct"] = (
+        _sq(
+            f"SELECT DISTINCT ?seg WHERE {{ ?c <{P}customer#c_mktsegment> ?seg }}"
+        ),
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    )
+
+    # ---- set ops (U1) ---------------------------------------------------
+    r["u1_union"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  {{ ?x <{P}nation#n_name> ?name }}
+                  UNION {{ ?x <{P}region#r_name> ?name }} }}"""
+        ),
+        "SELECT n_name AS name FROM nation "
+        "UNION ALL SELECT r_name FROM region",
+    )
+
+    # ---- query forms (Q2-Q4) -------------------------------------------
+    r["q2_ask"] = (
+        _q_ask,
+        "SELECT DISTINCT true AS ask FROM customer WHERE c_mktsegment = 'BUILDING'",
+    )
+    r["q3_construct"] = (
+        _q_construct,
+        "SELECT DISTINCT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
+        "'urn:rel:inSegment' AS p, c_mktsegment AS o_lex FROM customer",
+    )
+    r["q4_describe"] = (
+        _q_describe,
+        "SELECT 'urn:nation:7' AS s, 'urn:col:nation#n_name' AS p, "
+        "n_name AS o_lex FROM nation WHERE n_nationkey = 7 UNION ALL "
+        "SELECT 'urn:nation:7', 'urn:col:nation#n_regionkey', "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+        "WHERE n_nationkey = 7",
+    )
+
+    # ---- graph slot (GRAPH / named graphs) ------------------------------
+    r["graph_named"] = (
+        _sq(
+            f"SELECT ?s ?o WHERE {{ GRAPH <urn:g:region> {{ "
+            f"?s <{P}region#r_name> ?o }} }}"
+        ),
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS o FROM region",
+    )
+    r["graph_var"] = (
+        _sq(
+            f"SELECT DISTINCT ?g WHERE {{ GRAPH ?g {{ "
+            f"?s <{P}region#r_name> ?o }} }}"
+        ),
+        "SELECT DISTINCT 'urn:g:region' AS g FROM region",
+    )
+
+    # ---- BIND / subselect / EXISTS --------------------------------------
+    r["b1_bind"] = (
+        _sq(
+            f"""SELECT ?li ?key WHERE {{
+                  ?li <{P}lineitem#l_returnflag> ?rf ;
+                      <{P}lineitem#l_linestatus> ?ls
+                  BIND(CONCAT(?rf, "/", ?ls) AS ?key) }}"""
+        ),
+        "SELECT 'urn:lineitem:' || CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) || '-' || CAST(__rn AS VARCHAR) AS li, "
+        "l_returnflag || '/' || l_linestatus AS key FROM " + _LI_KEYED,
+    )
+    r["subselect_join"] = (
+        _sq(
+            f"""SELECT ?name ?n WHERE {{
+                  ?nat <{P}nation#n_name> ?name .
+                  {{ SELECT ?nat (COUNT(?c) AS ?n) WHERE {{
+                       ?c <{P}customer#c_nationkey> ?nat }} GROUP BY ?nat }} }}""",
+            n="int",
+        ),
+        "SELECT n_name AS name, cnt AS n FROM nation JOIN "
+        "(SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer "
+        "GROUP BY c_nationkey) t ON t.k = n_nationkey",
+    )
+    r["exists_filter"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  ?c <{P}customer#c_name> ?name
+                  FILTER EXISTS {{ ?o <{P}orders#o_custkey> ?c }} }}"""
+        ),
+        "SELECT c_name AS name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    )
+    r["not_exists_filter"] = (
+        _sq(
+            f"""SELECT ?o ?tp WHERE {{
+                  ?o <{P}orders#o_totalprice> ?tp
+                  FILTER NOT EXISTS {{ ?li <{P}lineitem#l_orderkey> ?o }} }}""",
+            tp="num",
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o, "
+        "o_totalprice AS tp FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+    )
+
+    # ---- expression / function families (F-*) ---------------------------
+    r["f_str"] = (
+        _sq(
+            f"""SELECT ?name (STRLEN(?name) AS ?len) (UCASE(?name) AS ?uc)
+                       (LCASE(?name) AS ?lc) (SUBSTR(?name, 2) AS ?sub)
+                       (CONCAT(?name, "-x") AS ?cx)
+                WHERE {{ ?r <{P}region#r_name> ?name }}""",
+            len="int",
+        ),
+        "SELECT r_name AS name, LENGTH(r_name) AS len, UPPER(r_name) AS uc, "
+        "LOWER(r_name) AS lc, SUBSTR(r_name, 2) AS sub, "
+        "r_name || '-x' AS cx FROM region",
+    )
+    r["f_str2"] = (
+        _sq(
+            f"""SELECT ?name (STRBEFORE(?name, "_") AS ?before)
+                       (STRAFTER(?name, "_") AS ?after)
+                WHERE {{ ?n <{P}nation#n_name> ?name
+                  FILTER(STRSTARTS(?name, "NATION") && CONTAINS(?name, "1")
+                         && !STRENDS(?name, "3")) }}"""
+        ),
+        "SELECT n_name AS name, "
+        "CASE WHEN strpos(n_name, '_') > 0 THEN "
+        "substr(n_name, 1, strpos(n_name, '_') - 1) ELSE '' END AS before, "
+        "CASE WHEN strpos(n_name, '_') > 0 THEN "
+        "substr(n_name, strpos(n_name, '_') + 1) ELSE '' END AS after "
+        "FROM nation WHERE n_name LIKE 'NATION%' AND contains(n_name, '1') "
+        "AND n_name NOT LIKE '%3'",
+    )
+    r["f_regex"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{ ?n <{P}nation#n_name> ?name
+                  FILTER(REGEX(?name, "^NATION_1[0-9]$")) }}"""
+        ),
+        "SELECT n_name AS name FROM nation "
+        "WHERE regexp_matches(n_name, '^NATION_1[0-9]$')",
+    )
+    r["f_arith"] = (
+        _sq(
+            f"""SELECT ?li (?price * (1 - ?disc) AS ?net) WHERE {{
+                  ?li <{P}lineitem#l_extendedprice> ?price ;
+                      <{P}lineitem#l_discount> ?disc ;
+                      <{P}lineitem#l_quantity> ?qty
+                  FILTER(?qty > 45) }}""",
+            net="num",
+        ),
+        "SELECT 'urn:lineitem:' || CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) || '-' || CAST(__rn AS VARCHAR) AS li, "
+        "l_extendedprice * (1 - l_discount) AS net "
+        "FROM " + _LI_KEYED + " WHERE l_quantity > 45",
+    )
+    r["f_cond"] = (
+        _sq(
+            f"""SELECT ?o (IF(BOUND(?pk), "has", "none") AS ?flag)
+                       (COALESCE(?pk, <urn:part:none>) AS ?pk2)
+                WHERE {{ ?o <{P}orders#o_orderstatus> ?st
+                  OPTIONAL {{ ?li <{P}lineitem#l_orderkey> ?o ;
+                                  <{P}lineitem#l_partkey> ?pk }} }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o.o_orderkey AS VARCHAR) AS o, "
+        "CASE WHEN l.l_partkey IS NULL THEN 'none' ELSE 'has' END AS flag, "
+        "CASE WHEN l.l_partkey IS NULL THEN 'urn:part:none' "
+        "ELSE 'urn:part:' || CAST(l.l_partkey AS VARCHAR) END AS pk2 "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey",
+    )
+    r["f_cmp_kinds"] = (
+        _sq(
+            f"""SELECT ?name WHERE {{ ?n <{P}nation#n_name> ?name
+                  FILTER(?name != <urn:region:1>) }}"""
+        ),
+        "SELECT n_name AS name FROM nation",
+    )
+    r["f_num"] = (
+        _sq(
+            f"""SELECT ?c (ABS(?x) AS ?ax) (CEIL(?x) AS ?cx)
+                       (FLOOR(?x) AS ?fx) (ROUND(?x) AS ?rx)
+                WHERE {{ ?c <{P}customer#c_acctbal> ?bal
+                         BIND(?bal - 5000 AS ?x) }}""",
+            ax="num", cx="num", fx="num", rx="num",
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "ABS(c_acctbal - 5000) AS ax, CEIL(c_acctbal - 5000) AS cx, "
+        "FLOOR(c_acctbal - 5000) AS fx, ROUND(c_acctbal - 5000, 0) AS rx "
+        "FROM customer",
+    )
+    r["f_cast"] = (
+        _sq(
+            """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+               SELECT ?p (xsd:integer(?price) AS ?ip) (xsd:string(?size) AS ?ss)
+                      (xsd:double(?size) AS ?ds)
+               WHERE { ?p <urn:col:part#p_retailprice> ?price ;
+                          <urn:col:part#p_size> ?size }""",
+            ip="int", ds="num",
+        ),
+        "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
+        "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
+        "CAST(p_size AS VARCHAR) AS ss, CAST(p_size AS DOUBLE) AS ds FROM part",
+    )
+    r["f_date"] = (
+        _sq(
+            f"""SELECT ?o (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) (DAY(?d) AS ?day)
+                WHERE {{ ?o <{P}orders#o_orderdate> ?d }}""",
+            y="int", m="int", day="int",
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o, "
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, "
+        "CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS day FROM orders",
+    )
+    r["f_hash"] = (
+        _sq(
+            f"""SELECT ?name (MD5(?name) AS ?h1) (SHA256(?name) AS ?h2)
+                WHERE {{ ?r <{P}region#r_name> ?name }}"""
+        ),
+        "SELECT r_name AS name, md5(r_name) AS h1, sha256(r_name) AS h2 "
+        "FROM region",
+    )
+
+    # ---- events table ---------------------------------------------------
+    r["events_agg"] = (
+        _sq(
+            f"""SELECT ?type (COUNT(?e) AS ?n) (SUM(?v) AS ?total)
+                WHERE {{ ?e <{P}events#event_type> ?type ;
+                            <{P}events#value> ?v }} GROUP BY ?type""",
+            n="int", total="num",
+        ),
+        "SELECT event_type AS type, COUNT(*) AS n, "
+        f"{_sum6('value')} AS total FROM events GROUP BY event_type",
+    )
+
+    # ---- LLM-pipeline operators ----------------------------------------
+    r["dedup_exact"] = (
+        _op_dedup_exact,
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    )
+    r["dedup_fingerprint"] = (
+        _op_dedup_fingerprint,
+        f"SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS dup_count FROM documents GROUP BY 1",
+    )
+    r["dedup_minhash_lsh"] = (_op_minhash_lsh, None)  # hash-specific: rows-only
+    r["dedup_simhash"] = (_op_simhash, None)  # hash-specific: rows-only
+    r["dedup_jaccard_verify"] = (
+        _op_jaccard,
+        "SELECT a.doc_id AS id_a, ROUND(jaccard(a.text, b.text), 6) AS j "
+        "FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
+    )
+    r["text_stats"] = (
+        _op_text_stats,
+        f"SELECT doc_id, {_NTOK_SQL} AS n_tokens, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END "
+        "+ length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) "
+        f"AS n_bpeish_tokens, {_FP_SQL} AS fingerprint FROM documents",
+    )
+    r["text_lang_quality"] = (_op_lang_quality, _lang_quality_sql())
+    r["sim_cosine_topk"] = (
+        _op_cosine_topk,
+        """SELECT q.vec_id AS query_id, c.vec_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+           QUALIFY rank <= 5""",
+    )
+    r["sim_lsh_ann"] = (_op_lsh_ann, None)  # approximate: rows-only
+    r["multimodal_features"] = (
+        _op_multimodal,
+        "SELECT doc_id AS media_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    )
+    return r
+
+
+_REG = None
+
+
+def _reg() -> dict[str, tuple]:
+    global _REG
+    if _REG is None:
+        _REG = _registry()
+    return _REG
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _reg().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry (omitted entries get
+    the driver's weaker rows-only check: LSH/SimHash candidates, whose
+    buckets depend on engine-specific hash functions)."""
+    return {name: sql for name, (_, sql) in _reg().items() if sql is not None}

@@ -1,0 +1,138 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": ..., "unit": "sec", "queries": {...}}.
+
+Query set mirrors the correctness entries' heaviest shapes: the TPC-H
+Q1-style aggregate, multi-hop BGP joins, OPTIONAL left join, top-k order,
+MinHash LSH dedup, brute-force cosine top-k, and the one-pass text-stats
+scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fourstore-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fourstore_spark.operators.dedup import minhash_lsh_candidates
+    from fourstore_spark.operators.similarity import cosine_topk
+    from fourstore_spark.operators.textstats import text_stats
+    from fourstore_spark.sources.relational import quads_from_sf_dir
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    import __spark_entry__ as entry_mod
+
+    t0 = time.perf_counter()
+    quads = quads_from_sf_dir(spark, sf_dir).persist()
+    quads.count()  # materialize the mapping once (the "import" phase)
+    load_sec = time.perf_counter() - t0
+    eng = SparqlEngine(spark, quads)
+
+    P = "urn:col:"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def q1_agg():
+        return eng.select(entry_mod._FLAGSHIP, **entry_mod._FLAGSHIP_TYPES).collect()
+
+    def q2_join():
+        return eng.select(
+            f"""SELECT ?cname ?nname ?rname WHERE {{
+                  ?c <{P}customer#c_name> ?cname ;
+                     <{P}customer#c_nationkey> ?nat .
+                  ?nat <{P}nation#n_name> ?nname ;
+                       <{P}nation#n_regionkey> ?reg .
+                  ?reg <{P}region#r_name> ?rname }}"""
+        ).count()
+
+    def q3_optional():
+        return eng.select(
+            f"""SELECT ?o ?pk WHERE {{
+                  ?o <{P}orders#o_orderstatus> ?st .
+                  OPTIONAL {{ ?li <{P}lineitem#l_orderkey> ?o ;
+                                  <{P}lineitem#l_partkey> ?pk }} }}"""
+        ).count()
+
+    def q4_topk():
+        return eng.select(
+            f"SELECT ?c ?bal WHERE {{ ?c <{P}customer#c_acctbal> ?bal }} "
+            f"ORDER BY DESC(?bal) ?c LIMIT 100",
+            bal="num",
+        ).collect()
+
+    def q5_groupjoin():
+        return eng.select(
+            f"""SELECT ?nname (SUM(?tp) AS ?total) (COUNT(?o) AS ?n)
+                WHERE {{ ?o <{P}orders#o_custkey> ?c ;
+                            <{P}orders#o_totalprice> ?tp .
+                         ?c <{P}customer#c_nationkey> ?nat .
+                         ?nat <{P}nation#n_name> ?nname }}
+                GROUP BY ?nname""",
+            total="num", n="int",
+        ).collect()
+
+    def q6_minhash():
+        return minhash_lsh_candidates(docs, "text", "doc_id").count()
+
+    def q7_cosine():
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk(emb, queries, k=10).count()
+
+    def q8_textstats():
+        return text_stats(docs).agg(
+            F.sum("n_tokens"), F.avg("quality"), F.count_distinct("fingerprint")
+        ).collect()
+
+    bench = {
+        "q1_agg": q1_agg, "q2_join": q2_join, "q3_optional": q3_optional,
+        "q4_topk": q4_topk, "q5_groupjoin": q5_groupjoin,
+        "q6_minhash": q6_minhash, "q7_cosine": q7_cosine,
+        "q8_textstats": q8_textstats,
+    }
+    times: dict[str, float] = {}
+    for name, fn in bench.items():
+        t = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t, 3)
+
+    out = {
+        "metric": "headline_queries_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "load_sec": round(load_sec, 3),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

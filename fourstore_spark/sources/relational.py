@@ -48,6 +48,12 @@ class TableMap:
     name: str
     key: list[str]  # subject key column(s)
     columns: list[ColumnMap] = field(default_factory=list)
+    # True when key cols are NOT unique (e.g. lineitem's synthetic data has
+    # duplicate (l_orderkey, l_linenumber) pairs): subjects get a
+    # deterministic '-<n>' rank suffix, n = row_number partitioned by the
+    # key and ordered by every mapped column. One extra shuffle at mapping
+    # time; at scale this runs once at import, not per query.
+    rank_key: bool = False
 
 
 def _col(name: str, typ) -> ColumnMap:
@@ -111,7 +117,8 @@ TABLE_MAPS: dict[str, TableMap] = {
         TableMap(
             "lineitem",
             ["l_orderkey", "l_linenumber"],
-            [
+            rank_key=True,
+            columns=[
                 _col("l_orderkey", ("fk", "orders")),
                 _col("l_partkey", ("fk", "part")),
                 _col("l_suppkey", ("fk", "supplier")),
@@ -173,7 +180,23 @@ def graph_uri(table: str) -> str:
 def sql_subject(table: str) -> str:
     tm = TABLE_MAPS[table]
     expr = " || '-' || ".join(f"CAST({k} AS VARCHAR)" for k in tm.key)
+    if tm.rank_key:
+        expr += " || '-' || CAST(__rn AS VARCHAR)"
     return f"'urn:{table}:' || {expr}"
+
+
+def sql_from(table: str) -> str:
+    """FROM-clause source replicating the mapping's row identity: ranked
+    tables get the same deterministic ROW_NUMBER the Spark side computes."""
+    tm = TABLE_MAPS[table]
+    if not tm.rank_key:
+        return table
+    part = ", ".join(tm.key)
+    order = ", ".join(cm.name for cm in tm.columns)
+    return (
+        f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS __rn FROM {table})"
+    )
 
 
 def sql_fk_object(reftable: str, column: str) -> str:
@@ -188,7 +211,16 @@ def _timestamp_lex(c: F.Column) -> F.Column:
 def table_quads(df: DataFrame, table: str) -> DataFrame:
     """Map one relational DataFrame into quads rows."""
     tm = TABLE_MAPS[table]
-    subj = subject_uri(table, [df[k] for k in tm.key])
+    key_cols = [df[k] for k in tm.key]
+    if tm.rank_key:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[df[cm.name] for cm in tm.columns]
+        )
+        df = df.withColumn("__rn", F.row_number().over(w))
+        key_cols = [df[k] for k in tm.key] + [df["__rn"]]
+    subj = subject_uri(table, key_cols)
     g = F.lit(graph_uri(table))
     parts: list[DataFrame] = []
     null_s = F.lit(None).cast("string")

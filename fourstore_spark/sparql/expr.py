@@ -414,7 +414,7 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
         pat = args[1]["lex"]
         if len(args) >= 3:
             pat = F.concat(F.lit("(?"), args[2]["lex"], F.lit(")"), pat)
-        return make_bool(a0["lex"].rlike(pat))
+        return make_bool(F.regexp_like(a0["lex"], pat))
     if name == "REPLACE":
         # reference errors "not yet implemented" (results.c:379) — we support it
         pat = args[1]["lex"]
