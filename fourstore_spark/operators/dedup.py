@@ -36,22 +36,31 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of a (lowercased) text column."""
+    """Character k-shingles of a (lowercased) text column.
+
+    No array_distinct: min-hashing is invariant to duplicate shingles and
+    distinct is O(S^2) on long docs.
+    """
     t = F.lower(text)
     idx = F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i + 1, k)))
+    return F.transform(idx, lambda i: F.substring(t, i + 1, k))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<bigint>: sig[i] = min_s xxhash64(s, i).
 
-    xxhash64 with per-function seed keeps everything in whole-stage codegen.
+    One aggregate() pass over the shingle array with a num_hashes-wide
+    accumulator — the shingles column is evaluated exactly once per row
+    (a transform-per-seed formulation re-evaluates it num_hashes times;
+    at 64 hashes that was a ~60x slowdown). All JVM-side codegen.
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    return F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))
         ),
     )
 

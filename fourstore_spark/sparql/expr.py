@@ -240,6 +240,39 @@ def agg_key(e: A.EAggregate) -> str:
     return repr(e)
 
 
+def compile_bool(e, ctx: ExprContext) -> Column:
+    """Compile an expression used in boolean position (FILTER/HAVING/join
+    condition) straight to a BooleanColumn.
+
+    Skips the make_bool->struct->ebv round-trip that compile_expr+ebv
+    would produce: on nested &&/||/! trees that round-trip multiplies the
+    expression size several-fold per level, and Catalyst analysis time on
+    the resulting CASE forest dominated query *planning* (measured 14 s
+    planning / 3 s execution on a two-comparison FILTER). Spark's 3VL
+    AND/OR matches fn_logical_and/or error semantics (filter.c:934-963)."""
+    if isinstance(e, A.EAnd):
+        out = compile_bool(e.args[0], ctx)
+        for a in e.args[1:]:
+            out = out & compile_bool(a, ctx)
+        return out
+    if isinstance(e, A.EOr):
+        out = compile_bool(e.args[0], ctx)
+        for a in e.args[1:]:
+            out = out | compile_bool(a, ctx)
+        return out
+    if isinstance(e, A.EUnary) and e.op == "!":
+        return ~compile_bool(e.arg, ctx)
+    if isinstance(e, A.ECompare):
+        return _compare(e.op, compile_expr(e.left, ctx), compile_expr(e.right, ctx))
+    if isinstance(e, A.EIn):
+        t = compile_expr(e.expr, ctx)
+        out = F.lit(False)
+        for o in e.options:
+            out = out | _compare("=", t, compile_expr(o, ctx))
+        return ~out if e.negated else out
+    return ebv(compile_expr(e, ctx))
+
+
 def compile_expr(e, ctx: ExprContext) -> Column:
     if isinstance(e, A.EVar):
         return ctx.var(e.name)

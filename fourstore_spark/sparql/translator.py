@@ -48,6 +48,7 @@ from fourstore_spark.sparql import algebra as A
 from fourstore_spark.sparql.expr import (
     ExprContext,
     agg_key,
+    compile_bool,
     compile_expr,
     const_term,
     ebv,
@@ -280,6 +281,9 @@ class Translator:
         if not triples:
             return self._unit()
 
+        stars, rest = self._find_stars(triples, graph)
+        sols = [self._star_scan(sname, pats, graph) for sname, pats in stars]
+
         def tp_vars(tp):
             out = set()
             for t in (tp.s, tp.p, tp.o):
@@ -291,33 +295,182 @@ class Translator:
                 out.add(graph.name)
             return out
 
-        remaining = sorted(
-            triples, key=self._pattern_const_count, reverse=True
-        )
-        ordered = [remaining.pop(0)]
-        bound = tp_vars(ordered[0])
-        # greedily keep the join connected (avoid cross products), most
-        # constants first
-        while remaining:
-            pick = None
-            for tp in remaining:
-                if tp_vars(tp) & bound:
-                    pick = tp
-                    break
-            if pick is None:
-                pick = remaining[0]
-            remaining.remove(pick)
-            ordered.append(pick)
-            bound |= tp_vars(pick)
+        if rest:
+            remaining = sorted(
+                rest, key=self._pattern_const_count, reverse=True
+            )
+            ordered = [remaining.pop(0)]
+            bound = tp_vars(ordered[0])
+            # greedily keep the join connected (avoid cross products), most
+            # constants first
+            while remaining:
+                pick = None
+                for tp in remaining:
+                    if tp_vars(tp) & bound:
+                        pick = tp
+                        break
+                if pick is None:
+                    pick = remaining[0]
+                remaining.remove(pick)
+                ordered.append(pick)
+                bound |= tp_vars(pick)
+            sols.extend(self._pattern_df(tp, graph) for tp in ordered)
 
-        sol = self._pattern_df(ordered[0], graph)
-        for tp in ordered[1:]:
-            sol = self._join(sol, self._pattern_df(tp, graph), "inner")
+        # fold the per-star / per-pattern solutions, connected pieces first
+        sol = sols[0]
+        pending = sols[1:]
+        while pending:
+            have = set(sol.df.columns)
+            pick = next(
+                (s for s in pending if set(s.df.columns) & have), pending[0]
+            )
+            pending.remove(pick)
+            sol = self._join(sol, pick, "inner")
         # bnodes are scoped to the BGP — drop their columns
         drop = [c for c in sol.df.columns if c.startswith("__bn_")]
         if drop:
             sol = Sol(sol.df.drop(*drop), sol.certain - set(drop))
         return sol
+
+    # ------------------------------------------------- subject-star scan
+    @staticmethod
+    def _slot_name(t):
+        if isinstance(t, A.Var):
+            return t.name
+        if isinstance(t, A.BNode):
+            return "__bn_" + t.label
+        return None
+
+    def _find_stars(self, triples: list, graph):
+        """Partition a BGP into subject-star groups (>=2 patterns sharing a
+        variable subject, constant predicate) and leftover patterns.
+
+        The reference executes these groups with one fs_reverse_bind
+        scatter (src/backend/query-backend.c:601-749, detection
+        src/frontend/optimiser.c:363-384); here each group becomes a single
+        groupBy(subject) aggregation — one shuffle instead of k-1 self-join
+        shuffles of the quads table."""
+        gname = graph.name if isinstance(graph, A.Var) else None
+        groups: dict[str, list] = {}
+        rest: list = []
+        for tp in triples:
+            sname = self._slot_name(tp.s)
+            ok = sname is not None and isinstance(tp.p, A.Iri)
+            oname = None
+            if ok and isinstance(tp.o, (A.Var, A.BNode)):
+                oname = self._slot_name(tp.o)
+                if oname == sname or oname == gname:
+                    ok = False
+            if ok and sname == gname:
+                ok = False
+            if not ok:
+                rest.append(tp)
+                continue
+            groups.setdefault(sname, []).append((tp, oname))
+        stars = []
+        for sname, plist in groups.items():
+            seen: set = set()
+            keep = []
+            for tp, oname in plist:
+                if oname is not None and oname in seen:
+                    rest.append(tp)  # same object var twice -> join path
+                    continue
+                if oname is not None:
+                    seen.add(oname)
+                keep.append((tp, oname))
+            if len(keep) >= 2:
+                stars.append((sname, keep))
+            else:
+                rest.extend(tp for tp, _ in keep)
+        return stars, rest
+
+    def _star_scan(self, sname: str, patterns: list, graph) -> Sol:
+        """One subject-star as a single grouped scan: filter the quads to
+        the star's predicates, group by subject, collect per-predicate
+        value lists, then explode them back (per-subject cross product —
+        the exact BGP bag semantics over set-semantics quads, which the
+        store guarantees by deduplicating at import like the reference's
+        import-backend.c:74-118)."""
+        df = self.quads
+        if graph is None:
+            if self.from_graphs:
+                df = df.where(F.col("g").isin(self.from_graphs))
+            elif not self.union_default_graph:
+                df = df.where(F.col("g") == DEFAULT_GRAPH)
+        elif isinstance(graph, A.Iri):
+            df = df.where(F.col("g") == graph.value)
+        else:  # graph variable
+            df = df.where(F.col("g") != DEFAULT_GRAPH)
+            if self.from_named:
+                df = df.where(F.col("g").isin(self.from_named))
+
+        df = df.where(F.col("p").isin([tp.p.value for tp, _ in patterns]))
+        o_term = F.struct(
+            F.col("o_kind").alias("kind"),
+            F.col("o_lex").alias("lex"),
+            F.col("o_dt").alias("dt"),
+            F.col("o_lang").alias("lang"),
+            F.col("o_num").alias("num"),
+        )
+        aggs = []
+        requires = []
+        explodes = []
+        for i, (tp, oname) in enumerate(patterns):
+            m = F.col("p") == tp.p.value
+            if oname is None:  # constant object: existence constraint
+                if isinstance(tp.o, A.Iri):
+                    m = m & (F.col("o_kind") == KIND_URI) & (
+                        F.col("o_lex") == tp.o.value
+                    )
+                else:
+                    m = (
+                        m
+                        & (F.col("o_kind") == KIND_LITERAL)
+                        & (F.col("o_lex") == tp.o.lex)
+                        & F.col("o_dt").eqNullSafe(F.lit(tp.o.dt))
+                        & F.col("o_lang").eqNullSafe(F.lit(tp.o.lang))
+                    )
+                name = f"__c{i}"
+                aggs.append(F.max(F.when(m, 1)).alias(name))
+                requires.append(name)
+            else:
+                name = f"__v{i}"
+                aggs.append(F.collect_list(F.when(m, o_term)).alias(name))
+                explodes.append((name, oname))
+
+        keys = ["s", "s_kind"] + (["g"] if isinstance(graph, A.Var) else [])
+        out = df.groupBy(*keys).agg(*aggs)
+        for name in requires:
+            out = out.where(F.col(name).isNotNull())
+        for name, oname in explodes:
+            # explode drops subjects lacking the predicate — inner semantics
+            out = out.withColumn(oname, F.explode(F.col(name)))
+
+        proj = [
+            F.struct(
+                F.col("s_kind").alias("kind"),
+                F.col("s").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            ).alias(sname)
+        ]
+        names = [sname]
+        if isinstance(graph, A.Var):
+            proj.append(
+                F.struct(
+                    F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                    F.col("g").alias("lex"),
+                    F.lit(None).cast("string").alias("dt"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("double").alias("num"),
+                ).alias(graph.name)
+            )
+            names.append(graph.name)
+        for _, oname in explodes:
+            proj.append(F.col(oname))
+            names.append(oname)
+        return Sol(out.select(*proj), frozenset(names))
 
     # ------------------------------------------------------------ joins
     def _join(self, left: Sol, right: Sol, how: str, expr=None) -> Sol:
@@ -352,7 +505,7 @@ class Translator:
                     v, ldf[v] if v in lcols else (rdf[v] if v in rcols else null_term())
                 )
             )
-            conds.append(ebv(compile_expr(expr, ctx)))
+            conds.append(compile_bool(expr, ctx))
         if conds:
             cond = conds[0]
             for c in conds[1:]:
@@ -426,7 +579,7 @@ class Translator:
         if plain:
             e = plain[0] if len(plain) == 1 else A.EAnd(plain)
             ctx = self._ctx(base)
-            base = Sol(base.df.where(ebv(compile_expr(e, ctx))), base.certain)
+            base = Sol(base.df.where(compile_bool(e, ctx)), base.certain)
         return base
 
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
@@ -496,7 +649,7 @@ class Translator:
 
         # HAVING (src/frontend/results.c:2681-2704)
         for h in q.having:
-            df = df.where(ebv(compile_expr(h, ctx)))
+            df = df.where(compile_bool(h, ctx))
             ctx.columns = set(df.columns) | set(agg_map)
 
         # SELECT expressions (query.c:551-562)
