@@ -209,6 +209,117 @@ def _op_multimodal(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# write path / import / serializer / full-text / store entries
+def _op_update_cycle(spark, sf_dir):
+    """INSERT DATA -> DELETE/INSERT WHERE -> query (the reference's
+    insert-delete-where HTTP test shape) — result is deterministic."""
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    ue = UpdateEngine(spark)
+    ue.update(
+        'INSERT DATA { <urn:x1> <urn:status> "old" . '
+        '<urn:x2> <urn:status> "old" . <urn:x3> <urn:status> "fresh" }'
+    )
+    ue.update(
+        'DELETE { ?s <urn:status> "old" } '
+        'INSERT { ?s <urn:status> "archived" } '
+        'WHERE { ?s <urn:status> "old" }'
+    )
+    return SparqlEngine(spark, ue.quads).select(
+        "SELECT ?s ?st WHERE { ?s <urn:status> ?st }"
+    )
+
+
+def _op_rdf_import(spark, sf_dir):
+    """N-Triples text -> quads -> 2-hop query (foaf-knows-name shape)."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    nt = """
+<urn:alice> <urn:knows> <urn:bob> .
+<urn:alice> <urn:knows> <urn:carol> .
+<urn:bob> <urn:name> "Bob" .
+<urn:carol> <urn:name> "Carol"@en .
+<urn:dave> <urn:name> "Dave" .
+"""
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    return eng.select(
+        "SELECT ?name WHERE { <urn:alice> <urn:knows> ?k . ?k <urn:name> ?name }"
+    )
+
+
+def _op_serialize_roundtrip(spark, sf_dir):
+    """SELECT -> SPARQL-JSON writer -> parse back to rows: machine-checks
+    the serializer against the relational oracle."""
+    import json
+
+    res = _engine(spark, sf_dir).query(
+        "SELECT ?s ?name WHERE { ?s <urn:col:region#r_name> ?name }"
+    )
+    doc = json.loads(res.serialize("json"))
+    rows = [
+        (b["s"]["value"], b["name"]["value"])
+        for b in doc["results"]["bindings"]
+    ]
+    return spark.createDataFrame(rows, "s string, name string")
+
+
+_FT_BOUNDARY_SQL = r'[ \n\t\r!@$%^&*()\-_=+\[\]{};:"\\|<>,./?#]+'
+
+
+def _op_fulltext_token(spark, sf_dir):
+    """Token index over documents.text + plain-pattern token search (T1)."""
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_INDEX,
+        FS_TEXT_TOKEN,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    base = _engine(spark, sf_dir).quads
+    config = quads_from_nt_text(
+        spark,
+        f"<urn:col:documents#text> <{FS_TEXT_INDEX}> <{FS_TEXT_TOKEN}> "
+        "<system:config> .",
+    )
+    quads = with_fulltext(base.unionByName(config))
+    eng = SparqlEngine(spark, quads)
+    return eng.select(
+        'SELECT ?d WHERE { ?d <http://4store.org/fulltext#token> "data" }'
+    )
+
+
+def _op_ivf_exact(spark, sf_dir):
+    """IVF probe search with nprobe == n_cells — must equal exact top-k."""
+    from fourstore_spark.operators.similarity import ivf_search, train_centroids
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_centroids(emb, k=8, iters=4)
+    return ivf_search(emb, queries, cents, k=5, nprobe=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _op_dump_restore(spark, sf_dir):
+    """Store round-trip through parquet (dump.c/restore.c parity)."""
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    path = f"/tmp/fourstore_dump_{abs(hash(sf_dir)) % 10**8}"
+    ue = UpdateEngine(spark, _engine(spark, sf_dir).quads)
+    ue.save(path)
+    restored = UpdateEngine.restore(spark, path)
+    return SparqlEngine(spark, restored.quads).select(
+        "SELECT ?s ?name WHERE { ?s <urn:col:region#r_name> ?name }"
+    )
+
+
+# --------------------------------------------------------------------------
 # oracle SQL helpers
 def _sum6(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE)"
@@ -779,6 +890,45 @@ def _registry() -> dict[str, tuple]:
            QUALIFY rank <= 5""",
     )
     r["sim_lsh_ann"] = (_op_lsh_ann, None)  # approximate: rows-only
+    r["sim_ivf_exact"] = (
+        _op_ivf_exact,
+        """SELECT q.vec_id AS query_id, c.vec_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+           QUALIFY rank <= 5""",
+    )
+
+    # ---- write path / import / serializers / full-text / store ---------
+    r["update_insert_delete_where"] = (
+        _op_update_cycle,
+        "SELECT * FROM (VALUES ('urn:x1', 'archived'), ('urn:x2', 'archived'), "
+        "('urn:x3', 'fresh')) AS t(s, st)",
+    )
+    r["rdf_import_nt"] = (
+        _op_rdf_import,
+        "SELECT * FROM (VALUES ('Bob'), ('Carol')) AS t(name)",
+    )
+    r["serialize_roundtrip"] = (
+        _op_serialize_roundtrip,
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS name FROM region",
+    )
+    r["fulltext_token"] = (
+        _op_fulltext_token,
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR) AS d "
+        "FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'data')",
+    )
+    r["dump_restore"] = (
+        _op_dump_restore,
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS name FROM region",
+    )
     r["multimodal_features"] = (
         _op_multimodal,
         "SELECT doc_id AS media_id, "

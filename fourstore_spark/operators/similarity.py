@@ -153,6 +153,95 @@ def lsh_ann_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer training.
+
+    Collects a bounded, deterministic sample (lowest ids) to the driver
+    and runs a few Lloyd iterations in numpy — at 100 TB the sample is
+    still O(sample * dim) on the driver; only assignment is distributed."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    cents = X[:k].copy()  # deterministic seeding: first-k sample vectors
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return [[float(x) for x in c] for c in cents]
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF probe search: score each query only against the corpus cells of
+    its nprobe nearest centroids.
+
+    At scale the corpus is *written* partitioned by ``ivf_cell`` so a
+    probe is a partition-pruned scan; here the cell equi-join carries
+    (cell, query) pairs — nprobe/|cells| of the brute-force work. With
+    nprobe = len(centroids) this degrades gracefully to exact search
+    (same results as cosine_topk)."""
+    nprobe = min(nprobe, len(centroids))
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        "vec_id", _to_double(F.col(vec_col)).alias("__cv"), "ivf_cell"
+    )
+    qv = _to_double(F.col(vec_col))
+    cells = F.array(
+        *[
+            F.struct(
+                cosine(qv, F.array(*[F.lit(x) for x in cen])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(F.transform(probes, lambda p: p["i"])).alias("ivf_cell"),
+    )
+    scored = c.join(F.broadcast(q), "ivf_cell").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "vec_id", cosine(F.col("__cv"), F.col("__qv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],

@@ -183,6 +183,70 @@ class Unit:
     """Empty group {} — the single empty solution."""
 
 
+# ------------------------------------------------------------- updates
+# SPARQL 1.1 Update ops (reference dispatch: update_op,
+# src/frontend/update.c:215-423)
+@dataclass(frozen=True)
+class QuadPattern:
+    """A triple with an optional graph slot (None = default graph)."""
+
+    g: object  # Iri | Var | None
+    s: object
+    p: object
+    o: object
+
+
+@dataclass
+class InsertDataOp:  # update.c:389-419
+    quads: list
+
+
+@dataclass
+class DeleteDataOp:  # update.c:389-419
+    quads: list
+
+
+@dataclass
+class ModifyOp:
+    """DELETE/INSERT ... WHERE (update.c:277-381); also the DELETE WHERE
+    shorthand the reference rejects (update.c:268-273) — we support it."""
+
+    delete: list = field(default_factory=list)  # QuadPattern templates
+    insert: list = field(default_factory=list)
+    where: object = None
+    with_graph: str | None = None
+    using: list = field(default_factory=list)
+    using_named: list = field(default_factory=list)
+
+
+@dataclass
+class LoadOp:  # fs_load, update.c:594
+    source: str
+    graph: str | None = None
+    silent: bool = False
+
+
+@dataclass
+class ClearOp:  # fs_clear, update.c:632; DROP update.c:222-229
+    target: object  # ('graph', iri) | 'default' | 'named' | 'all'
+    drop: bool = False
+    silent: bool = False
+
+
+@dataclass
+class CreateOp:  # no-op in the reference too (update.c:225-226)
+    graph: str
+    silent: bool = False
+
+
+@dataclass
+class GraphCopyOp:  # ADD/MOVE/COPY, update.c:709-885
+    kind: str  # 'add' | 'move' | 'copy'
+    src: str | None  # None = default graph
+    dst: str | None
+    silent: bool = False
+
+
 # --------------------------------------------------------------- query
 @dataclass
 class Query:

@@ -24,6 +24,38 @@ class SparqlResult:
         assert self.form == "ASK"
         return len(self.df.take(1)) > 0
 
+    # -- serializers (fs_query_results_output dispatch, results.c:2900) --
+    def serialize(self, fmt: str = "json") -> str:
+        """fmt: 'json' | 'xml' | 'csv' | 'tsv' (SELECT/ASK), or
+        'ntriples' (CONSTRUCT/DESCRIBE)."""
+        from fourstore_spark.sparql import results_io as R
+
+        if self.form in ("CONSTRUCT", "DESCRIBE"):
+            if fmt not in ("ntriples", "nt"):
+                raise ValueError(f"graph results serialize to ntriples, not {fmt}")
+            return R.graph_ntriples(self.df)
+        ask = self.ask() if self.form == "ASK" else None
+        if fmt == "json":
+            return R.select_json(self.df, ask=ask)
+        if fmt == "xml":
+            return R.select_xml(self.df, ask=ask)
+        if self.form == "ASK":
+            raise ValueError(f"ASK results serialize to json/xml, not {fmt}")
+        if fmt == "csv":
+            return R.select_csv(self.df)
+        if fmt == "tsv":
+            return R.select_tsv(self.df)
+        raise ValueError(f"unknown result format {fmt!r}")
+
+    def explain(self, mode: str = "formatted") -> str:
+        """Physical/logical plan text (FS_QUERY_EXPLAIN parity,
+        query.c:800-829 — there it logs bind decisions; here Catalyst's
+        plan is the ground truth)."""
+        jdf = self.df._jdf
+        jvm = self.df.sparkSession._jvm
+        em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return jdf.queryExecution().explainString(em)
+
     # -- flat projections for oracle comparison / serialization ----------
     def lex(self, var: str) -> Column:
         return self.df[var]["lex"]
@@ -70,16 +102,26 @@ class SparqlEngine:
         spark: SparkSession,
         quads: DataFrame,
         union_default_graph: bool = True,
+        soft_limit: int | None = None,
     ):
         self.spark = spark
         self.quads = quads
         self.union_default_graph = union_default_graph
+        # restricted mode: per-pattern result cap (soft limit,
+        # params.h.in:34 default 998/segment; truncation warning
+        # results.c:2722-2728). None = exact results.
+        self.soft_limit = soft_limit
 
-    def query(self, text: str) -> SparqlResult:
+    def query(self, text: str, soft_limit: int | None = None) -> SparqlResult:
         q = parse_query(text)
-        tr = Translator(self.spark, self.quads, self.union_default_graph)
+        limit = soft_limit if soft_limit is not None else self.soft_limit
+        tr = Translator(
+            self.spark, self.quads, self.union_default_graph, soft_limit=limit
+        )
         df = tr.translate_query(q)
-        return SparqlResult(q.form, df)
+        res = SparqlResult(q.form, df)
+        res.soft_limited = limit is not None  # truncation warning flag
+        return res
 
     def select(self, text: str, **types: str) -> DataFrame:
         """Run a SELECT and flatten term structs to plain columns."""

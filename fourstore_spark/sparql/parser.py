@@ -756,5 +756,169 @@ class Parser:
                 q.offset = int(self.next().value)
 
 
+    # --------------------------------------------------------- updates
+    # SPARQL 1.1 Update grammar (the reference parses these via Rasqal's
+    # "sparql11-update" syntax, fs_update src/frontend/update.c:425-427)
+    def parse_update(self) -> list:
+        ops: list = []
+        while True:
+            self.parse_prologue()
+            if self.peek().type == "EOF":
+                break
+            ops.append(self.parse_update_op())
+            if not self.take_op(";"):
+                break
+        if self.peek().type != "EOF":
+            self.err("unexpected trailing input in update")
+        return ops
+
+    def parse_update_op(self):
+        if self.at_kw("INSERT"):
+            self.next()
+            if self.take_kw("DATA"):
+                return A.InsertDataOp(self.parse_quad_data(allow_vars=False))
+            return self.parse_modify(insert_first=True)
+        if self.at_kw("DELETE"):
+            self.next()
+            if self.take_kw("DATA"):
+                quads = self.parse_quad_data(allow_vars=False)
+                for q in quads:
+                    if isinstance(q.s, A.BNode) or isinstance(q.o, A.BNode):
+                        self.err("DELETE DATA cannot contain blank nodes")
+                return A.DeleteDataOp(quads)
+            if self.at_kw("WHERE"):
+                # DELETE WHERE {..} shorthand — unsupported in the
+                # reference (update.c:268-273); we support it
+                self.next()
+                quads = self.parse_quad_data(allow_vars=True)
+                return A.ModifyOp(
+                    delete=list(quads), where=self._quads_to_pattern(quads)
+                )
+            return self.parse_modify(insert_first=False)
+        if self.at_kw("WITH"):
+            self.next()
+            g = self.parse_iri().value
+            if self.take_kw("DELETE"):
+                op = self.parse_modify(insert_first=False)
+            elif self.take_kw("INSERT"):
+                op = self.parse_modify(insert_first=True)
+            else:
+                self.err("expected DELETE or INSERT after WITH")
+            op.with_graph = g
+            return op
+        if self.at_kw("LOAD"):
+            self.next()
+            silent = bool(self.take_kw("SILENT"))
+            src = self.parse_iri().value
+            g = None
+            if self.take_kw("INTO"):
+                self.expect_kw("GRAPH")
+                g = self.parse_iri().value
+            return A.LoadOp(src, g, silent)
+        if self.at_kw("CLEAR", "DROP"):
+            drop = self.next().value.upper() == "DROP"
+            silent = bool(self.take_kw("SILENT"))
+            return A.ClearOp(self.parse_graph_ref(), drop=drop, silent=silent)
+        if self.at_kw("CREATE"):
+            self.next()
+            silent = bool(self.take_kw("SILENT"))
+            self.expect_kw("GRAPH")
+            return A.CreateOp(self.parse_iri().value, silent)
+        if self.at_kw("ADD", "MOVE", "COPY"):
+            kind = self.next().value.lower()
+            silent = bool(self.take_kw("SILENT"))
+            src = self.parse_graph_or_default()
+            self.expect_kw("TO")
+            dst = self.parse_graph_or_default()
+            return A.GraphCopyOp(kind, src, dst, silent)
+        self.err("expected update operation")
+
+    def parse_graph_ref(self):
+        if self.take_kw("GRAPH"):
+            return ("graph", self.parse_iri().value)
+        if self.take_kw("DEFAULT"):
+            return "default"
+        if self.take_kw("NAMED"):
+            return "named"
+        if self.take_kw("ALL"):
+            return "all"
+        self.err("expected GRAPH <iri> | DEFAULT | NAMED | ALL")
+
+    def parse_graph_or_default(self):
+        if self.take_kw("DEFAULT"):
+            return None
+        self.take_kw("GRAPH")
+        return self.parse_iri().value
+
+    def parse_modify(self, insert_first: bool) -> A.ModifyOp:
+        """[DELETE {tmpl}] [INSERT {tmpl}] (USING ..)* WHERE {pattern};
+        the leading DELETE/INSERT keyword is already consumed."""
+        op = A.ModifyOp()
+        first = self.parse_quad_data(allow_vars=True)
+        if insert_first:
+            op.insert = first
+        else:
+            op.delete = first
+            if self.take_kw("INSERT"):
+                op.insert = self.parse_quad_data(allow_vars=True)
+        while self.at_kw("USING"):
+            self.next()
+            if self.take_kw("NAMED"):
+                op.using_named.append(self.parse_iri().value)
+            else:
+                op.using.append(self.parse_iri().value)
+        self.expect_kw("WHERE")
+        op.where = self.parse_group_graph_pattern()
+        return op
+
+    def parse_quad_data(self, allow_vars: bool) -> list:
+        """'{' (triples | GRAPH iri '{' triples '}')* '}' -> QuadPatterns."""
+        self.expect_op("{")
+        quads: list = []
+
+        def add(triples, g):
+            for tp in triples:
+                if not allow_vars:
+                    for t in (tp.s, tp.p, tp.o):
+                        if isinstance(t, A.Var):
+                            self.err("variables not allowed in data block")
+                quads.append(A.QuadPattern(g, tp.s, tp.p, tp.o))
+
+        while not self.take_op("}"):
+            if self.take_kw("GRAPH"):
+                t = self.peek()
+                if allow_vars and t.type == "VAR":
+                    self.next()
+                    g = A.Var(t.value[1:])
+                else:
+                    g = self.parse_iri()
+                self.expect_op("{")
+                add(self.parse_triples_block(), g)
+                self.expect_op("}")
+                self.take_op(".")
+            else:
+                add(self.parse_triples_block(), None)
+        return quads
+
+    @staticmethod
+    def _quads_to_pattern(quads: list):
+        """DELETE WHERE shorthand: the quad block is also the pattern."""
+        plain = [
+            A.TriplePattern(q.s, q.p, q.o) for q in quads if q.g is None
+        ]
+        node = A.BGP(plain) if plain else None
+        for q in quads:
+            if q.g is None:
+                continue
+            gp = A.GraphPattern(q.g, A.BGP([A.TriplePattern(q.s, q.p, q.o)]))
+            node = gp if node is None else A.Join(node, gp)
+        return node or A.Unit()
+
+
 def parse_query(text: str) -> A.Query:
     return Parser(text).parse_query()
+
+
+def parse_update(text: str) -> list:
+    """Parse a SPARQL 1.1 Update request into a list of update ops."""
+    return Parser(text).parse_update()

@@ -1,0 +1,178 @@
+"""SPARQL result serializers: XML, JSON, CSV, TSV (+ N-Triples for
+CONSTRUCT/DESCRIBE graphs).
+
+Parity with the reference's output dispatch (fs_query_results_output,
+/root/reference/src/frontend/results.c:2900-2918; writers output_sparql
+:1900, output_text :2014, output_csv :2143, output_json :2248) against the
+W3C formats those writers implement.
+
+All writers stream ``df.toLocalIterator()`` — the driver holds one
+partition at a time, never the whole result set.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape as xml_escape
+
+from fourstore_spark.model import KIND_BNODE, KIND_LITERAL, KIND_URI
+
+
+def _term_dict(term) -> dict | None:
+    """Row struct -> SPARQL-JSON RDF-term object."""
+    if term is None or term["kind"] is None:
+        return None
+    kind = term["kind"]
+    if kind == KIND_URI:
+        return {"type": "uri", "value": term["lex"]}
+    if kind == KIND_BNODE:
+        lex = term["lex"]
+        return {"type": "bnode", "value": lex[2:] if lex.startswith("_:") else lex}
+    out = {"type": "literal", "value": term["lex"]}
+    if term["lang"]:
+        out["xml:lang"] = term["lang"]
+    elif term["dt"]:
+        out["datatype"] = term["dt"]
+    return out
+
+
+def _iter_bindings(df, variables):
+    for row in df.toLocalIterator():
+        binding = {}
+        for v in variables:
+            t = _term_dict(row[v])
+            if t is not None:
+                binding[v] = t
+        yield binding
+
+
+# ------------------------------------------------------------------ JSON
+def select_json(df, variables=None, ask: bool | None = None) -> str:
+    """SPARQL 1.1 Query Results JSON (output_json, results.c:2248)."""
+    if ask is not None:
+        return json.dumps({"head": {}, "boolean": ask})
+    variables = variables or df.columns
+    bindings = list(_iter_bindings(df, variables))
+    return json.dumps(
+        {"head": {"vars": variables}, "results": {"bindings": bindings}},
+        ensure_ascii=False,
+    )
+
+
+# ------------------------------------------------------------------- XML
+def select_xml(df, variables=None, ask: bool | None = None) -> str:
+    """SPARQL Query Results XML (output_sparql, results.c:1900)."""
+    out = ['<?xml version="1.0"?>']
+    out.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
+    if ask is not None:
+        out.append("  <head></head>")
+        out.append(f"  <boolean>{'true' if ask else 'false'}</boolean>")
+        out.append("</sparql>")
+        return "\n".join(out)
+    variables = variables or df.columns
+    out.append("  <head>")
+    for v in variables:
+        out.append(f'    <variable name="{xml_escape(v)}"/>')
+    out.append("  </head>")
+    out.append("  <results>")
+    for binding in _iter_bindings(df, variables):
+        out.append("    <result>")
+        for v, t in binding.items():
+            val = xml_escape(t["value"])
+            if t["type"] == "uri":
+                body = f"<uri>{val}</uri>"
+            elif t["type"] == "bnode":
+                body = f"<bnode>{val}</bnode>"
+            elif "xml:lang" in t:
+                body = f'<literal xml:lang="{t["xml:lang"]}">{val}</literal>'
+            elif "datatype" in t:
+                body = (
+                    f'<literal datatype="{xml_escape(t["datatype"])}">{val}</literal>'
+                )
+            else:
+                body = f"<literal>{val}</literal>"
+            out.append(f'      <binding name="{xml_escape(v)}">{body}</binding>')
+        out.append("    </result>")
+    out.append("  </results>")
+    out.append("</sparql>")
+    return "\n".join(out)
+
+
+# --------------------------------------------------------------- CSV/TSV
+def _csv_cell(term) -> str:
+    if term is None or term["kind"] is None:
+        return ""
+    v = term["lex"] or ""
+    if any(c in v for c in (",", '"', "\n", "\r")):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def _tsv_cell(term) -> str:
+    if term is None or term["kind"] is None:
+        return ""
+    kind = term["kind"]
+    if kind == KIND_URI:
+        return f"<{term['lex']}>"
+    if kind == KIND_BNODE:
+        lex = term["lex"]
+        return lex if lex.startswith("_:") else f"_:{lex}"
+    v = (term["lex"] or "").replace("\\", "\\\\").replace('"', '\\"')
+    v = v.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    out = f'"{v}"'
+    if term["lang"]:
+        out += f"@{term['lang']}"
+    elif term["dt"]:
+        out += f"^^<{term['dt']}>"
+    return out
+
+
+def select_csv(df, variables=None) -> str:
+    """SPARQL 1.1 Results CSV (output_csv, results.c:2143)."""
+    variables = variables or df.columns
+    lines = [",".join(variables)]
+    for row in df.toLocalIterator():
+        lines.append(",".join(_csv_cell(row[v]) for v in variables))
+    return "\r\n".join(lines) + "\r\n"
+
+
+def select_tsv(df, variables=None) -> str:
+    """SPARQL 1.1 Results TSV (the reference's 'text' format,
+    output_text, results.c:2014)."""
+    variables = variables or df.columns
+    lines = ["\t".join("?" + v for v in variables)]
+    for row in df.toLocalIterator():
+        lines.append("\t".join(_tsv_cell(row[v]) for v in variables))
+    return "\n".join(lines) + "\n"
+
+
+# --------------------------------------------- CONSTRUCT/DESCRIBE graphs
+def graph_ntriples(df) -> str:
+    """Triples DataFrame (CONSTRUCT/DESCRIBE output schema) -> N-Triples
+    text (the reference serializes via Raptor, results.c:1659-1898)."""
+
+    def esc(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    lines = []
+    for row in df.toLocalIterator():
+        s = row["s"] if row["s_kind"] == KIND_BNODE else f"<{row['s']}>"
+        p = f"<{row['p']}>"
+        if row["o_kind"] == KIND_URI:
+            o = f"<{row['o_lex']}>"
+        elif row["o_kind"] == KIND_BNODE:
+            o = row["o_lex"]
+        else:
+            o = f'"{esc(row["o_lex"])}"'
+            if row["o_lang"]:
+                o += f"@{row['o_lang']}"
+            elif row["o_dt"]:
+                o += f"^^<{row['o_dt']}>"
+        lines.append(f"{s} {p} {o} .")
+    return "\n".join(lines) + ("\n" if lines else "")

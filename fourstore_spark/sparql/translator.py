@@ -79,6 +79,7 @@ class Translator:
         spark: SparkSession,
         quads: DataFrame,
         union_default_graph: bool = True,
+        soft_limit: int | None = None,
     ):
         self.spark = spark
         self.quads = quads
@@ -86,6 +87,9 @@ class Translator:
         # unless restricted (FS_QUERY_DEFAULT_GRAPH,
         # src/backend/query-backend.c:71-80)
         self.union_default_graph = union_default_graph
+        # per-pattern result cap (soft limit / restricted mode,
+        # params.h.in:34, query-datatypes.c:998-1015)
+        self.soft_limit = soft_limit
         self._uid = 0
         self._last_select_certain: set = set()
 
@@ -264,6 +268,8 @@ class Translator:
             df = df.where(c)
         if not proj:
             return Sol(df.limit(1).select(), frozenset())  # all-const pattern
+        if self.soft_limit is not None:
+            df = df.limit(self.soft_limit)
         out = df.select(*[c.alias(n) for n, c in proj.items()])
         return Sol(out, frozenset(proj))
 
@@ -439,6 +445,8 @@ class Translator:
                 explodes.append((name, oname))
 
         keys = ["s", "s_kind"] + (["g"] if isinstance(graph, A.Var) else [])
+        if self.soft_limit is not None:
+            df = df.limit(self.soft_limit * max(1, len(patterns)))
         out = df.groupBy(*keys).agg(*aggs)
         for name in requires:
             out = out.where(F.col(name).isNotNull())

@@ -1,0 +1,306 @@
+"""SPARQL 1.1 Update over a mutable quads DataFrame.
+
+Re-expresses the reference's write path (fs_update dispatch,
+/root/reference/src/frontend/update.c:215-423) in DataFrame algebra:
+
+- the store is a *set* of quads (the reference dedups at import,
+  import-backend.c:74-118), so INSERT = union + anti-join-dedup and
+  DELETE = anti-join, both null-safe equi-joins on the full quad —
+  shuffle-able, broadcast-able when the delta is small (Catalyst
+  broadcasts the constant-quads side automatically);
+- DELETE/INSERT ... WHERE evaluates the WHERE clause through the normal
+  query translator and instantiates the templates per solution, exactly
+  like the reference runs fs_query_process_pattern inside the update
+  (update.c:342);
+- each op produces a new immutable DataFrame (chained lineage); commit()
+  optionally truncates lineage. At warehouse scale the same plan maps
+  onto Delta/Iceberg MERGE — the op algebra here is storage-agnostic.
+
+Transactions: the reference brackets ops per segment
+(fs_start_import/fs_stop_import, 4store.h:55-58); here every update()
+call is atomic by construction — the new DataFrame only replaces the
+store when every op in the request translated successfully.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fourstore_spark.model import (
+    DEFAULT_GRAPH,
+    KIND_BNODE,
+    KIND_LITERAL,
+    KIND_URI,
+    NUMERIC_DATATYPES,
+    QUADS_SCHEMA,
+)
+from fourstore_spark.sparql import algebra as A
+from fourstore_spark.sparql.parser import parse_update
+from fourstore_spark.sparql.translator import Translator
+
+QCOLS = [f.name for f in QUADS_SCHEMA.fields]
+
+
+def empty_quads(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], QUADS_SCHEMA)
+
+
+def _null_safe_eq(a: DataFrame, b: DataFrame) -> Column:
+    return reduce(
+        lambda x, y: x & y, [a[c].eqNullSafe(b[c]) for c in QCOLS]
+    )
+
+
+def quads_minus(store: DataFrame, removed: DataFrame) -> DataFrame:
+    """Set difference on full quads (null-safe equi anti-join)."""
+    return store.join(removed, _null_safe_eq(store, removed), "left_anti")
+
+
+def quads_add(store: DataFrame, added: DataFrame) -> DataFrame:
+    """Set union: only quads not already present are appended."""
+    fresh = added.dropDuplicates(QCOLS).join(
+        store, _null_safe_eq(added, store), "left_anti"
+    )
+    return store.unionByName(fresh)
+
+
+class UpdateEngine:
+    """Mutable quad store + SPARQL Update executor.
+
+    ``quads`` is the current store DataFrame; query it through
+    :class:`fourstore_spark.sparql.engine.SparqlEngine` at any time.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        quads: DataFrame | None = None,
+        union_default_graph: bool = True,
+        load_fn=None,
+    ):
+        self.spark = spark
+        self.quads = quads if quads is not None else empty_quads(spark)
+        self.union_default_graph = union_default_graph
+        self._bnode_seq = 0
+        # LOAD resolver: uri -> quads DataFrame; default reads local files
+        self._load_fn = load_fn or self._default_load
+
+    # ------------------------------------------------------------ public
+    def update(self, text: str) -> None:
+        ops = parse_update(text)
+        new = self.quads
+        for op in ops:
+            new = self._apply(new, op)
+        self.quads = new
+
+    def commit(self) -> None:
+        """Cut the op lineage (the in-memory analogue of a Delta commit):
+        materializes the current store on the executors."""
+        self.quads = self.quads.localCheckpoint(eager=True)
+
+    def save(self, path: str) -> None:
+        """Dump the store as parquet (dump.c parity; see also
+        sources.rdfio.quads_to_nq_lines for the N-Quads dump)."""
+        self.quads.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def restore(cls, spark: SparkSession, path: str) -> "UpdateEngine":
+        return cls(spark, spark.read.parquet(path))
+
+    # ------------------------------------------------------------ ops
+    def _apply(self, store: DataFrame, op) -> DataFrame:
+        if isinstance(op, A.InsertDataOp):
+            return quads_add(store, self._const_quads(op.quads))
+        if isinstance(op, A.DeleteDataOp):
+            return quads_minus(store, self._const_quads(op.quads))
+        if isinstance(op, A.ModifyOp):
+            return self._modify(store, op)
+        if isinstance(op, A.LoadOp):
+            try:
+                loaded = self._load_fn(op.source, op.graph or DEFAULT_GRAPH)
+            except Exception:
+                if op.silent:
+                    return store
+                raise
+            return quads_add(store, loaded)
+        if isinstance(op, A.ClearOp):
+            return self._clear(store, op)
+        if isinstance(op, A.CreateOp):
+            return store  # graphs exist implicitly (update.c:225-226)
+        if isinstance(op, A.GraphCopyOp):
+            return self._graph_copy(store, op)
+        raise TypeError(f"unknown update op {op!r}")
+
+    def _default_load(self, source: str, graph: str) -> DataFrame:
+        from fourstore_spark.sources.rdfio import load_rdf
+
+        path = source[7:] if source.startswith("file://") else source
+        return load_rdf(self.spark, path, graph)
+
+    # ---- constant quad blocks (insert_rasqal_triple, update.c:117-156)
+    def _const_quads(self, quads: list) -> DataFrame:
+        rows = []
+        for q in quads:
+            g = q.g.value if isinstance(q.g, A.Iri) else DEFAULT_GRAPH
+            if isinstance(q.s, A.Iri):
+                s, s_kind = q.s.value, KIND_URI
+            elif isinstance(q.s, A.BNode):
+                s, s_kind = self._fresh_bnode(q.s.label), KIND_BNODE
+            else:
+                raise ValueError("literal/var subject in data block")
+            p = q.p.value
+            o = q.o
+            if isinstance(o, A.Iri):
+                orow = (KIND_URI, o.value, None, None, None)
+            elif isinstance(o, A.BNode):
+                orow = (KIND_BNODE, self._fresh_bnode(o.label), None, None, None)
+            else:
+                num = None
+                if o.dt in NUMERIC_DATATYPES:
+                    try:
+                        num = float(o.lex)
+                    except ValueError:
+                        num = None
+                orow = (KIND_LITERAL, o.lex, o.dt, o.lang, num)
+            rows.append((g, s, s_kind, p) + orow)
+        return self.spark.createDataFrame(rows, QUADS_SCHEMA)
+
+    def _fresh_bnode(self, label: str) -> str:
+        # bnode ids are scoped per update request (the reference allocates
+        # from a cluster-wide counter, import.c:546-586)
+        self._bnode_seq += 1
+        return f"_:u{self._bnode_seq}_{label}"
+
+    # ---- DELETE/INSERT WHERE (update.c:277-381)
+    def _modify(self, store: DataFrame, op: A.ModifyOp) -> DataFrame:
+        tr = Translator(self.spark, store, self.union_default_graph)
+        tr.from_graphs = list(op.using)
+        tr.from_named = list(op.using_named)
+        graph_ctx = A.Iri(op.with_graph) if op.with_graph and not op.using else None
+        sol = tr.translate(op.where, graph=graph_ctx)
+        default_g = op.with_graph or DEFAULT_GRAPH
+        if op.delete:
+            deletes = self._instantiate(op.delete, sol, default_g, bnodes_error=True)
+            store = quads_minus(store, deletes)
+        if op.insert:
+            inserts = self._instantiate(op.insert, sol, default_g, bnodes_error=False)
+            store = quads_add(store, inserts)
+        return store
+
+    def _instantiate(
+        self, templates: list, sol, default_g: str, bnodes_error: bool
+    ) -> DataFrame:
+        """Template quads x WHERE solutions -> quads DataFrame. Solutions
+        leaving a template slot unbound (or ill-typed) drop that
+        instantiation, per spec and reference behavior."""
+        df = sol.df
+        cols = set(df.columns)
+        row_id = F.monotonically_increasing_id().cast("string")
+        df = df.withColumn("__row", row_id)
+        parts = []
+
+        def term(t, bnode_tag):
+            if isinstance(t, A.Var):
+                return F.col(t.name) if t.name in cols else F.lit(None).cast(
+                    "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
+                )
+            if isinstance(t, A.BNode):
+                if bnodes_error:
+                    raise ValueError("blank nodes not allowed in DELETE template")
+                return F.struct(
+                    F.lit(KIND_BNODE).cast("tinyint").alias("kind"),
+                    F.concat(
+                        F.lit(f"_:t{bnode_tag}_{t.label}_"), F.col("__row")
+                    ).alias("lex"),
+                    F.lit(None).cast("string").alias("dt"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("double").alias("num"),
+                )
+            if isinstance(t, A.Iri):
+                return F.struct(
+                    F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                    F.lit(t.value).alias("lex"),
+                    F.lit(None).cast("string").alias("dt"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("double").alias("num"),
+                )
+            # literal
+            num = None
+            if t.dt in NUMERIC_DATATYPES:
+                try:
+                    num = float(t.lex)
+                except ValueError:
+                    num = None
+            return F.struct(
+                F.lit(KIND_LITERAL).cast("tinyint").alias("kind"),
+                F.lit(t.lex).alias("lex"),
+                F.lit(t.dt).cast("string").alias("dt"),
+                F.lit(t.lang).cast("string").alias("lang"),
+                F.lit(num).cast("double").alias("num"),
+            )
+
+        for i, q in enumerate(templates):
+            if isinstance(q.g, A.Var):
+                gcol = (
+                    F.col(q.g.name)["lex"]
+                    if q.g.name in cols
+                    else F.lit(None).cast("string")
+                )
+            elif isinstance(q.g, A.Iri):
+                gcol = F.lit(q.g.value)
+            else:
+                gcol = F.lit(default_g)
+            st = term(q.s, i)
+            pt = term(q.p, i)
+            ot = term(q.o, i)
+            part = df.select(
+                gcol.alias("g"),
+                st["lex"].alias("s"),
+                st["kind"].alias("s_kind"),
+                pt["lex"].alias("p"),
+                ot["kind"].alias("o_kind"),
+                ot["lex"].alias("o_lex"),
+                ot["dt"].alias("o_dt"),
+                ot["lang"].alias("o_lang"),
+                ot["num"].alias("o_num"),
+            ).where(
+                F.col("g").isNotNull()
+                & F.col("s").isNotNull()
+                & (F.col("s_kind") != KIND_LITERAL)
+                & F.col("p").isNotNull()
+                & F.col("o_lex").isNotNull()
+            )
+            parts.append(part)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.dropDuplicates(QCOLS)
+
+    # ---- CLEAR / DROP (fs_clear, update.c:632)
+    def _clear(self, store: DataFrame, op: A.ClearOp) -> DataFrame:
+        if op.target == "all":
+            return empty_quads(self.spark)
+        if op.target == "default":
+            return store.where(F.col("g") != DEFAULT_GRAPH)
+        if op.target == "named":
+            return store.where(F.col("g") == DEFAULT_GRAPH)
+        _, g = op.target
+        return store.where(F.col("g") != g)
+
+    # ---- ADD / MOVE / COPY (update.c:709-885)
+    def _graph_copy(self, store: DataFrame, op: A.GraphCopyOp) -> DataFrame:
+        src = op.src or DEFAULT_GRAPH
+        dst = op.dst or DEFAULT_GRAPH
+        if src == dst:
+            return store
+        moved = store.where(F.col("g") == src).withColumn("g", F.lit(dst))
+        if op.kind == "copy":
+            store = store.where(F.col("g") != dst)
+            return store.unionByName(moved)
+        if op.kind == "move":
+            store = store.where((F.col("g") != dst) & (F.col("g") != src))
+            return store.unionByName(moved)
+        return quads_add(store, moved)  # add

@@ -1,0 +1,126 @@
+"""Full-text derived quads (reference tests/httpd/scripts/fulltext shape)
+and IVF probe search tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fourstore_spark.sparql.engine import SparqlEngine
+
+
+def test_porter_stem_classics():
+    from fourstore_spark.operators.fulltext import _porter_stem
+
+    for word, stem in [
+        ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+        ("agreed", "agre"), ("plastered", "plaster"), ("motoring", "motor"),
+        ("happy", "happi"), ("relational", "relat"),
+        ("adjustment", "adjust"), ("formalize", "formal"),
+    ]:
+        assert _porter_stem(word) == stem, word
+
+
+def test_dmetaphone_basics():
+    from fourstore_spark.operators.fulltext import _dmeta
+
+    # phonetically-equal pairs share a primary key
+    assert _dmeta("smith")[0] == _dmeta("smyth")[0]
+    assert _dmeta("katherine")[0] == _dmeta("catherine")[0]
+    assert _dmeta("philip")[0] == _dmeta("filip")[0]
+    # and codes are short uppercase keys
+    p, a = _dmeta("knight")
+    assert p and p.isupper() and len(p) <= 4
+
+
+def test_fulltext_derived_quads_and_query(spark):
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_INDEX,
+        FS_TEXT_STEM,
+        FS_TEXT_TOKEN,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    nt = f"""
+<urn:doc1> <urn:body> "The Quick-Brown foxes, jumping daily!" .
+<urn:doc2> <urn:body> "quick thinking wins" .
+<urn:doc3> <urn:title> "not indexed here" .
+<urn:body> <{FS_TEXT_INDEX}> <{FS_TEXT_TOKEN}> <system:config> .
+<urn:body> <{FS_TEXT_INDEX}> <{FS_TEXT_STEM}> <system:config> .
+"""
+    quads = with_fulltext(quads_from_nt_text(spark, nt))
+    eng = SparqlEngine(spark, quads)
+    # T1: token search (tests/httpd/scripts/fulltext shape)
+    rows = {
+        r[0]
+        for r in eng.select(
+            'SELECT ?d WHERE { ?d <http://4store.org/fulltext#token> "quick" }'
+        ).collect()
+    }
+    assert rows == {"urn:doc1", "urn:doc2"}
+    # boundary set splits on '-' and strips punctuation
+    assert eng.ask('ASK { <urn:doc1> <http://4store.org/fulltext#token> "brown" }')
+    # T3: stem search — 'jumping' stems to 'jump'
+    assert eng.ask('ASK { <urn:doc1> <http://4store.org/fulltext#stem> "jump" }')
+    # unconfigured predicate gets no tokens
+    assert not eng.ask(
+        'ASK { <urn:doc3> <http://4store.org/fulltext#token> "indexed" }'
+    )
+
+
+def test_fulltext_dmetaphone_quads(spark):
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_DMETAPHONE,
+        FS_TEXT_INDEX,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    nt = f"""
+<urn:p1> <urn:name> "Smith" .
+<urn:p2> <urn:name> "Smyth" .
+<urn:name> <{FS_TEXT_INDEX}> <{FS_TEXT_DMETAPHONE}> <system:config> .
+"""
+    quads = with_fulltext(quads_from_nt_text(spark, nt))
+    eng = SparqlEngine(spark, quads)
+    # T2: phonetic match joins the two spellings on a shared key
+    rows = {
+        tuple(r)
+        for r in eng.select(
+            """SELECT ?a ?b WHERE {
+                 ?a <http://4store.org/fulltext#dmetaphone> ?k .
+                 ?b <http://4store.org/fulltext#dmetaphone> ?k .
+                 FILTER(?a != ?b) }"""
+        ).collect()
+    }
+    assert ("urn:p1", "urn:p2") in rows
+
+
+def test_ivf_search_recall(spark, sf_dir):
+    from fourstore_spark.operators.similarity import (
+        cosine_topk,
+        ivf_search,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_centroids(emb, k=8, iters=4)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    # full probe == exact search
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(emb, queries, cents, k=10, nprobe=8).collect()
+    }
+    assert full == exact
+    # partial probe keeps decent recall
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(emb, queries, cents, k=10, nprobe=4).collect()
+    }
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.6, recall

@@ -1,0 +1,95 @@
+"""Result-serializer golden tests (the reference diffs serialized output
+byte-for-byte, e.g. tests/query/scripts/foaf-knows-sha1-xml)."""
+
+import json
+
+import pytest
+
+from fourstore_spark.sparql.engine import SparqlEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    nt = """
+<urn:a> <urn:name> "Alice" .
+<urn:a> <urn:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<urn:b> <urn:name> "Bob"@en .
+<urn:b> <urn:friend> <urn:a> .
+"""
+    return SparqlEngine(spark, quads_from_nt_text(spark, nt))
+
+
+Q = "SELECT ?s ?name WHERE { ?s <urn:name> ?name } ORDER BY ?name"
+
+
+def test_json(eng):
+    doc = json.loads(eng.query(Q).serialize("json"))
+    assert doc["head"]["vars"] == ["s", "name"]
+    b = doc["results"]["bindings"]
+    assert b[0]["s"] == {"type": "uri", "value": "urn:a"}
+    assert b[0]["name"] == {"type": "literal", "value": "Alice"}
+    assert b[1]["name"] == {"type": "literal", "value": "Bob", "xml:lang": "en"}
+
+
+def test_json_ask(eng):
+    assert json.loads(eng.query("ASK { <urn:a> <urn:name> 'Alice' }").serialize("json")) == {
+        "head": {},
+        "boolean": True,
+    }
+    assert json.loads(eng.query("ASK { <urn:a> <urn:name> 'Zed' }").serialize("json")) == {
+        "head": {},
+        "boolean": False,
+    }
+
+
+def test_xml(eng):
+    xml = eng.query(Q).serialize("xml")
+    assert '<sparql xmlns="http://www.w3.org/2005/sparql-results#">' in xml
+    assert '<variable name="s"/>' in xml
+    assert "<uri>urn:a</uri>" in xml
+    assert '<literal xml:lang="en">Bob</literal>' in xml
+
+
+def test_csv_tsv(eng):
+    csv = eng.query(Q).serialize("csv")
+    assert csv.splitlines()[0] == "s,name"
+    assert "urn:a,Alice" in csv
+    tsv = eng.query(Q).serialize("tsv")
+    assert tsv.splitlines()[0] == "?s\t?name"
+    assert '<urn:b>\t"Bob"@en' in tsv
+
+
+def test_typed_literal_json(eng):
+    doc = json.loads(
+        eng.query("SELECT ?v WHERE { <urn:a> <urn:age> ?v }").serialize("json")
+    )
+    t = doc["results"]["bindings"][0]["v"]
+    assert t == {
+        "type": "literal",
+        "value": "30",
+        "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+    }
+
+
+def test_construct_ntriples(eng):
+    nt = eng.query(
+        "CONSTRUCT { ?s <urn:label> ?name } WHERE { ?s <urn:name> ?name }"
+    ).serialize("ntriples")
+    lines = set(nt.strip().splitlines())
+    assert '<urn:a> <urn:label> "Alice" .' in lines
+    assert '<urn:b> <urn:label> "Bob"@en .' in lines
+
+
+def test_explain_returns_plan(eng):
+    plan = eng.query(Q).explain()
+    assert "Physical Plan" in plan
+    # project/filter reach the plan; no Python UDFs in it
+    assert "BatchEvalPython" not in plan
+
+
+def test_soft_limit(eng):
+    res = eng.query("SELECT ?s ?o WHERE { ?s ?p ?o }", soft_limit=1)
+    assert res.soft_limited
+    assert res.df.count() <= 2  # capped per pattern, not exact results

@@ -1,0 +1,147 @@
+"""SPARQL Update tests, mirroring the reference's HTTP update scripts
+(tests/httpd/scripts/add-and-delete, insert-delete-where, put-and-delete)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fourstore_spark.sparql.engine import SparqlEngine
+from fourstore_spark.sparql.update import UpdateEngine, empty_quads
+
+
+@pytest.fixture()
+def ue(spark):
+    return UpdateEngine(spark)
+
+
+def names(df, var="o"):
+    return {r[0] for r in df.select(F.col(var)["lex"]).collect()}
+
+
+def test_insert_and_delete_data(spark, ue):
+    # tests/httpd/scripts/add-and-delete shape: insert, query, delete, query
+    ue.update(
+        """PREFIX ex: <http://example.org/>
+           INSERT DATA {
+             ex:a ex:name "alice" .
+             ex:b ex:name "bob" .
+             GRAPH ex:g1 { ex:c ex:name "carol" } }"""
+    )
+    eng = SparqlEngine(spark, ue.quads)
+    res = eng.query(
+        "SELECT ?o WHERE { ?s <http://example.org/name> ?o }"
+    )
+    assert names(res.df) == {"alice", "bob", "carol"}
+
+    ue.update(
+        """PREFIX ex: <http://example.org/>
+           DELETE DATA { ex:b ex:name "bob" }"""
+    )
+    eng = SparqlEngine(spark, ue.quads)
+    res = eng.query("SELECT ?o WHERE { ?s <http://example.org/name> ?o }")
+    assert names(res.df) == {"alice", "carol"}
+
+
+def test_insert_is_set_semantics(spark, ue):
+    ue.update('INSERT DATA { <urn:s> <urn:p> "v" }')
+    ue.update('INSERT DATA { <urn:s> <urn:p> "v" }')
+    assert ue.quads.count() == 1
+
+
+def test_delete_insert_where(spark, ue):
+    # tests/httpd/scripts/insert-delete-where shape
+    ue.update(
+        """INSERT DATA {
+             <urn:x1> <urn:status> "old" .
+             <urn:x2> <urn:status> "old" .
+             <urn:x3> <urn:status> "fresh" }"""
+    )
+    ue.update(
+        """DELETE { ?s <urn:status> "old" }
+           INSERT { ?s <urn:status> "archived" }
+           WHERE { ?s <urn:status> "old" }"""
+    )
+    eng = SparqlEngine(spark, ue.quads)
+    rows = {
+        (r[0], r[1])
+        for r in eng.select(
+            "SELECT ?s ?st WHERE { ?s <urn:status> ?st }"
+        ).collect()
+    }
+    assert rows == {
+        ("urn:x1", "archived"),
+        ("urn:x2", "archived"),
+        ("urn:x3", "fresh"),
+    }
+
+
+def test_delete_where_shorthand(spark, ue):
+    ue.update(
+        'INSERT DATA { <urn:a> <urn:t> "x" . <urn:b> <urn:t> "y" . '
+        '<urn:a> <urn:u> "z" }'
+    )
+    ue.update("DELETE WHERE { ?s <urn:t> ?o }")
+    eng = SparqlEngine(spark, ue.quads)
+    assert ue.quads.count() == 1
+    assert eng.ask('ASK { <urn:a> <urn:u> "z" }')
+
+
+def test_clear_drop_graphs(spark, ue):
+    ue.update(
+        """INSERT DATA {
+             <urn:d> <urn:p> "default" .
+             GRAPH <urn:g1> { <urn:s1> <urn:p> "one" }
+             GRAPH <urn:g2> { <urn:s2> <urn:p> "two" } }"""
+    )
+    ue.update("CLEAR GRAPH <urn:g1>")
+    assert ue.quads.where(F.col("g") == "urn:g1").count() == 0
+    assert ue.quads.count() == 2
+    ue.update("CLEAR DEFAULT")
+    assert ue.quads.count() == 1
+    ue.update("CLEAR ALL")
+    assert ue.quads.count() == 0
+
+
+def test_add_move_copy(spark, ue):
+    ue.update(
+        """INSERT DATA {
+             GRAPH <urn:src> { <urn:s> <urn:p> "v1" . <urn:s> <urn:p> "v2" }
+             GRAPH <urn:dst> { <urn:t> <urn:p> "old" } }"""
+    )
+    ue.update("COPY GRAPH <urn:src> TO GRAPH <urn:dst>")
+    assert ue.quads.where(F.col("g") == "urn:dst").count() == 2  # replaced
+    ue.update("ADD GRAPH <urn:dst> TO GRAPH <urn:src>")
+    assert ue.quads.where(F.col("g") == "urn:src").count() == 2
+    ue.update("MOVE GRAPH <urn:src> TO GRAPH <urn:other>")
+    assert ue.quads.where(F.col("g") == "urn:src").count() == 0
+    assert ue.quads.where(F.col("g") == "urn:other").count() == 2
+
+
+def test_with_graph_modify(spark, ue):
+    ue.update(
+        'INSERT DATA { GRAPH <urn:g> { <urn:s> <urn:k> "a" } }'
+    )
+    ue.update(
+        """WITH <urn:g>
+           DELETE { ?s <urn:k> "a" }
+           INSERT { ?s <urn:k> "b" }
+           WHERE { ?s <urn:k> "a" }"""
+    )
+    row = ue.quads.collect()[0]
+    assert row["g"] == "urn:g" and row["o_lex"] == "b"
+
+
+def test_insert_data_bnodes_fresh(spark, ue):
+    ue.update('INSERT DATA { _:x <urn:p> "1" }')
+    ue.update('INSERT DATA { _:x <urn:p> "1" }')
+    # same label in two requests = two distinct bnodes (import.c:546-586)
+    assert ue.quads.count() == 2
+
+
+def test_save_restore(spark, ue, tmp_path):
+    ue.update('INSERT DATA { <urn:s> <urn:p> "v" }')
+    path = str(tmp_path / "store")
+    ue.save(path)
+    ue2 = UpdateEngine.restore(spark, path)
+    assert ue2.quads.count() == 1
+    eng = SparqlEngine(spark, ue2.quads)
+    assert eng.ask('ASK { <urn:s> <urn:p> "v" }')
