@@ -481,46 +481,167 @@ class Translator:
         return Sol(out.select(*proj), frozenset(names))
 
     # ------------------------------------------------------------ joins
+    @staticmethod
+    def _powerset(xs: list) -> list:
+        out: list = [[]]
+        for x in xs:
+            out = out + [s + [x] for s in out]
+        return out
+
     def _join(self, left: Sol, right: Sol, how: str, expr=None) -> Sol:
         """Compatible-mapping join (fs_binding_join,
         src/frontend/query-datatypes.c:919-1118). Certain/certain shared
-        vars are plain equi-keys; maybe-unbound ones get the
-        NULL-is-wildcard residual the reference implements in
-        binding_row_compare (query-datatypes.c:476)."""
+        vars are plain equi-keys. Maybe-unbound shared vars (the
+        reference's NULL-is-wildcard binding_row_compare,
+        query-datatypes.c:476) are handled by *decomposing* the join into
+        a union of equi-joins over bound/unbound row partitions — an OR
+        condition (l IS NULL OR r IS NULL OR l=r) would force Catalyst
+        into a BroadcastNestedLoopJoin, which dies at scale; every branch
+        here stays a shuffle-able hash/SMJ join."""
         lcols, rcols = set(left.df.columns), set(right.df.columns)
-        if not lcols:
-            if how == "inner" and expr is None:
-                return right
+        if not lcols and how == "inner" and expr is None:
+            return right
+        certain = (
+            left.certain | right.certain if how == "inner" else left.certain
+        )
+        return Sol(
+            self._compat_join(left, right, how, expr=expr), frozenset(certain)
+        )
+
+    def _compat_join(
+        self,
+        left: Sol,
+        right: Sol,
+        how: str,
+        expr=None,
+        require_overlap: bool = False,
+    ) -> DataFrame:
+        """how: 'inner' | 'left' | 'semi' | 'anti'.
+
+        require_overlap (MINUS): a right row only counts when it shares at
+        least one *bound* variable with the left row."""
+        lcols, rcols = set(left.df.columns), set(right.df.columns)
         shared = sorted(lcols & rcols)
+        maybe_l = [c for c in shared if c not in left.certain]
+        maybe_r = [c for c in shared if c not in right.certain]
+
         ldf = left.df
         rdf = right.df
-        # rename shared right columns
         ren = {c: self._fresh("r") for c in shared}
         for c, n in ren.items():
             rdf = rdf.withColumnRenamed(c, n)
-        conds: list[Column] = []
-        for c in shared:
-            lc, rc = ldf[c], rdf[ren[c]]
-            if c in left.certain and c in right.certain:
-                conds.append(lc == rc)
-            else:
-                conds.append(lc.isNull() | rc.isNull() | (lc == rc))
-        if expr is not None:
-            # LeftJoin filter: evaluated over the merged solution
-            merged = {c: F.coalesce(ldf[c], rdf[ren[c]]) for c in shared}
-            ctx = ExprContext(
-                resolve_var=lambda v: merged.get(
-                    v, ldf[v] if v in lcols else (rdf[v] if v in rcols else null_term())
+        right_out = [ren.get(c, c) for c in right.df.columns]
+
+        def branch_cond(lb, rb, keys):
+            conds = [lb[c] == rb[ren[c]] for c in keys]
+            if expr is not None:
+                merged = {c: F.coalesce(lb[c], rb[ren[c]]) for c in shared}
+                ctx = ExprContext(
+                    resolve_var=lambda v: merged.get(
+                        v,
+                        lb[v]
+                        if v in lcols
+                        else (rb[v] if v in rcols else null_term()),
+                    )
                 )
-            )
-            conds.append(compile_bool(expr, ctx))
-        if conds:
-            cond = conds[0]
+                conds.append(compile_bool(expr, ctx))
+            if not conds:
+                return F.lit(True)
+            out = conds[0]
             for c in conds[1:]:
-                cond = cond & c
+                out = out & c
+            return out
+
+        if not maybe_l and not maybe_r:
+            # every shared var certainly bound on both sides: one plain
+            # equi-join, directly in the requested join mode
+            cond = branch_cond(ldf, rdf, shared)
+            if how == "inner":
+                return self._merge_select(
+                    ldf.join(rdf, cond, "inner"), left, right, ren
+                )
+            if how == "semi":
+                return ldf.join(rdf, cond, "left_semi")
+            if how == "anti":
+                return ldf.join(rdf, cond, "left_anti")
+            return self._merge_select(
+                ldf.join(rdf, cond, "left_outer"), left, right, ren
+            )
+
+        if len(maybe_l) + len(maybe_r) <= 3:
+            branches = []
+            for null_l in self._powerset(maybe_l):
+                lb = ldf
+                for v in maybe_l:
+                    lb = lb.where(
+                        ldf[v].isNull() if v in null_l else ldf[v].isNotNull()
+                    )
+                for null_r in self._powerset(maybe_r):
+                    if require_overlap and all(
+                        (v in null_l) or (v in null_r) for v in shared
+                    ):
+                        continue  # no shared bound var: not a MINUS match
+                    rb = rdf
+                    for v in maybe_r:
+                        rb = rb.where(
+                            rdf[ren[v]].isNull()
+                            if v in null_r
+                            else rdf[ren[v]].isNotNull()
+                        )
+                    keys = [
+                        c for c in shared if c not in null_l and c not in null_r
+                    ]
+                    branches.append(lb.join(rb, branch_cond(lb, rb, keys), "inner"))
+            matched = branches[0]
+            for b in branches[1:]:
+                matched = matched.unionByName(b)
         else:
-            cond = F.lit(True)
-        joined = ldf.join(rdf, cond, "inner" if how == "inner" else "left_outer")
+            # >3 maybe-unbound shared vars: 2^k branches would explode —
+            # accept the nested-loop fallback for this (rare) shape
+            conds = []
+            for c in shared:
+                lc, rc = ldf[c], rdf[ren[c]]
+                if c not in maybe_l and c not in maybe_r:
+                    conds.append(lc == rc)
+                else:
+                    conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+            if require_overlap and shared:
+                ov = F.lit(False)
+                for c in shared:
+                    ov = ov | (ldf[c].isNotNull() & rdf[ren[c]].isNotNull())
+                conds.append(ov)
+            cond = branch_cond(ldf, rdf, []) if expr is not None else F.lit(True)
+            for c in conds:
+                cond = cond & c
+            matched = ldf.join(rdf, cond, "inner")
+
+        if how == "inner":
+            return self._merge_select(matched, left, right, ren)
+        # matched left keys, null-safe on the full left row (duplicate left
+        # rows are interchangeable, so content identity is row identity)
+        keyed = matched.select(*left.df.columns).distinct()
+        kren = {c: self._fresh("k") for c in left.df.columns}
+        for c, n in kren.items():
+            keyed = keyed.withColumnRenamed(c, n)
+        kcond = F.lit(True)
+        for c in left.df.columns:
+            kcond = kcond & ldf[c].eqNullSafe(keyed[kren[c]])
+        if how == "semi":
+            return ldf.join(keyed, kcond, "left_semi")
+        if how == "anti":
+            return ldf.join(keyed, kcond, "left_anti")
+        # left outer: matched ∪ (unmatched left, null-padded)
+        unmatched = ldf.join(keyed, kcond, "left_anti")
+        for c in right.df.columns:
+            unmatched = unmatched.withColumn(
+                ren.get(c, c), F.lit(None).cast(TERM_DDL)
+            )
+        both = matched.unionByName(unmatched.select(*matched.columns))
+        return self._merge_select(both, left, right, ren)
+
+    @staticmethod
+    def _merge_select(joined: DataFrame, left: Sol, right: Sol, ren) -> DataFrame:
+        lcols = set(left.df.columns)
         sel = []
         for c in left.df.columns:
             if c in ren:
@@ -530,12 +651,7 @@ class Translator:
         for c in right.df.columns:
             if c not in ren and c not in lcols:
                 sel.append(joined[c])
-        out = joined.select(*sel)
-        if how == "inner":
-            certain = left.certain | right.certain
-        else:
-            certain = left.certain
-        return Sol(out, frozenset(certain))
+        return joined.select(*sel)
 
     def _union(self, left: Sol, right: Sol) -> Sol:
         # fs_binding_union (src/frontend/query-datatypes.c:646-665):
@@ -551,27 +667,10 @@ class Translator:
         shared = sorted(set(left.df.columns) & set(right.df.columns))
         if not shared:
             return left
-        rdf = right.df
-        ren = {c: self._fresh("r") for c in shared}
-        for c, n in ren.items():
-            rdf = rdf.withColumnRenamed(c, n)
-        compat = []
-        overlap = []
-        for c in shared:
-            lc, rc = left.df[c], rdf[ren[c]]
-            if c in left.certain and c in right.certain:
-                compat.append(lc == rc)
-                overlap.append(F.lit(True))
-            else:
-                compat.append(lc.isNull() | rc.isNull() | (lc == rc))
-                overlap.append(lc.isNotNull() & rc.isNotNull())
-        cond = compat[0]
-        for c in compat[1:]:
-            cond = cond & c
-        ov = overlap[0]
-        for o in overlap[1:]:
-            ov = ov | o
-        return Sol(left.df.join(rdf, cond & ov, "left_anti"), left.certain)
+        return Sol(
+            self._compat_join(left, right, "anti", require_overlap=True),
+            left.certain,
+        )
 
     def _filter(self, node: A.Filter, graph) -> Sol:
         base = self.translate(node.pattern, graph)
@@ -593,7 +692,6 @@ class Translator:
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
         inner = self.translate(e.pattern, graph)
         shared = sorted(set(base.df.columns) & set(inner.df.columns))
-        how = "left_anti" if e.negated else "left_semi"
         if not shared:
             # EXISTS {} with no correlation: keep all iff inner nonempty.
             # Stays lazy — a 1-row probe joined cross-wise, instead of a
@@ -601,21 +699,8 @@ class Translator:
             probe = inner.df.limit(1).select(F.lit(1).alias(self._fresh("ex")))
             how0 = "left_anti" if e.negated else "left_semi"
             return Sol(base.df.join(probe, F.lit(True), how0), base.certain)
-        rdf = inner.df
-        ren = {c: self._fresh("r") for c in shared}
-        for c, n in ren.items():
-            rdf = rdf.withColumnRenamed(c, n)
-        conds = []
-        for c in shared:
-            lc, rc = base.df[c], rdf[ren[c]]
-            if c in base.certain and c in inner.certain:
-                conds.append(lc == rc)
-            else:
-                conds.append(lc.isNull() | rc.isNull() | (lc == rc))
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond & c
-        return Sol(base.df.join(rdf, cond, how), base.certain)
+        how = "anti" if e.negated else "semi"
+        return Sol(self._compat_join(base, inner, how), base.certain)
 
     def _values(self, v: A.ValuesTable) -> Sol:
         rows = []

@@ -1,0 +1,83 @@
+"""Compatible-mapping join plan tests: maybe-unbound shared variables must
+NOT plan a BroadcastNestedLoopJoin (the scale-killer); results must match
+the NULL-is-wildcard semantics (binding_row_compare,
+reference query-datatypes.c:476)."""
+
+import pytest
+
+from fourstore_spark.sparql.engine import SparqlEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    # tiger-mixed-optional shape: an OPTIONAL var joined again downstream
+    nt = """
+<urn:r1> <urn:type> "road" .
+<urn:r2> <urn:type> "road" .
+<urn:r3> <urn:type> "road" .
+<urn:r1> <urn:name> "Main St" .
+<urn:r2> <urn:name> "Oak Ave" .
+<urn:n1> <urn:label> "Main St" .
+<urn:n2> <urn:label> "Elm Rd" .
+"""
+    return SparqlEngine(spark, quads_from_nt_text(spark, nt))
+
+
+OPTIONAL_REUSE = """
+SELECT ?r ?nm ?other WHERE {
+  ?r <urn:type> "road" .
+  OPTIONAL { ?r <urn:name> ?nm }
+  OPTIONAL { ?other <urn:label> ?nm }
+}
+"""
+
+
+def test_optional_reuse_no_bnlj(eng):
+    plan = eng.query(OPTIONAL_REUSE).explain("simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_optional_reuse_semantics(eng):
+    rows = {tuple(r) for r in eng.select(OPTIONAL_REUSE).collect()}
+    # r1 has name "Main St" which matches n1's label;
+    # r2 has name "Oak Ave", no label match -> unbound ?other;
+    # r3 has no name -> ?nm unbound -> second OPTIONAL's ?nm is a free
+    # wildcard: every label row is compatible
+    assert ("urn:r1", "Main St", "urn:n1") in rows
+    assert ("urn:r2", "Oak Ave", None) in rows
+    assert ("urn:r3", "Main St", "urn:n1") in rows
+    assert ("urn:r3", "Elm Rd", "urn:n2") in rows
+
+
+def test_minus_maybe_unbound(eng):
+    # MINUS whose right side shares a maybe-unbound var
+    q = """
+    SELECT ?r WHERE {
+      ?r <urn:type> "road" .
+      OPTIONAL { ?r <urn:name> ?nm }
+      MINUS { ?x <urn:label> ?nm }
+    }
+    """
+    plan = eng.query(q).explain("simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = {r[0] for r in eng.select(q).collect()}
+    # r1's nm matches a label -> removed; r2's doesn't -> kept;
+    # r3's nm is unbound -> no overlapping bound var -> kept
+    assert rows == {"urn:r2", "urn:r3"}
+
+
+def test_exists_maybe_unbound(eng):
+    q = """
+    SELECT ?r WHERE {
+      ?r <urn:type> "road" .
+      OPTIONAL { ?r <urn:name> ?nm }
+      FILTER EXISTS { ?x <urn:label> ?nm }
+    }
+    """
+    plan = eng.query(q).explain("simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = {r[0] for r in eng.select(q).collect()}
+    # r1: label exists; r2: no; r3: nm wildcard -> any label row compatible
+    assert rows == {"urn:r1", "urn:r3"}
