@@ -1,0 +1,153 @@
+"""Command-line drivers, parity with the reference's CLI tools:
+
+    python -m fourstore_spark.cli query  STORE 'SELECT ...' [-f FMT]
+    python -m fourstore_spark.cli import STORE FILE... [--graph G]
+    python -m fourstore_spark.cli update STORE 'INSERT DATA {...}'
+    python -m fourstore_spark.cli serve  STORE [--port N]
+    python -m fourstore_spark.cli dump   STORE OUT.nq
+
+query  == 4s-query  (/root/reference/src/frontend/4s-query.c:459,
+                     formats -f text|sparql|json|testcase -> tsv|xml|json)
+import == 4s-import (src/frontend/import.c:333)
+dump   == 4s-dump/4s-backup (src/frontend/dump.c)
+serve  == 4s-httpd  (src/http/httpd.c)
+
+STORE is a parquet quad-store directory (created on first import).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fourstore-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _swap_store(spark, quads, store: str) -> None:
+    """Write-new-then-rename: a store can't be overwritten while its own
+    parquet files feed the plan."""
+    import shutil
+
+    from fourstore_spark.store import write_store
+
+    tmp = store.rstrip("/") + ".tmp"
+    write_store(quads, tmp)
+    shutil.rmtree(store, ignore_errors=True)
+    os.rename(tmp, store)
+
+
+def _engine(spark, store: str):
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import read_store
+
+    return SparqlEngine(spark, read_store(spark, store))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="fourstore-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query")
+    q.add_argument("store")
+    q.add_argument("query", help="SPARQL text, or - for stdin")
+    q.add_argument("-f", "--format", default="tsv",
+                   choices=["json", "xml", "csv", "tsv", "ntriples"])
+    q.add_argument("--soft-limit", type=int, default=None)
+
+    imp = sub.add_parser("import")
+    imp.add_argument("store")
+    imp.add_argument("files", nargs="+")
+    imp.add_argument("--graph", default=None)
+
+    up = sub.add_parser("update")
+    up.add_argument("store")
+    up.add_argument("update", help="SPARQL Update text, or - for stdin")
+
+    srv = sub.add_parser("serve")
+    srv.add_argument("store", nargs="?")
+    srv.add_argument("--port", type=int, default=8890)
+
+    dmp = sub.add_parser("dump")
+    dmp.add_argument("store")
+    dmp.add_argument("out")
+
+    args = ap.parse_args(argv)
+    spark = _spark()
+
+    if args.cmd == "query":
+        text = sys.stdin.read() if args.query == "-" else args.query
+        res = _engine(spark, args.store).query(text, soft_limit=args.soft_limit)
+        fmt = args.format
+        if res.form in ("CONSTRUCT", "DESCRIBE"):
+            fmt = "ntriples"
+        sys.stdout.write(res.serialize(fmt))
+        return 0
+
+    if args.cmd == "import":
+        from fourstore_spark.model import DEFAULT_GRAPH
+        from fourstore_spark.sources.rdfio import load_rdf
+        from fourstore_spark.sparql.update import UpdateEngine, quads_add
+        from fourstore_spark.store import read_manifest, read_store, write_store
+
+        if read_manifest(args.store):
+            quads = read_store(spark, args.store)
+        else:
+            from fourstore_spark.sparql.update import empty_quads
+
+            quads = empty_quads(spark)
+        for f in args.files:
+            quads = quads_add(
+                quads, load_rdf(spark, f, args.graph or DEFAULT_GRAPH)
+            )
+        _swap_store(spark, quads, args.store)
+        print(f"imported {len(args.files)} file(s)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "update":
+        from fourstore_spark.sparql.update import UpdateEngine
+        from fourstore_spark.store import write_store
+
+        ue = UpdateEngine.restore(spark, args.store)
+        text = sys.stdin.read() if args.update == "-" else args.update
+        ue.update(text)
+        _swap_store(spark, ue.quads, args.store)
+        return 0
+
+    if args.cmd == "serve":
+        from fourstore_spark.httpd import SparqlHttpServer
+        from fourstore_spark.sparql.update import UpdateEngine
+
+        ue = (
+            UpdateEngine.restore(spark, args.store)
+            if args.store
+            else UpdateEngine(spark)
+        )
+        print(f"serving on :{args.port}", file=sys.stderr)
+        SparqlHttpServer(spark, ue, port=args.port).serve()
+        return 0
+
+    if args.cmd == "dump":
+        from fourstore_spark.sources.rdfio import quads_to_nq_lines
+        from fourstore_spark.store import read_store
+
+        quads_to_nq_lines(read_store(spark, args.store)).write.mode(
+            "overwrite"
+        ).text(args.out)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

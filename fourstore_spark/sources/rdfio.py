@@ -220,15 +220,233 @@ def quads_from_turtle(
     return spark.createDataFrame(rows, QUADS_SCHEMA)
 
 
+# ------------------------------------------------------------- rdf/xml
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def parse_rdfxml(text: str, base: str = "") -> list:
+    """RDF/XML -> list of (s, p, o) tuples where each term is
+    ('uri'|'bnode', value) or ('lit', lex, dt, lang).
+
+    Driver-side, stdlib xml.etree. Covers the striped syntax the
+    reference's test KBs use (data/swh.xrdf): rdf:Description and typed
+    node elements, rdf:about/rdf:resource/rdf:nodeID/rdf:ID, nested node
+    elements, rdf:datatype, xml:lang inheritance, property attributes,
+    and rdf:parseType="Resource"/"Literal". (The reference delegates to
+    Raptor, import.c:352-371.)
+    """
+    import xml.etree.ElementTree as ET
+    from urllib.parse import urljoin
+
+    root = ET.fromstring(text)
+    triples: list = []
+    counter = [0]
+
+    def bnode() -> tuple:
+        counter[0] += 1
+        return ("bnode", f"_:rx{counter[0]}")
+
+    def resolve(uri: str) -> str:
+        return urljoin(base, uri) if base else uri
+
+    def split(tag: str) -> str:
+        # '{ns}local' -> ns + local
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def node_subject(el) -> tuple:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return ("uri", resolve(about))
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            return ("uri", resolve("#" + rid))
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return ("bnode", "_:" + nid)
+        return bnode()
+
+    def do_node(el, lang) -> tuple:
+        lang = el.get(f"{{{_XML_NS}}}lang", lang)
+        subj = node_subject(el)
+        tag = split(el.tag)
+        if tag != _RDF_NS + "Description":
+            triples.append((subj, ("uri", _RDF_NS + "type"), ("uri", tag)))
+        # property attributes (non-rdf, non-xml attrs -> literal triples)
+        for k, v in el.attrib.items():
+            ku = split(k)
+            if ku.startswith(_RDF_NS) or k.startswith(f"{{{_XML_NS}}}"):
+                continue
+            triples.append((subj, ("uri", ku), ("lit", v, None, lang)))
+        for prop in el:
+            do_property(subj, prop, lang)
+        return subj
+
+    def do_property(subj, el, lang):
+        lang = el.get(f"{{{_XML_NS}}}lang", lang)
+        pred = ("uri", split(el.tag))
+        res = el.get(f"{{{_RDF_NS}}}resource")
+        if res is not None:
+            triples.append((subj, pred, ("uri", resolve(res))))
+            return
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            triples.append((subj, pred, ("bnode", "_:" + nid)))
+            return
+        ptype = el.get(f"{{{_RDF_NS}}}parseType")
+        if ptype == "Resource":
+            b = bnode()
+            triples.append((subj, pred, b))
+            for child in el:
+                do_property(b, child, lang)
+            return
+        if ptype == "Literal":
+            import xml.etree.ElementTree as ET2
+
+            inner = (el.text or "") + "".join(
+                ET2.tostring(c, encoding="unicode") for c in el
+            )
+            triples.append(
+                (subj, pred, ("lit", inner, _RDF_NS + "XMLLiteral", None))
+            )
+            return
+        children = list(el)
+        if children:
+            for child in children:
+                obj = do_node(child, lang)
+                triples.append((subj, pred, obj))
+            return
+        dt = el.get(f"{{{_RDF_NS}}}datatype")
+        triples.append((subj, pred, ("lit", el.text or "", dt, lang)))
+
+    if split(root.tag) == _RDF_NS + "RDF":
+        for el in root:
+            do_node(el, None)
+    else:
+        do_node(root, None)
+    return triples
+
+
+def quads_from_rdfxml(
+    spark: SparkSession,
+    text: str,
+    default_graph: str = DEFAULT_GRAPH,
+    base: str = "",
+) -> DataFrame:
+    rows = []
+    for (sk, sv), (_, pv), o in parse_rdfxml(text, base):
+        s_kind = KIND_URI if sk == "uri" else KIND_BNODE
+        if o[0] == "uri":
+            orow = (KIND_URI, o[1], None, None, None)
+        elif o[0] == "bnode":
+            orow = (KIND_BNODE, o[1], None, None, None)
+        else:
+            _, lex, dt, lang = o
+            num = None
+            if dt in NUMERIC_DATATYPES:
+                try:
+                    num = float(lex)
+                except ValueError:
+                    num = None
+            orow = (KIND_LITERAL, lex, dt, lang.lower() if lang else None, num)
+        rows.append((default_graph, sv, s_kind, pv) + orow)
+    return spark.createDataFrame(rows, QUADS_SCHEMA)
+
+
+# ---------------------------------------------------------------- trig
+def quads_from_trig(
+    spark: SparkSession, text: str, default_graph: str = DEFAULT_GRAPH
+) -> DataFrame:
+    """TriG (Turtle + graph blocks): ``<g> { triples }`` / ``GRAPH <g>
+    { triples }`` plus top-level default-graph triples."""
+    from fourstore_spark.sparql.parser import Parser
+
+    text = _AT_PREFIX.sub(lambda m: f"PREFIX {m.group(1)} {m.group(2)}", text)
+    text = _AT_BASE.sub(lambda m: f"BASE {m.group(1)}", text)
+    p = Parser(text)
+    out = None
+
+    def block_df(graph: str):
+        nonlocal out
+        block = p.parse_triples_block()
+        df = _triples_to_quads(spark, block, graph)
+        out = df if out is None else out.unionByName(df)
+
+    while True:
+        p.parse_prologue()
+        t = p.peek()
+        if t.type == "EOF":
+            break
+        if t.type == "IDENT" and t.value.upper() == "GRAPH":
+            p.next()
+            g = p.parse_iri().value
+            p.expect_op("{")
+            block_df(g)
+            p.expect_op("}")
+            p.take_op(".")
+        elif t.type in ("IRIREF", "PNAME") and p.peek(1).type == "OP" and p.peek(1).value == "{":
+            g = p.parse_iri().value
+            p.expect_op("{")
+            block_df(g)
+            p.expect_op("}")
+            p.take_op(".")
+        else:
+            # one default-graph statement at a time (a full triples-block
+            # parse would run into the next graph label)
+            triples: list = []
+            subj = p.parse_graph_node(triples)
+            p.parse_property_list(subj, triples)
+            p.take_op(".")
+            df = _triples_to_quads(spark, triples, default_graph)
+            out = df if out is None else out.unionByName(df)
+    return out if out is not None else spark.createDataFrame([], QUADS_SCHEMA)
+
+
+def _triples_to_quads(spark: SparkSession, triples: list, graph: str) -> DataFrame:
+    from fourstore_spark.sparql import algebra as A
+
+    rows = []
+    for tp in triples:
+        if isinstance(tp.s, A.Iri):
+            s, s_kind = tp.s.value, KIND_URI
+        else:
+            s, s_kind = "_:" + tp.s.label, KIND_BNODE
+        o = tp.o
+        if isinstance(o, A.Iri):
+            orow = (KIND_URI, o.value, None, None, None)
+        elif isinstance(o, A.BNode):
+            orow = (KIND_BNODE, "_:" + o.label, None, None, None)
+        else:
+            num = None
+            if o.dt in NUMERIC_DATATYPES:
+                try:
+                    num = float(o.lex)
+                except ValueError:
+                    num = None
+            orow = (KIND_LITERAL, o.lex, o.dt, o.lang, num)
+        rows.append((graph, s, s_kind, tp.p.value) + orow)
+    return spark.createDataFrame(rows, QUADS_SCHEMA)
+
+
 def load_rdf(
     spark: SparkSession, path: str, default_graph: str = DEFAULT_GRAPH
 ) -> DataFrame:
     """Format-sniffing loader (fs_import picks a Raptor parser by
-    extension/MIME, import.c:352-371): .nt/.nq distributed, .ttl driver."""
+    extension/MIME, import.c:352-371): .nt/.nq distributed; .ttl/.trig/
+    .rdf/.xrdf/.owl driver-side."""
     lower = path.lower()
     if lower.endswith((".ttl", ".turtle")):
         with open(path, encoding="utf-8") as fh:
             return quads_from_turtle(spark, fh.read(), default_graph)
+    if lower.endswith(".trig"):
+        with open(path, encoding="utf-8") as fh:
+            return quads_from_trig(spark, fh.read(), default_graph)
+    if lower.endswith((".rdf", ".xrdf", ".owl", ".xml")):
+        with open(path, encoding="utf-8") as fh:
+            return quads_from_rdfxml(spark, fh.read(), default_graph, base=path)
     return quads_from_nt(spark, path, default_graph)
 
 

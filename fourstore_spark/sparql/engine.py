@@ -103,8 +103,17 @@ class SparqlEngine:
         quads: DataFrame,
         union_default_graph: bool = True,
         soft_limit: int | None = None,
+        allowed_graphs: list[str] | None = None,
+        denied_graphs: list[str] | None = None,
     ):
         self.spark = spark
+        # graph ACLs (query-cache.c:96-140 no_access_for_user /
+        # fs_mark_discard_rows): a per-session visibility filter injected
+        # ahead of every scan — Catalyst pushes it into the parquet read
+        if denied_graphs:
+            quads = quads.where(~F.col("g").isin(denied_graphs))
+        if allowed_graphs is not None:
+            quads = quads.where(F.col("g").isin(allowed_graphs))
         self.quads = quads
         self.union_default_graph = union_default_graph
         # restricted mode: per-pattern result cap (soft limit,

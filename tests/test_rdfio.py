@@ -99,3 +99,99 @@ def test_nquads_graph_column(spark):
     q = quads_from_nt_text(spark, nq)
     got = {(r["g"], r["s"]) for r in q.collect()}
     assert got == {("urn:graph1", "urn:s"), ("default:", "urn:s2")}
+
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/"
+         xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <foaf:Person rdf:about="mailto:pat@example.net">
+    <foaf:name>Pat Doe</foaf:name>
+    <foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#int">44</foaf:age>
+    <dc:description xml:lang="en-GB">A test person</dc:description>
+    <foaf:homepage rdf:resource="http://example.net/pat"/>
+    <foaf:depiction>
+      <foaf:Image rdf:about="http://example.net/pat.jpg">
+        <dc:format>image/jpeg</dc:format>
+      </foaf:Image>
+    </foaf:depiction>
+    <foaf:empty></foaf:empty>
+  </foaf:Person>
+  <rdf:Description rdf:about="http://example.net/doc">
+    <dc:creator rdf:nodeID="b0"/>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def test_rdfxml_parse(spark):
+    from fourstore_spark.sources.rdfio import quads_from_rdfxml
+
+    q = quads_from_rdfxml(spark, RDFXML)
+    eng = SparqlEngine(spark, q)
+    # typed node element => rdf:type triple
+    assert eng.ask(
+        """ASK { <mailto:pat@example.net>
+                 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+                 <http://xmlns.com/foaf/0.1/Person> }"""
+    )
+    # typed literal with numeric value usable in FILTER
+    assert eng.ask(
+        """ASK { <mailto:pat@example.net> <http://xmlns.com/foaf/0.1/age> ?a
+                 FILTER(?a > 40) }"""
+    )
+    # lang literal
+    row = q.where(q.o_lang.isNotNull()).collect()[0]
+    assert row["o_lang"] == "en-gb" and row["o_lex"] == "A test person"
+    # nested node element object + its own properties
+    assert eng.ask(
+        """ASK { <mailto:pat@example.net> <http://xmlns.com/foaf/0.1/depiction>
+                 <http://example.net/pat.jpg> }"""
+    )
+    assert eng.ask(
+        """ASK { <http://example.net/pat.jpg>
+                 <http://purl.org/dc/elements/1.1/format> "image/jpeg" }"""
+    )
+    # empty property element -> empty literal
+    assert eng.ask(
+        'ASK { <mailto:pat@example.net> <http://xmlns.com/foaf/0.1/empty> "" }'
+    )
+
+
+def test_rdfxml_reference_kb(spark):
+    import os
+
+    path = "/root/reference/data/swh.xrdf"
+    if not os.path.exists(path):
+        pytest.skip("reference KB not present")
+    from fourstore_spark.sources.rdfio import load_rdf
+
+    q = load_rdf(spark, path)
+    assert q.count() > 30
+    eng = SparqlEngine(spark, q)
+    rows = {
+        r[0]
+        for r in eng.select(
+            """SELECT ?name WHERE {
+                 <mailto:steve@example.net>
+                 <http://xmlns.com/foaf/0.1/name> ?name }"""
+        ).collect()
+    }
+    assert rows == {"Steve Harris"}
+
+
+def test_trig_parse(spark):
+    from fourstore_spark.sources.rdfio import quads_from_trig
+
+    trig = """
+@prefix ex: <http://example.org/> .
+ex:top ex:p "default-graph" .
+ex:g1 { ex:a ex:p "one" . ex:a ex:q ex:b . }
+GRAPH ex:g2 { ex:c ex:p "two" }
+"""
+    q = quads_from_trig(spark, trig)
+    got = {(r["g"], r["s"], r["o_lex"]) for r in q.collect()}
+    assert ("default:", "http://example.org/top", "default-graph") in got
+    assert ("http://example.org/g1", "http://example.org/a", "one") in got
+    assert ("http://example.org/g2", "http://example.org/c", "two") in got
+    assert q.count() == 4

@@ -93,3 +93,20 @@ def test_soft_limit(eng):
     res = eng.query("SELECT ?s ?o WHERE { ?s ?p ?o }", soft_limit=1)
     assert res.soft_limited
     assert res.df.count() <= 2  # capped per pattern, not exact results
+
+
+def test_graph_acls(spark):
+    # X1: graph ACLs (query-cache.c:96-140) — per-session visibility
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    nq = (
+        '<urn:s1> <urn:p> "public" <urn:g:open> .\n'
+        '<urn:s2> <urn:p> "secret" <urn:g:private> .'
+    )
+    quads = quads_from_nt_text(spark, nq)
+    open_eng = SparqlEngine(spark, quads, denied_graphs=["urn:g:private"])
+    rows = {r[0] for r in open_eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()}
+    assert rows == {"public"}
+    allow_eng = SparqlEngine(spark, quads, allowed_graphs=["urn:g:private"])
+    rows = {r[0] for r in allow_eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()}
+    assert rows == {"secret"}
