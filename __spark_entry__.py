@@ -903,6 +903,111 @@ def _registry() -> dict[str, tuple]:
            QUALIFY rank <= 5""",
     )
 
+    # ---- additional semantic corners ------------------------------------
+    r["from_clause"] = (
+        _sq(
+            f"SELECT ?s ?o FROM <urn:g:region> WHERE {{ ?s ?p ?o }}"
+        ),
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS o FROM region",
+    )
+    r["f_strlang_lang"] = (
+        _sq(
+            f"""SELECT ?name (LANG(STRLANG(?name, "EN")) AS ?l)
+                       (LANGMATCHES(LANG(STRLANG(?name, "en-GB")), "en") AS ?m)
+                       (DATATYPE(?name) AS ?dt)
+                WHERE {{ ?r <{P}region#r_name> ?name }}""",
+            m="bool",
+        ),
+        "SELECT r_name AS name, 'en' AS l, true AS m, "
+        "'http://www.w3.org/2001/XMLSchema#string' AS dt FROM region",
+    )
+    r["f_sameterm"] = (
+        _sq(
+            f"""SELECT ?a ?b WHERE {{
+                  ?a <{P}customer#c_mktsegment> ?seg .
+                  ?b <{P}customer#c_mktsegment> ?seg .
+                  FILTER(!SAMETERM(?a, ?b) && STR(?a) < STR(?b)
+                         && ?seg = "MACHINERY") }}"""
+        ),
+        "SELECT 'urn:customer:' || CAST(a.c_custkey AS VARCHAR) AS a, "
+        "'urn:customer:' || CAST(b.c_custkey AS VARCHAR) AS b "
+        "FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment "
+        "AND 'urn:customer:' || CAST(a.c_custkey AS VARCHAR) < "
+        "'urn:customer:' || CAST(b.c_custkey AS VARCHAR) "
+        "WHERE a.c_mktsegment = 'MACHINERY'",
+    )
+    r["a2_sum_distinct"] = (
+        _sq(
+            f"SELECT (SUM(DISTINCT ?size) AS ?t) (AVG(DISTINCT ?size) AS ?av) "
+            f"WHERE {{ ?p <{P}part#p_size> ?size }}",
+            t="num", av="num",
+        ),
+        "SELECT CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) AS t, "
+        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) / "
+        "COUNT(DISTINCT p_size) AS av FROM part",
+    )
+    r["o3_soft_limit_exact"] = (
+        # soft-limit cap far above the row count: restricted-mode code
+        # path with unrestricted (exact) results
+        lambda spark, sf_dir: _engine(spark, sf_dir)
+        .query(
+            f"SELECT ?s ?name WHERE {{ ?s <{P}region#r_name> ?name }}",
+            soft_limit=10**9,
+        )
+        .flat(),
+        "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS name FROM region",
+    )
+    r["q3_construct_where_short"] = (
+        lambda spark, sf_dir: _engine(spark, sf_dir)
+        .query(f"CONSTRUCT WHERE {{ ?s <{P}region#r_name> ?o }}")
+        .df.select("s", "p", "o_lex"),
+        "SELECT DISTINCT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "'urn:col:region#r_name' AS p, r_name AS o_lex FROM region",
+    )
+    r["q4_describe_var"] = (
+        lambda spark, sf_dir: _engine(spark, sf_dir)
+        .query(
+            f'DESCRIBE ?x WHERE {{ ?x <{P}nation#n_name> "NATION_3" }}'
+        )
+        .df.select("s", "p", "o_lex"),
+        "SELECT 'urn:nation:3' AS s, 'urn:col:nation#n_name' AS p, "
+        "'NATION_3' AS o_lex UNION ALL "
+        "SELECT 'urn:nation:3', 'urn:col:nation#n_regionkey', "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+        "WHERE n_nationkey = 3",
+    )
+    r["minus_disjoint_domains"] = (
+        # MINUS with no shared variables removes nothing (compatible-
+        # mapping corner, query-datatypes.c:1120)
+        _sq(
+            f"""SELECT ?name WHERE {{
+                  ?r <{P}region#r_name> ?name
+                  MINUS {{ ?n <{P}nation#n_name> ?x }} }}"""
+        ),
+        "SELECT r_name AS name FROM region",
+    )
+    r["optional_filter_scope"] = (
+        # the OPTIONAL block's filter applies before the left join
+        # (query.c:988-1007): orders keep a row even when the filter
+        # rejects their lineitems
+        _sq(
+            f"""SELECT ?o ?pk WHERE {{
+                  ?o <{P}orders#o_orderstatus> ?st .
+                  OPTIONAL {{ ?li <{P}lineitem#l_orderkey> ?o ;
+                                  <{P}lineitem#l_partkey> ?pk ;
+                                  <{P}lineitem#l_quantity> ?q
+                              FILTER(?q > 45) }} }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o.o_orderkey AS VARCHAR) AS o, "
+        "CASE WHEN l.l_partkey IS NULL THEN NULL "
+        "ELSE 'urn:part:' || CAST(l.l_partkey AS VARCHAR) END AS pk "
+        "FROM orders o LEFT JOIN "
+        "(SELECT * FROM lineitem WHERE l_quantity > 45) l "
+        "ON l.l_orderkey = o.o_orderkey",
+    )
+
     # ---- write path / import / serializers / full-text / store ---------
     r["update_insert_delete_where"] = (
         _op_update_cycle,
