@@ -54,10 +54,13 @@ def main() -> None:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     store_path = f"/tmp/fourstore_store_{sf_tag}"
     t0 = time.perf_counter()
-    if os.environ.get("SPARK_GRAFT_REBUILD") or not read_manifest(store_path):
+    manifest = read_manifest(store_path)
+    if os.environ.get("SPARK_GRAFT_REBUILD") or not manifest or (
+        "single_valued_preds" not in manifest
+    ):
         write_store(quads_from_sf_dir(spark, sf_dir), store_path)
     load_sec = time.perf_counter() - t0
-    eng = SparqlEngine(spark, read_store(spark, store_path))
+    eng = SparqlEngine.from_store(spark, store_path)
 
     P = "urn:col:"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

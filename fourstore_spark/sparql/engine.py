@@ -105,6 +105,7 @@ class SparqlEngine:
         soft_limit: int | None = None,
         allowed_graphs: list[str] | None = None,
         denied_graphs: list[str] | None = None,
+        single_valued_preds: set[str] | None = None,
     ):
         self.spark = spark
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
@@ -120,12 +121,39 @@ class SparqlEngine:
         # params.h.in:34 default 998/segment; truncation warning
         # results.c:2722-2728). None = exact results.
         self.soft_limit = soft_limit
+        # store statistics (manifest single_valued_preds): predicates with
+        # fan-out 1 let star scans aggregate with codegen first()
+        self.single_valued_preds = single_valued_preds
+        # property table (store._subjects): shuffle-free star scans
+        self.subjects: DataFrame | None = None
+
+    @classmethod
+    def from_store(cls, spark: SparkSession, path: str, **kwargs) -> "SparqlEngine":
+        """Open a materialized quad store (store.write_store), picking up
+        its manifest statistics and property table."""
+        from fourstore_spark.store import read_manifest, read_store, read_subjects
+
+        manifest = read_manifest(path) or {}
+        sv = set(manifest.get("single_valued_preds") or []) or None
+        eng = cls(
+            spark, read_store(spark, path), single_valued_preds=sv, **kwargs
+        )
+        if not kwargs.get("allowed_graphs") and not kwargs.get("denied_graphs"):
+            # (ACL filtering needs per-value graph checks the property
+            # table doesn't express cheaply — fall back to the quads path)
+            eng.subjects = read_subjects(spark, path)
+        return eng
 
     def query(self, text: str, soft_limit: int | None = None) -> SparqlResult:
         q = parse_query(text)
         limit = soft_limit if soft_limit is not None else self.soft_limit
         tr = Translator(
-            self.spark, self.quads, self.union_default_graph, soft_limit=limit
+            self.spark,
+            self.quads,
+            self.union_default_graph,
+            soft_limit=limit,
+            single_valued_preds=self.single_valued_preds,
+            subjects=self.subjects,
         )
         df = tr.translate_query(q)
         res = SparqlResult(q.form, df)

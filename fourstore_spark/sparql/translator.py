@@ -80,9 +80,18 @@ class Translator:
         quads: DataFrame,
         union_default_graph: bool = True,
         soft_limit: int | None = None,
+        single_valued_preds: set | None = None,
+        subjects: DataFrame | None = None,
     ):
         self.spark = spark
         self.quads = quads
+        # property table (store.py): quads pre-grouped by subject, used by
+        # star scans to skip the query-time shuffle entirely
+        self.subjects = subjects
+        # store stats: predicates known to have fan-out 1 per subject
+        # (manifest, store.write_store) — the reference's histogram
+        # analogue (fs_bind_freq, optimiser.c:445-524)
+        self.single_valued_preds = single_valued_preds or set()
         # 4store's default graph is effectively the union of all models
         # unless restricted (FS_QUERY_DEFAULT_GRAPH,
         # src/backend/query-backend.c:71-80)
@@ -397,6 +406,12 @@ class Translator:
         the exact BGP bag semantics over set-semantics quads, which the
         store guarantees by deduplicating at import like the reference's
         import-backend.c:74-118)."""
+        if (
+            self.subjects is not None
+            and not isinstance(graph, A.Var)
+            and self.soft_limit is None
+        ):
+            return self._star_scan_pt(sname, patterns, graph)
         df = self.quads
         if graph is None:
             if self.from_graphs:
@@ -421,6 +436,7 @@ class Translator:
         aggs = []
         requires = []
         explodes = []
+        ovars: list[str] = []
         for i, (tp, oname) in enumerate(patterns):
             m = F.col("p") == tp.p.value
             if oname is None:  # constant object: existence constraint
@@ -439,10 +455,18 @@ class Translator:
                 name = f"__c{i}"
                 aggs.append(F.max(F.when(m, 1)).alias(name))
                 requires.append(name)
+            elif tp.p.value in self.single_valued_preds:
+                # store stats say fan-out <= 1: a codegen-friendly first()
+                # replaces collect_list+explode (HashAggregate instead of
+                # ObjectHashAggregate, no Generate node)
+                aggs.append(F.first(F.when(m, o_term), ignorenulls=True).alias(oname))
+                requires.append(oname)
+                ovars.append(oname)
             else:
                 name = f"__v{i}"
                 aggs.append(F.collect_list(F.when(m, o_term)).alias(name))
                 explodes.append((name, oname))
+                ovars.append(oname)
 
         keys = ["s", "s_kind"] + (["g"] if isinstance(graph, A.Var) else [])
         if self.soft_limit is not None:
@@ -475,10 +499,84 @@ class Translator:
                 ).alias(graph.name)
             )
             names.append(graph.name)
-        for _, oname in explodes:
+        for oname in ovars:
             proj.append(F.col(oname))
             names.append(oname)
         return Sol(out.select(*proj), frozenset(names))
+
+    def _star_scan_pt(self, sname: str, patterns: list, graph) -> Sol:
+        """Subject star over the property table: ZERO query-time shuffle —
+        map lookups + array filters per subject row, arrays exploded back
+        (or element_at for store-stat functional predicates)."""
+        df = self.subjects
+
+        def graph_vals(vals: Column) -> Column:
+            if isinstance(graph, A.Iri):
+                return F.filter(vals, lambda x: x["g"] == graph.value)
+            if self.from_graphs:
+                gs = list(self.from_graphs)
+                return F.filter(vals, lambda x: x["g"].isin(gs))
+            if not self.union_default_graph:
+                return F.filter(vals, lambda x: x["g"] == DEFAULT_GRAPH)
+            return vals
+
+        def term_of(x: Column) -> Column:
+            return F.struct(
+                x["kind"].alias("kind"),
+                x["lex"].alias("lex"),
+                x["dt"].alias("dt"),
+                x["lang"].alias("lang"),
+                x["num"].alias("num"),
+            )
+
+        explodes: list[tuple[str, str]] = []
+        ovars: list[str] = []
+        for i, (tp, oname) in enumerate(patterns):
+            vals = graph_vals(F.col("props").getItem(tp.p.value))
+            if oname is None:  # constant-object existence constraint
+                if isinstance(tp.o, A.Iri):
+                    match = lambda x, t=tp: (x["kind"] == KIND_URI) & (
+                        x["lex"] == t.o.value
+                    )
+                else:
+                    match = lambda x, t=tp: (
+                        (x["kind"] == KIND_LITERAL)
+                        & (x["lex"] == t.o.lex)
+                        & x["dt"].eqNullSafe(F.lit(t.o.dt))
+                        & x["lang"].eqNullSafe(F.lit(t.o.lang))
+                    )
+                df = df.where(
+                    vals.isNotNull() & F.exists(vals, match)
+                )
+                continue
+            df = df.where(vals.isNotNull() & (F.size(vals) > 0))
+            if tp.p.value in self.single_valued_preds:
+                df = df.withColumn(oname, term_of(F.element_at(vals, 1)))
+            else:
+                name = f"__pv{i}"
+                df = df.withColumn(name, vals)
+                explodes.append((name, oname))
+            ovars.append(oname)
+        for name, oname in explodes:
+            # explode to a temp column first: field extraction can't apply
+            # directly to a generator expression
+            df = df.withColumn(name + "e", F.explode(F.col(name)))
+            df = df.withColumn(oname, term_of(F.col(name + "e")))
+
+        proj = [
+            F.struct(
+                F.col("s_kind").alias("kind"),
+                F.col("s").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            ).alias(sname)
+        ]
+        names = [sname]
+        for oname in ovars:
+            proj.append(F.col(oname))
+            names.append(oname)
+        return Sol(df.select(*proj), frozenset(names))
 
     # ------------------------------------------------------------ joins
     @staticmethod

@@ -32,9 +32,16 @@ def write_store(
     quads: DataFrame,
     path: str,
     partitions: int | None = None,
+    compute_stats: bool = True,
 ) -> dict:
     """Materialize a quads DataFrame at ``path``: hash-distributed by
-    subject, (p, s)-sorted within files."""
+    subject, (p, s)-sorted within files.
+
+    With compute_stats, the manifest records which predicates are
+    *functional* (at most one object per (g,s)) — the stats analogue of
+    the reference's per-predicate frequency histograms (fs_bind_freq,
+    optimiser.c:445-524). The star-scan planner uses them to aggregate
+    with codegen first() instead of collect_list+explode."""
     spark = quads.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -44,13 +51,59 @@ def write_store(
         .write.mode("overwrite")
         .parquet(path)
     )
-    n = spark.read.parquet(path).count()
+    stored = spark.read.parquet(path)
+    n = stored.count()
+    # property table: the quads pre-grouped by subject — map<p,
+    # array<struct<g, kind, lex, dt, lang, num>>> per subject. Star scans
+    # read it with ZERO query-time shuffle (the groupBy(s) the quads path
+    # would do per query happens once, here, at import).
+    subj = (
+        stored.groupBy("s", "s_kind", "p")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("g"),
+                    F.col("o_kind").alias("kind"),
+                    F.col("o_lex").alias("lex"),
+                    F.col("o_dt").alias("dt"),
+                    F.col("o_lang").alias("lang"),
+                    F.col("o_num").alias("num"),
+                )
+            ).alias("vals")
+        )
+        .groupBy("s", "s_kind")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("p"), F.col("vals")))
+            ).alias("props")
+        )
+    )
+    subj.repartition(partitions, F.col("s")).write.mode("overwrite").parquet(
+        os.path.join(path, "_subjects")
+    )
+    single_valued: list[str] = []
+    if compute_stats:
+        # fan-out per (p, s) across ALL graphs (safe for every graph
+        # scoping a star scan can group under), derived from the already-
+        # grouped property table — no extra pass over the quads
+        subj_stored = spark.read.parquet(os.path.join(path, "_subjects"))
+        fanout = (
+            subj_stored.select(
+                F.explode(F.map_entries(F.col("props"))).alias("e")
+            )
+            .groupBy(F.col("e.key").alias("p"))
+            .agg(F.max(F.size(F.col("e.value"))).alias("mx"))
+        )
+        single_valued = sorted(
+            r["p"] for r in fanout.where(F.col("mx") == 1).collect()
+        )
     manifest = {
         "format": "fourstore-quads-parquet-v1",
         "rows": n,
         "partitions": partitions,
         "distribute": "hash(s)",
         "sort_within": ["p", "s"],
+        "single_valued_preds": single_valued,
     }
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
@@ -59,6 +112,14 @@ def write_store(
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_subjects(spark: SparkSession, path: str) -> DataFrame | None:
+    """The store's property table, if materialized."""
+    sub = os.path.join(path, "_subjects")
+    if not os.path.isdir(sub):
+        return None
+    return spark.read.parquet(sub)
 
 
 def read_manifest(path: str) -> dict | None:

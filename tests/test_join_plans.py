@@ -81,3 +81,36 @@ def test_exists_maybe_unbound(eng):
     rows = {r[0] for r in eng.select(q).collect()}
     # r1: label exists; r2: no; r3: nm wildcard -> any label row compatible
     assert rows == {"urn:r1", "urn:r3"}
+
+
+def test_single_valued_star_stats(spark, tmp_path):
+    """Store stats (functional predicates) switch star scans to first()
+    aggregation without changing results; multi-valued predicates keep
+    the exact explode path."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    nt = """
+<urn:a> <urn:one> "a1" .
+<urn:a> <urn:many> "m1" .
+<urn:a> <urn:many> "m2" .
+<urn:b> <urn:one> "b1" .
+<urn:b> <urn:many> "m3" .
+<urn:c> <urn:one> "c1" .
+"""
+    path = str(tmp_path / "store")
+    manifest = write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    assert manifest["single_valued_preds"] == ["urn:one"]
+    q = """SELECT ?s ?o ?m WHERE {
+             ?s <urn:one> ?o ; <urn:many> ?m }"""
+    plain = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    stats = SparqlEngine.from_store(spark, path)
+    expected = {
+        ("urn:a", "a1", "m1"), ("urn:a", "a1", "m2"), ("urn:b", "b1", "m3"),
+    }
+    assert {tuple(r) for r in plain.select(q).collect()} == expected
+    assert {tuple(r) for r in stats.select(q).collect()} == expected
+    # the stats plan has no Generate (explode) for the functional predicate
+    plan = stats.query("SELECT ?s ?o WHERE { ?s <urn:one> ?o ; <urn:one> ?o2 }").explain("simple")
+    assert "Generate" not in plan
