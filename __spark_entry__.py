@@ -319,6 +319,64 @@ def _op_dump_restore(spark, sf_dir):
     )
 
 
+def _staged_events(spark, sf_dir) -> str:
+    """Stage the events table once as a plain-timestamp parquet dir so the
+    streaming file source can replay it."""
+    from fourstore_spark.sources.relational import load_table
+
+    path = f"/tmp/fourstore_events_staged_{abs(hash(sf_dir)) % 10**8}"
+    import os as _os
+
+    if not _os.path.isdir(path):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartition(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _op_stream_window(spark, sf_dir):
+    """Streaming tumbling-window rollup over the events table, replayed
+    through the file source with an availableNow trigger (rows-only:
+    append-mode emission depends on watermark advancement)."""
+    from fourstore_spark.streaming import windowed_event_counts
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    name = f"win_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _op_stream_sessionize(spark, sf_dir):
+    """Stateful gap sessionization (applyInPandasWithState) over the
+    replayed events stream; closed sessions only (rows-only check)."""
+    from fourstore_spark.streaming import sessionize
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    name = f"sess_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        sessionize(stream, gap_seconds=3600)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL helpers
 def _sum6(col: str) -> str:
@@ -1008,6 +1066,21 @@ def _registry() -> dict[str, tuple]:
         "ON l.l_orderkey = o.o_orderkey",
     )
 
+    r["events_hour_window"] = (
+        # tumbling-window rollup phrased in SPARQL: epoch bucketing via
+        # TO_UNIXTIME + FLOOR, grouped — the batch shape of the streaming
+        # windowed aggregation (fourstore_spark.streaming)
+        _sq(
+            f"""SELECT ?bucket (COUNT(?e) AS ?n) WHERE {{
+                  ?e <{P}events#ts> ?t
+                  BIND(FLOOR(TO_UNIXTIME(?t) / 3600) AS ?bucket) }}
+                GROUP BY ?bucket""",
+            bucket="num", n="int",
+        ),
+        "SELECT FLOOR(epoch(date_trunc('second', ts)) / 3600.0) AS bucket, "
+        "COUNT(*) AS n FROM events GROUP BY 1",
+    )
+
     # ---- write path / import / serializers / full-text / store ---------
     r["update_insert_delete_where"] = (
         _op_update_cycle,
@@ -1034,6 +1107,8 @@ def _registry() -> dict[str, tuple]:
         "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
         "r_name AS name FROM region",
     )
+    r["stream_window_counts"] = (_op_stream_window, None)  # streaming: rows-only
+    r["stream_sessionize"] = (_op_stream_sessionize, None)  # stateful streaming
     r["multimodal_features"] = (
         _op_multimodal,
         "SELECT doc_id AS media_id, "

