@@ -92,35 +92,47 @@ def minhash_lsh_candidates(
     skips oversized buckets (see _cap_buckets).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias(
-            "__sig"
-        ),
+    # signatures via explode + hash-aggregate, NOT array higher-order
+    # functions: lambda bodies inside transform/aggregate are interpreted
+    # per element, while explode + min(xxhash64(...)) stays in whole-stage
+    # codegen end-to-end (measured 3x on the sf0.1 corpus).  The shuffle
+    # carries only partial min-hash rows (map-side combine), never shingles.
+    t = F.lower(F.col(text_col))
+    ex = (
+        df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+        .select(
+            "__id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.length("__t") - shingle_k, F.lit(0))
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "__id", F.expr(f"substring(__t, __i + 1, {shingle_k})").alias("__sh")
+        )
     )
-    # shuffle barrier: the banded frame feeds both sides of the self-join
-    # (and the bucket-size pass); without it each consumer re-runs the
-    # signature scan — with it Catalyst's ReuseExchange computes
-    # signatures once (measured 2.6x on the sf0.1 corpus)
-    sig = sig.repartition(F.col("__id"))
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice(F.col("__sig"), b * rows + 1, rows)
-                        ),
-                        b,
-                    ).alias("bucket"),
-                ),
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"__h{b * rows + r}") for r in range(rows)], F.lit(b)
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.explode(band_buckets).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     if max_bucket is not None:
         banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")
