@@ -231,6 +231,78 @@ def _op_update_cycle(spark, sf_dir):
     )
 
 
+def _op_update_graph_ops(spark, sf_dir):
+    """LOAD / COPY / ADD / MOVE / CLEAR / DROP graph management
+    (update.c:594-885) over the region graph — deterministic final state."""
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    ue = UpdateEngine(spark, _engine(spark, sf_dir).quads)
+    # stable path, not deleted: the returned DataFrame reads it lazily
+    nt_path = "/tmp/fourstore_load_fixture.nt"
+    with open(nt_path, "w", encoding="utf-8") as fh:
+        fh.write('<urn:x:1> <urn:col:region#r_name> "XANADU" .\n')
+    ue.update(f"LOAD <file://{nt_path}> INTO GRAPH <urn:t:a>")
+    ue.update("COPY <urn:g:region> TO <urn:t:b>")  # b = region rows
+    ue.update("ADD <urn:t:a> TO <urn:t:b>")  # b += XANADU
+    ue.update("MOVE <urn:t:b> TO <urn:t:c>")  # c = b, b gone
+    ue.update("DROP GRAPH <urn:t:a>")
+    return SparqlEngine(spark, ue.quads).select(
+        """SELECT ?g ?n WHERE {
+             GRAPH ?g { ?s <urn:col:region#r_name> ?n }
+             FILTER(?g IN (<urn:t:a>, <urn:t:b>, <urn:t:c>)) }"""
+    )
+
+
+def _op_transaction(spark, sf_dir):
+    """W9: begin -> update -> rollback discards; committed txn persists."""
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    ue = UpdateEngine(spark)
+    ue.begin()
+    ue.update('INSERT DATA { <urn:x1> <urn:v> "discarded" }')
+    ue.rollback()
+    with ue.transaction():
+        ue.update('INSERT DATA { <urn:x1> <urn:v> "kept" }')
+    try:
+        with ue.transaction():
+            ue.update('INSERT DATA { <urn:x2> <urn:v> "atomic-discard" }')
+            raise ValueError("abort")
+    except ValueError:
+        pass
+    return SparqlEngine(spark, ue.quads).select(
+        "SELECT ?s ?v WHERE { ?s <urn:v> ?v }"
+    )
+
+
+def _op_explain(spark, sf_dir):
+    """Q5 EXPLAIN (FS_QUERY_EXPLAIN, query.c:800-829): physical-plan
+    operator inventory of a join+aggregate query — asserts the shape
+    (hash aggregate present, no nested-loop join) rather than raw text."""
+    res = _engine(spark, sf_dir).query(
+        """SELECT ?r (COUNT(?n) AS ?c) WHERE {
+             ?n <urn:col:nation#n_regionkey> ?rk .
+             ?rk <urn:col:region#r_name> ?r }
+           GROUP BY ?r"""
+    )
+    txt = res.explain("formatted")
+    ops = sorted(
+        {
+            line.split("(")[0].strip(" *+-")
+            for line in txt.splitlines()
+            if line.strip().startswith(("*", "+", "-")) or "(" in line
+            if line.split("(")[0].strip(" *+-")
+        }
+    )
+    has_hash_agg = any("HashAggregate" in o for o in ops)
+    has_bnlj = any("BroadcastNestedLoop" in o for o in ops)
+    return spark.createDataFrame(
+        [(has_hash_agg, has_bnlj, len(txt) > 0)],
+        "has_hash_aggregate boolean, has_nested_loop_join boolean, has_plan boolean",
+    )
+
+
 def _op_rdf_import(spark, sf_dir):
     """N-Triples text -> quads -> 2-hop query (foaf-knows-name shape)."""
     from fourstore_spark.sources.rdfio import quads_from_nt_text
@@ -288,6 +360,55 @@ def _op_fulltext_token(spark, sf_dir):
     eng = SparqlEngine(spark, quads)
     return eng.select(
         'SELECT ?d WHERE { ?d <http://4store.org/fulltext#token> "data" }'
+    )
+
+
+def _op_fulltext_stem(spark, sf_dir):
+    """Snowball-stem index (T3, import.c:658-700): docs matching stem
+    'merg' = docs containing merge/merges/merging."""
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_INDEX,
+        FS_TEXT_STEM,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    base = _engine(spark, sf_dir).quads
+    config = quads_from_nt_text(
+        spark,
+        f"<urn:col:documents#text> <{FS_TEXT_INDEX}> <{FS_TEXT_STEM}> "
+        "<system:config> .",
+    )
+    eng = SparqlEngine(spark, with_fulltext(base.unionByName(config)))
+    return eng.select(
+        'SELECT ?d WHERE { ?d <http://4store.org/fulltext#stem> "merg" }'
+    )
+
+
+def _op_fulltext_dmetaphone(spark, sf_dir):
+    """Double-metaphone index (T2, import.c:603-657): phonetic search for
+    'window' via its primary metaphone key."""
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_DMETAPHONE,
+        FS_TEXT_INDEX,
+        _dmeta,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    base = _engine(spark, sf_dir).quads
+    config = quads_from_nt_text(
+        spark,
+        f"<urn:col:documents#text> <{FS_TEXT_INDEX}> <{FS_TEXT_DMETAPHONE}> "
+        "<system:config> .",
+    )
+    eng = SparqlEngine(spark, with_fulltext(base.unionByName(config)))
+    key = _dmeta("window")[0]
+    return eng.select(
+        "SELECT ?d WHERE { ?d "
+        f'<http://4store.org/fulltext#dmetaphone> "{key}" }}'
     )
 
 
@@ -1086,6 +1207,38 @@ def _registry() -> dict[str, tuple]:
         _op_update_cycle,
         "SELECT * FROM (VALUES ('urn:x1', 'archived'), ('urn:x2', 'archived'), "
         "('urn:x3', 'fresh')) AS t(s, st)",
+    )
+    r["update_graph_ops"] = (
+        # LOAD + COPY + ADD + MOVE + DROP leave exactly one live graph
+        # (urn:t:c) holding region's names plus the loaded triple
+        _op_update_graph_ops,
+        "SELECT 'urn:t:c' AS g, r_name AS n FROM region "
+        "UNION ALL SELECT 'urn:t:c', 'XANADU'",
+    )
+    r["update_transaction"] = (
+        # rollback discards, clean transaction() commits, failed one reverts
+        _op_transaction,
+        "SELECT 'urn:x1' AS s, 'kept' AS v",
+    )
+    r["q5_explain"] = (
+        # plan shape booleans: hash aggregate present, no nested-loop join
+        _op_explain,
+        "SELECT true AS has_hash_aggregate, false AS has_nested_loop_join, "
+        "true AS has_plan",
+    )
+    r["fulltext_stem"] = (
+        # 'merge' is the only corpus word whose Porter stem is 'merg'
+        _op_fulltext_stem,
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR) AS d "
+        "FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'merge')",
+    )
+    r["fulltext_dmetaphone"] = (
+        # 'window' is the only corpus word with metaphone key WNTW
+        _op_fulltext_dmetaphone,
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR) AS d "
+        "FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'window')",
     )
     r["rdf_import_nt"] = (
         _op_rdf_import,

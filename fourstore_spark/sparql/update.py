@@ -100,6 +100,40 @@ class UpdateEngine:
         """Cut the op lineage (the in-memory analogue of a Delta commit):
         materializes the current store on the executors."""
         self.quads = self.quads.localCheckpoint(eager=True)
+        self._txn_base = None
+
+    # ---- transactions (4store.h:55-58 begin/pre-commit/commit/rollback;
+    # fs_backend_transaction, backend.c).  Updates build lazy lineage over
+    # the snapshot taken at begin(), so rollback is O(1) pointer restore
+    # and commit materializes once — the single-table ACID pattern that
+    # maps to a Delta/Iceberg transactional commit on a real cluster.
+    def begin(self) -> None:
+        if getattr(self, "_txn_base", None) is not None:
+            raise RuntimeError("transaction already in progress")
+        self._txn_base = self.quads
+
+    def rollback(self) -> None:
+        if getattr(self, "_txn_base", None) is None:
+            raise RuntimeError("no transaction in progress")
+        self.quads = self._txn_base
+        self._txn_base = None
+
+    def transaction(self):
+        """Context manager: commit on clean exit, rollback on exception."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _txn():
+            self.begin()
+            try:
+                yield self
+            except BaseException:
+                self.rollback()
+                raise
+            else:
+                self.commit()
+
+        return _txn()
 
     def save(self, path: str) -> None:
         """Dump the store as parquet (dump.c parity; see also

@@ -145,3 +145,31 @@ def test_save_restore(spark, ue, tmp_path):
     assert ue2.quads.count() == 1
     eng = SparqlEngine(spark, ue2.quads)
     assert eng.ask('ASK { <urn:s> <urn:p> "v" }')
+
+
+def test_transaction_rollback_and_commit(spark, ue):
+    ue.update('INSERT DATA { <urn:base> <urn:p> "base" }')
+    ue.begin()
+    ue.update('INSERT DATA { <urn:t1> <urn:p> "t1" }')
+    assert ue.quads.count() == 2  # visible inside the txn
+    ue.rollback()
+    assert ue.quads.count() == 1  # discarded
+
+    with ue.transaction():
+        ue.update('INSERT DATA { <urn:t2> <urn:p> "t2" }')
+    assert ue.quads.count() == 2  # committed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with ue.transaction():
+            ue.update('INSERT DATA { <urn:t3> <urn:p> "t3" }')
+            raise ValueError("abort")
+    assert ue.quads.count() == 2  # failed txn reverted
+
+    with _pytest.raises(RuntimeError):
+        ue.rollback()  # no txn in progress
+    ue.begin()
+    with _pytest.raises(RuntimeError):
+        ue.begin()  # nested txn rejected
+    ue.rollback()
