@@ -129,13 +129,13 @@ def main() -> None:
         "q6_minhash": q6_minhash, "q7_cosine": q7_cosine,
         "q8_textstats": q8_textstats,
     }
-    # best-of-2 per query — the reference's own harness times best/worst
+    # best-of-3 per query — the reference's own harness times best/worst
     # over repeats (tests/benchmark/run.pl:40-60); JVM JIT + GC noise on a
     # shared box makes single-shot numbers swing 3-5x
     times: dict[str, float] = {}
     for name, fn in bench.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t)
@@ -149,7 +149,7 @@ def main() -> None:
         "sf": sf,
         "load_sec": round(load_sec, 3),
         "cpus": int(cpus),
-        "policy": "best-of-2",
+        "policy": "best-of-3",
     }
     print(json.dumps(out))
     spark.stop()

@@ -126,6 +126,7 @@ class SparqlEngine:
         self.single_valued_preds = single_valued_preds
         # property table (store._subjects): shuffle-free star scans
         self.subjects: DataFrame | None = None
+        self._plan_cache: dict = {}
 
     @classmethod
     def from_store(cls, spark: SparkSession, path: str, **kwargs) -> "SparqlEngine":
@@ -145,8 +146,19 @@ class SparqlEngine:
         return eng
 
     def query(self, text: str, soft_limit: int | None = None) -> SparqlResult:
-        q = parse_query(text)
         limit = soft_limit if soft_limit is not None else self.soft_limit
+        # compiled-plan cache (fs_query_cache, query-cache.c:36-94): the
+        # translated DataFrame is immutable, so re-running the same text
+        # skips ~3000 py4j round-trips of plan construction (~0.5 s/query
+        # driver-side).  Keyed per (text, limit); invalidated only by
+        # constructing a new engine (mutation swaps the quads DataFrame).
+        cached = self._plan_cache.get((text, limit))
+        if cached is not None:
+            form, df = cached
+            res = SparqlResult(form, df)
+            res.soft_limited = limit is not None
+            return res
+        q = parse_query(text)
         tr = Translator(
             self.spark,
             self.quads,
@@ -156,6 +168,7 @@ class SparqlEngine:
             subjects=self.subjects,
         )
         df = tr.translate_query(q)
+        self._plan_cache[(text, limit)] = (q.form, df)
         res = SparqlResult(q.form, df)
         res.soft_limited = limit is not None  # truncation warning flag
         return res
