@@ -34,7 +34,19 @@ def _engine(spark: SparkSession, sf_dir: str):
         from fourstore_spark.sparql.engine import SparqlEngine
 
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        quads = quads_from_sf_dir(spark, sf_dir).persist()
+        # keep the cached quads at a sane partition count: the mapping's
+        # rank-window shuffles otherwise leave the union with
+        # (branches x spark.sql.shuffle.partitions) tiny partitions, and
+        # every one of the ~80 correctness queries would pay a task per
+        # partition just to scan the cache. hash(s) distribution also lets
+        # subject-equi-joins between two scans of the cache reuse the
+        # partitioning instead of re-shuffling.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        quads = (
+            quads_from_sf_dir(spark, sf_dir)
+            .repartition(32, F.col("s"))
+            .persist()
+        )
         eng = SparqlEngine(spark, quads)
         _ENGINES[key] = eng
     return eng
