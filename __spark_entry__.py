@@ -467,6 +467,16 @@ def _staged_events(spark, sf_dir) -> str:
     return path
 
 
+def _await_stream(q, timeout: int = 540) -> None:
+    """availableNow queries terminate on their own once the staged files
+    are processed; a bounded await + explicit stop keeps a wedged run from
+    returning a partial (nondeterministic) table or leaking the query into
+    session shutdown."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"streaming query did not finish in {timeout}s")
+
+
 def _op_stream_window(spark, sf_dir):
     """Streaming tumbling-window rollup over the events table, replayed
     through the file source with an availableNow trigger (rows-only:
@@ -485,7 +495,7 @@ def _op_stream_window(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -506,7 +516,7 @@ def _op_stream_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 

@@ -170,10 +170,16 @@ def sessionize(
     gap_seconds: int = 1800,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
-    (applyInPandasWithState + processing-time timeout): a session closes
-    when a user is idle for gap_seconds; closed sessions are emitted."""
+    (applyInPandasWithState + EVENT-time timeout): a session closes when a
+    user is idle for gap_seconds of event time. Closed sessions are
+    emitted either by an observed gap or by the watermark passing
+    session_end + gap — so emission is a pure function of the data, never
+    of wall-clock batch timing (a processing-time timeout here would both
+    make results nondeterministic and keep an availableNow drain alive
+    until the wall-clock timer fired)."""
 
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -192,42 +198,85 @@ def sessionize(
                 }
             )
             return
-        out = []
-        if state.exists:
-            start, last, n, total = state.get
-        else:
-            start = last = None
-            n, total = 0, 0.0
+        import numpy as np
+
         rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
-        for _, row in rows.iterrows():
-            t = row[ts_col].timestamp()
-            v = float(row["value"]) if "value" in row and pd.notna(row["value"]) else 0.0
-            if start is None:
-                start, last, n, total = t, t, 1, v
-            elif t - last > gap_seconds:
-                out.append((user, start, last, n, total))
-                start, last, n, total = t, t, 1, v
-            else:
-                last = max(last, t)
-                n += 1
-                total += v
-        state.update((start, last, n, total))
-        state.setTimeoutDuration(gap_seconds * 1000)
-        if out:
+        # vectorized gap split: a row starts a new session when its gap to
+        # the previous row (or to the open state session) exceeds the
+        # threshold; cumsum of the break flags numbers the sessions.
+        # (A per-row Python loop here was ~100x slower and made large
+        # micro-batches overrun the trigger.)
+        ts = (
+            rows[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+            / 1e6
+        )
+        if "value" in rows.columns:
+            vals = (
+                pd.to_numeric(rows["value"], errors="coerce")
+                .fillna(0.0)
+                .to_numpy(dtype=float)
+            )
+        else:
+            vals = np.zeros(len(ts))
+        if state.exists:
+            start0, last0, n0, total0 = state.get
+        else:
+            start0 = last0 = None
+            n0, total0 = 0, 0.0
+        prev = np.empty(len(ts))
+        prev[0] = last0 if last0 is not None else -np.inf
+        prev[1:] = ts[:-1]
+        sid = np.cumsum((ts - prev) > gap_seconds)
+        g = (
+            pd.DataFrame({"sid": sid, "ts": ts, "v": vals})
+            .groupby("sid")
+            .agg(
+                start=("ts", "min"),
+                end=("ts", "max"),
+                n=("ts", "size"),
+                total=("v", "sum"),
+            )
+            .reset_index()
+            .sort_values("sid")
+        )
+        closed = []  # (start, last, n, total) tuples
+        if last0 is not None and sid[0] == 0:
+            # first rows continue the open state session
+            g.loc[g.index[0], "start"] = start0
+            g.loc[g.index[0], "end"] = max(last0, g.loc[g.index[0], "end"])
+            g.loc[g.index[0], "n"] += n0
+            g.loc[g.index[0], "total"] += total0
+        elif last0 is not None:
+            # the gap to the first row closed the state session
+            closed.append((start0, last0, n0, total0))
+        # every session but the last is closed by an observed gap; the last
+        # stays open in state until the timeout fires
+        recs = list(g.itertuples(index=False))
+        closed.extend((r.start, r.end, int(r.n), r.total) for r in recs[:-1])
+        open_s = recs[-1]
+        state.update((open_s.start, open_s.end, int(open_s.n), open_s.total))
+        # fire when the watermark passes session_end + gap (+1 ms so a
+        # timeout exactly at the watermark isn't rejected as stale)
+        state.setTimeoutTimestamp(int((open_s.end + gap_seconds) * 1000) + 1)
+        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [o[0] for o in out],
-                    "session_start": [_ts_us(o[1]) for o in out],
-                    "session_end": [_ts_us(o[2]) for o in out],
-                    "n_events": [o[3] for o in out],
-                    "total_value": [o[4] for o in out],
+                    "user_id": [user] * len(closed),
+                    "session_start": [_ts_us(c[0]) for c in closed],
+                    "session_end": [_ts_us(c[1]) for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
                 }
             )
 
-    return events.groupBy(F.col(user_col)).applyInPandasWithState(
-        fn,
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=_SESSION_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
