@@ -158,14 +158,73 @@ def _op_simhash(spark, sf_dir):
 def _op_jaccard(spark, sf_dir):
     from fourstore_spark.operators.dedup import charset_jaccard
 
+    # neighbor key precomputed as a column so Catalyst plans an equi-join
+    # (SortMergeJoin/BHJ), not a BroadcastNestedLoopJoin on the +1 arithmetic
     d = _docs(spark, sf_dir)
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("__ta"),
+        (F.col("doc_id") + 1).alias("__nbr"),
+    )
+    b = d.select(F.col("doc_id").alias("__idb"), F.col("text").alias("__tb"))
+    return a.join(b, a["__nbr"] == b["__idb"]).select(
+        "id_a",
+        F.round(charset_jaccard(F.col("__ta"), F.col("__tb")), 6).alias("j"),
+    )
+
+
+def _grams(text: F.Column) -> F.Column:
+    """Distinct word-3-gram array of a text column (the near-dup verifier's
+    similarity domain; mirrors operators.dedup.ngram_jaccard)."""
+    toks = F.split(F.lower(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    )
+
+
+def _verify_pairs(cand: DataFrame, d: DataFrame, thr: float = 0.5) -> DataFrame:
+    """Exact n-gram-Jaccard verification of LSH candidate pairs.
+
+    Gram arrays are precomputed once per doc and broadcast, so the
+    candidate join carries ids only; at 100 TB the same shape verifies by
+    re-joining the (much smaller) candidate set to the corpus by id.
+    On this corpus every true pair sits at jaccard >= 0.9 and every
+    non-dup below 0.3, so candidates filtered at 0.5 equal the exact
+    all-pairs answer — which is what the DuckDB oracle computes.
+    """
+    g = d.select(F.col("doc_id"), _grams(F.col("text")).alias("grams"))
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("__gb"))
+    j = F.size(F.array_intersect("__ga", "__gb")).cast("double") / F.size(
+        F.array_union("__ga", "__gb")
+    )
     return (
-        d.alias("a")
-        .join(d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.round(charset_jaccard(F.col("a.text"), F.col("b.text")), 6).alias("j"),
-        )
+        cand.join(F.broadcast(ga), "id_a")
+        .join(F.broadcast(gb), "id_b")
+        .where(j >= thr)
+        .select("id_a", "id_b")
+    )
+
+
+def _op_minhash_verified(spark, sf_dir):
+    """MinHash LSH candidates -> exact n-gram-Jaccard verification: the
+    full near-dup pipeline, deterministic output (= exact all-pairs)."""
+    from fourstore_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _docs(spark, sf_dir)
+    return _verify_pairs(minhash_lsh_candidates(d, "text", "doc_id"), d)
+
+
+def _op_simhash_verified(spark, sf_dir):
+    """SimHash banded candidates -> verification. band_bits=8 (8 bands)
+    catches Hamming<=7 by pigeonhole — this corpus's true pairs reach
+    Hamming 5-6, which the default 16-bit bands miss."""
+    from fourstore_spark.operators.dedup import simhash_dedup_candidates
+
+    d = _docs(spark, sf_dir)
+    return _verify_pairs(
+        simhash_dedup_candidates(d, "text", "doc_id", band_bits=8), d
     )
 
 
@@ -175,6 +234,27 @@ def _op_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_bpeish_tokens", "fingerprint"
     )
+
+
+def _op_text_stats_full(spark, sf_dir):
+    """Token counts, BPE-ish counts, fingerprint, language-ID and quality
+    score in one pass over documents (the text-analysis family)."""
+    from fourstore_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        text_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    ts = text_stats(d).select(
+        "doc_id", "n_tokens", "n_bpeish_tokens", "fingerprint"
+    )
+    lq = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return ts.join(lq, "doc_id")
 
 
 def _op_lang_quality(spark, sf_dir):
@@ -424,6 +504,45 @@ def _op_fulltext_dmetaphone(spark, sf_dir):
     )
 
 
+def _op_fulltext_all(spark, sf_dir):
+    """All three full-text index families (T1 token / T3 stem / T2
+    dmetaphone, import.c:603-700) built from one system:config graph and
+    queried in one UNION with a tag per branch."""
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_DMETAPHONE,
+        FS_TEXT_INDEX,
+        FS_TEXT_STEM,
+        FS_TEXT_TOKEN,
+        _dmeta,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    base = _engine(spark, sf_dir).quads
+    config = quads_from_nt_text(
+        spark,
+        "\n".join(
+            f"<urn:col:documents#text> <{FS_TEXT_INDEX}> <{t}> "
+            "<system:config> ."
+            for t in (FS_TEXT_TOKEN, FS_TEXT_STEM, FS_TEXT_DMETAPHONE)
+        ),
+    )
+    eng = SparqlEngine(spark, with_fulltext(base.unionByName(config)))
+    key = _dmeta("window")[0]
+    return eng.select(
+        f"""SELECT ?d ?tag WHERE {{
+              {{ ?d <http://4store.org/fulltext#token> "data"
+                 BIND("token" AS ?tag) }}
+              UNION
+              {{ ?d <http://4store.org/fulltext#stem> "merg"
+                 BIND("stem" AS ?tag) }}
+              UNION
+              {{ ?d <http://4store.org/fulltext#dmetaphone> "{key}"
+                 BIND("dmeta" AS ?tag) }} }}"""
+    )
+
+
 def _op_ivf_exact(spark, sf_dir):
     """IVF probe search with nprobe == n_cells — must equal exact top-k."""
     from fourstore_spark.operators.similarity import ivf_search, train_centroids
@@ -479,8 +598,11 @@ def _await_stream(q, timeout: int = 540) -> None:
 
 def _op_stream_window(spark, sf_dir):
     """Streaming tumbling-window rollup over the events table, replayed
-    through the file source with an availableNow trigger (rows-only:
-    append-mode emission depends on watermark advancement)."""
+    through the file source with an availableNow trigger. Complete output
+    mode makes the final table a pure function of the data (every window,
+    regardless of watermark advancement), so the DuckDB hour-bucket
+    rollup is an exact oracle; window bounds are projected to epoch
+    seconds to keep the comparison timezone-free."""
     from fourstore_spark.streaming import windowed_event_counts
 
     path = _staged_events(spark, sf_dir)
@@ -491,17 +613,28 @@ def _op_stream_window(spark, sf_dir):
         windowed_event_counts(stream, window="1 hour", watermark="2 hours")
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     _await_stream(q)
-    return spark.table(name)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.unix_timestamp("window_end").alias("we"),
+        "event_type",
+        "n",
+        "total",
+    )
 
 
 def _op_stream_sessionize(spark, sf_dir):
-    """Stateful gap sessionization (applyInPandasWithState) over the
-    replayed events stream; closed sessions only (rows-only check)."""
+    """Stateful gap sessionization (applyInPandasWithState, event-time
+    timeout) over the replayed events stream. Emission is deterministic:
+    sessions closed by an observed gap, plus open sessions whose
+    (end + gap) timeout precedes the final watermark (= max event time at
+    0s delay) — exactly what the oracle's window/islands SQL computes.
+    total_value is excluded (float sum order isn't oracle-stable);
+    timestamps go out as epoch seconds."""
     from fourstore_spark.streaming import sessionize
 
     path = _staged_events(spark, sf_dir)
@@ -517,7 +650,12 @@ def _op_stream_sessionize(spark, sf_dir):
         .start()
     )
     _await_stream(q)
-    return spark.table(name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("ss"),
+        F.unix_timestamp("session_end").alias("se"),
+        "n_events",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1292,13 +1430,433 @@ def _registry() -> dict[str, tuple]:
     return r
 
 
+# --------------------------------------------------------------------------
+# round-3 merged entries: the driver verifies only the FIRST 50 registry
+# entries, so each SURVEY §2 component family gets exactly one combined
+# probe in the head window (the f_* micro-probes of round 2 are folded into
+# f_strings / f_numeric_cast / f_terms / f_date_hash and kept in the tail
+# for local regression via scripts/check_contract.py).
+
+# exact all-pairs word-3-gram Jaccard >= 0.5 — the oracle for BOTH verified
+# LSH entries (candidates + verification == exact answer on this corpus;
+# see _verify_pairs)
+_NGRAM_PAIRS_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks)-2, 1)),
+               i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')))
+             AS grams
+      FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+"""
+
+_SESSION_ORACLE_SQL = """
+WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                  > 3600 THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+g AS (SELECT user_id, sid, MIN(t) AS sstart, MAX(t) AS send,
+             COUNT(*) AS n_events FROM s GROUP BY 1, 2),
+l AS (SELECT user_id, MAX(sid) AS maxsid FROM g GROUP BY 1),
+wm AS (SELECT MAX(t) AS maxt FROM e)
+SELECT g.user_id, CAST(floor(sstart) AS BIGINT) AS ss,
+       CAST(floor(send) AS BIGINT) AS se, n_events
+FROM g JOIN l USING (user_id), wm
+WHERE g.sid < l.maxsid OR (send + 3600) < wm.maxt
+"""
+
+_WINDOW_ORACLE_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+       CAST(floor(epoch(date_trunc('hour', ts))) + 3600 AS BIGINT) AS we,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def _round3_entries() -> dict[str, tuple]:
+    P = "urn:col:"
+    r: dict[str, tuple] = {}
+
+    # P2 const-object + P4 range filter + P5 disjunct->IN + F-in, one scan
+    r["p_filter_pushdown"] = (
+        _sq(
+            f"""SELECT ?name ?bal ?seg WHERE {{
+                  ?c <{P}customer#c_mktsegment> ?seg ;
+                     <{P}customer#c_acctbal> ?bal ;
+                     <{P}customer#c_name> ?name ;
+                     <{P}customer#c_nationkey> <urn:nation:3> .
+                  FILTER(?seg = "BUILDING" || ?seg = "AUTOMOBILE"
+                         || ?seg = "MACHINERY")
+                  FILTER(?bal > 1000 && ?bal < 9500)
+                  FILTER(?seg IN ("BUILDING", "AUTOMOBILE", "MACHINERY",
+                                  "HOUSEHOLD")) }}""",
+            bal="num",
+        ),
+        "SELECT c_name AS name, c_acctbal AS bal, c_mktsegment AS seg "
+        "FROM customer WHERE c_nationkey = 3 "
+        "AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') "
+        "AND c_acctbal > 1000 AND c_acctbal < 9500",
+    )
+
+    # J4 both corners: shared-var MINUS removes, disjoint-domain MINUS keeps
+    r["j4_minus_variants"] = (
+        _sq(
+            f"""SELECT ?x ?tag WHERE {{
+                  {{ ?x <{P}orders#o_orderstatus> ?st
+                     MINUS {{ ?li <{P}lineitem#l_orderkey> ?x }}
+                     BIND("shared" AS ?tag) }}
+                  UNION
+                  {{ ?x <{P}region#r_name> ?nm
+                     MINUS {{ ?n <{P}nation#n_name> ?y }}
+                     BIND("disjoint" AS ?tag) }} }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS x, "
+        "'shared' AS tag FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+        "UNION ALL SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR), "
+        "'disjoint' FROM region",
+    )
+
+    # A1 COUNT + COUNT DISTINCT + A8 HAVING
+    r["a1_count_having"] = (
+        _sq(
+            f"""SELECT ?nat (COUNT(?c) AS ?n) (COUNT(DISTINCT ?seg) AS ?nseg)
+                WHERE {{ ?c <{P}customer#c_nationkey> ?nat ;
+                            <{P}customer#c_mktsegment> ?seg }}
+                GROUP BY ?nat HAVING (COUNT(?c) > 20)""",
+            n="int",
+            nseg="int",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        "COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS nseg "
+        "FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 20",
+    )
+
+    # A2 SUM + A3 AVG in one grouped plan
+    r["a2_sum_avg"] = (
+        _sq(
+            f"""SELECT ?nat (SUM(?bal) AS ?total) (AVG(?bal) AS ?avgbal)
+                WHERE {{ ?c <{P}customer#c_nationkey> ?nat ;
+                            <{P}customer#c_acctbal> ?bal }} GROUP BY ?nat""",
+            total="num",
+            avgbal="num",
+        ),
+        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        f"{_sum6('c_acctbal')} AS total, "
+        f"{_sum6('c_acctbal')} / COUNT(c_acctbal) AS avgbal "
+        "FROM customer GROUP BY c_nationkey",
+    )
+
+    # A5 SAMPLE + A6 GROUP_CONCAT
+    r["a5_a6_sample_concat"] = (
+        _sq(
+            f'SELECT ?c (SAMPLE(?name) AS ?sname) '
+            f'(GROUP_CONCAT(?name; SEPARATOR="|") AS ?names) '
+            f"WHERE {{ ?c <{P}customer#c_name> ?name }} GROUP BY ?c"
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_name AS sname, c_name AS names FROM customer",
+    )
+
+    # A9 implicit aggregate + SUM/AVG DISTINCT
+    r["a9_implicit_agg_distinct"] = (
+        _sq(
+            f"""SELECT (COUNT(?p) AS ?n) (SUM(?size) AS ?total)
+                       (SUM(DISTINCT ?size) AS ?td) (AVG(DISTINCT ?size) AS ?ad)
+                WHERE {{ ?p <{P}part#p_size> ?size }}""",
+            n="int",
+            total="num",
+            td="num",
+            ad="num",
+        ),
+        f"SELECT COUNT(*) AS n, {_sum6('p_size')} AS total, "
+        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) AS td, "
+        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) "
+        "/ COUNT(DISTINCT p_size) AS ad FROM part",
+    )
+
+    # O1 ORDER BY multi-key + O2 LIMIT/OFFSET
+    r["o1_order_limit_offset"] = (
+        _sq(
+            f"SELECT ?c ?bal WHERE {{ ?c <{P}customer#c_acctbal> ?bal }} "
+            f"ORDER BY DESC(?bal) ?c LIMIT 10 OFFSET 5",
+            bal="num",
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_acctbal AS bal FROM customer ORDER BY c_acctbal DESC, "
+        "('urn:customer:' || CAST(c_custkey AS VARCHAR)) ASC "
+        "LIMIT 10 OFFSET 5",
+    )
+
+    # U1 UNION + O4 DISTINCT (dedup actually removes rows here)
+    r["u1_union_distinct"] = (
+        _sq(
+            f"""SELECT DISTINCT ?v WHERE {{
+                  {{ ?c <{P}customer#c_mktsegment> ?v }}
+                  UNION {{ ?r <{P}region#r_name> ?v }} }}"""
+        ),
+        "SELECT DISTINCT c_mktsegment AS v FROM customer "
+        "UNION SELECT r_name FROM region",
+    )
+
+    # GRAPH ?g scan + graph-equality filter (named-graph scoping)
+    r["graph_query"] = (
+        _sq(
+            f"""SELECT ?g ?s ?o WHERE {{
+                  GRAPH ?g {{ ?s <{P}region#r_name> ?o }}
+                  FILTER(?g = <urn:g:region>) }}"""
+        ),
+        "SELECT 'urn:g:region' AS g, "
+        "'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS o FROM region",
+    )
+
+    # EXISTS + NOT EXISTS, one query
+    r["exists_not_exists"] = (
+        _sq(
+            f"""SELECT ?x ?tag WHERE {{
+                  {{ ?x <{P}customer#c_name> ?nm
+                     FILTER EXISTS {{ ?o <{P}orders#o_custkey> ?x }}
+                     BIND("has" AS ?tag) }}
+                  UNION
+                  {{ ?x <{P}orders#o_totalprice> ?tp
+                     FILTER NOT EXISTS {{ ?li <{P}lineitem#l_orderkey> ?x }}
+                     BIND("noli" AS ?tag) }} }}"""
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS x, "
+        "'has' AS tag FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR), 'noli' "
+        "FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+    )
+
+    # F-str1 + F-str2 + F-regex + F-enc + F-replace + F-log
+    r["f_strings"] = (
+        _sq(
+            f"""SELECT ?name (STRLEN(?name) AS ?len) (UCASE(?name) AS ?uc)
+                       (LCASE(?name) AS ?lc) (SUBSTR(?name, 2) AS ?sub)
+                       (CONCAT(?name, "-x") AS ?cx)
+                       (STRBEFORE(?name, "_") AS ?before)
+                       (STRAFTER(?name, "_") AS ?after)
+                       (ENCODE_FOR_URI(?name) AS ?enc)
+                       (REPLACE(?name, "_", "-") AS ?rep)
+                WHERE {{ ?n <{P}nation#n_name> ?name
+                  FILTER(STRSTARTS(?name, "NATION") && CONTAINS(?name, "1")
+                         && !STRENDS(?name, "3")
+                         && REGEX(?name, "^NATION_1[0-9]$")) }}""",
+            len="int",
+        ),
+        "SELECT n_name AS name, LENGTH(n_name) AS len, UPPER(n_name) AS uc, "
+        "LOWER(n_name) AS lc, SUBSTR(n_name, 2) AS sub, "
+        "n_name || '-x' AS cx, "
+        "CASE WHEN strpos(n_name, '_') > 0 THEN "
+        "substr(n_name, 1, strpos(n_name, '_') - 1) ELSE '' END AS before, "
+        "CASE WHEN strpos(n_name, '_') > 0 THEN "
+        "substr(n_name, strpos(n_name, '_') + 1) ELSE '' END AS after, "
+        "n_name AS enc, replace(n_name, '_', '-') AS rep "
+        "FROM nation WHERE regexp_matches(n_name, '^NATION_1[0-9]$') "
+        "AND n_name NOT LIKE '%3'",
+    )
+
+    # F-arith + F-num + F-cast on one scan
+    r["f_numeric_cast"] = (
+        _sq(
+            f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+                SELECT ?p (ABS(?x) AS ?ax) (CEIL(?x) AS ?cx)
+                       (FLOOR(?x) AS ?fx) (ROUND(?x) AS ?rx)
+                       (xsd:integer(?price) AS ?ip) (xsd:string(?size) AS ?ss)
+                       (xsd:double(?size) AS ?ds)
+                       (?price * (1 - 0.05) AS ?net)
+                WHERE {{ ?p <{P}part#p_retailprice> ?price ;
+                            <{P}part#p_size> ?size
+                         BIND(?price - 1000 AS ?x) }}""",
+            ax="num",
+            cx="num",
+            fx="num",
+            rx="num",
+            ip="int",
+            ds="num",
+            net="num",
+        ),
+        "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
+        "ABS(p_retailprice - 1000) AS ax, CEIL(p_retailprice - 1000) AS cx, "
+        "FLOOR(p_retailprice - 1000) AS fx, "
+        "ROUND(p_retailprice - 1000, 0) AS rx, "
+        "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
+        "CAST(p_size AS VARCHAR) AS ss, CAST(p_size AS DOUBLE) AS ds, "
+        "p_retailprice * (1 - 0.05) AS net FROM part",
+    )
+
+    # term kinds/constructors: STRLANG/LANG/LANGMATCHES/DATATYPE/STR/
+    # is-predicates/sameTerm/STRDT + URI-vs-literal comparison rule
+    r["f_terms"] = (
+        _sq(
+            f"""SELECT ?name (LANG(STRLANG(?name, "EN")) AS ?l)
+                       (LANGMATCHES(LANG(STRLANG(?name, "en-GB")), "en") AS ?m)
+                       (DATATYPE(?name) AS ?dt) (STR(?r) AS ?rs)
+                       (ISIRI(?r) AS ?iu) (ISLITERAL(?name) AS ?il)
+                       (ISNUMERIC(?name) AS ?inum)
+                       (SAMETERM(?name, ?name) AS ?st)
+                       (STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>)
+                        AS ?sd)
+                WHERE {{ ?r <{P}region#r_name> ?name
+                         FILTER(?name != <urn:region:1>) }}""",
+            m="bool",
+            iu="bool",
+            il="bool",
+            inum="bool",
+            st="bool",
+            sd="int",
+        ),
+        "SELECT r_name AS name, 'en' AS l, true AS m, "
+        "'http://www.w3.org/2001/XMLSchema#string' AS dt, "
+        "'urn:region:' || CAST(r_regionkey AS VARCHAR) AS rs, "
+        "true AS iu, true AS il, false AS inum, true AS st, "
+        "CAST(5 AS BIGINT) AS sd FROM region",
+    )
+
+    # F-date + F-hash + STRUUID shape check
+    r["f_date_hash"] = (
+        _sq(
+            f"""SELECT ?o (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) (DAY(?d) AS ?day)
+                       (MD5(STR(?o)) AS ?h1) (SHA256(STR(?o)) AS ?h2)
+                       (STRLEN(STRUUID()) AS ?ul)
+                WHERE {{ ?o <{P}orders#o_orderdate> ?d }}""",
+            y="int",
+            m="int",
+            day="int",
+            ul="int",
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o, "
+        "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, "
+        "CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS day, "
+        "md5('urn:orders:' || CAST(o_orderkey AS VARCHAR)) AS h1, "
+        "sha256('urn:orders:' || CAST(o_orderkey AS VARCHAR)) AS h2, "
+        "CAST(36 AS BIGINT) AS ul FROM orders",
+    )
+
+    # T1/T2/T3 in one config + one UNION query
+    r["fulltext_all"] = (
+        _op_fulltext_all,
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR) AS d, "
+        "'token' AS tag FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'data') "
+        "UNION ALL "
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR), 'stem' "
+        "FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'merge') "
+        "UNION ALL "
+        "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR), 'dmeta' "
+        "FROM documents WHERE list_contains("
+        f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'window')",
+    )
+
+    # text-analysis family in one pass
+    r["text_stats_full"] = (
+        _op_text_stats_full,
+        f"SELECT d.doc_id, {_NTOK_SQL} AS n_tokens, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END "
+        "+ length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) "
+        f"AS n_bpeish_tokens, {_FP_SQL} AS fingerprint, "
+        "lq.lang_guess, lq.quality "
+        f"FROM documents d JOIN ({_lang_quality_sql()}) lq "
+        "ON d.doc_id = lq.doc_id",
+    )
+
+    # verified LSH pipelines: candidates -> exact verification == all-pairs
+    r["dedup_minhash_lsh"] = (_op_minhash_verified, _NGRAM_PAIRS_SQL)
+    r["dedup_simhash"] = (_op_simhash_verified, _NGRAM_PAIRS_SQL)
+    # raw candidate sets stay as rows-only tail entries (bucket ids are
+    # engine-hash-specific, no oracle by design)
+    r["dedup_minhash_candidates"] = (_op_minhash_lsh, None)
+    r["dedup_simhash_candidates"] = (_op_simhash, None)
+
+    # streaming entries now deterministic + oracle-checked (see the ops)
+    r["stream_window_counts"] = (_op_stream_window, _WINDOW_ORACLE_SQL)
+    r["stream_sessionize"] = (_op_stream_sessionize, _SESSION_ORACLE_SQL)
+    return r
+
+
+# the driver's verification window: exactly the first 50 registry entries,
+# one per SURVEY §2 / LLM-pipeline component family.
+_HEAD = [
+    "o3_soft_limit_exact",      # S1 scan through the O3 soft-limit path
+    "s2_star_join",             # S2/J5 star scan
+    "p3_repeated_var",          # P3
+    "p_filter_pushdown",        # P2+P4+P5+F-in
+    "j2_two_hop",               # J1+J2 chained joins
+    "optional_filter_scope",    # J3 + filter-before-join nuance
+    "j4_minus_variants",        # J4/U2 both compatible-mapping corners
+    "j6_values",                # J6 VALUES
+    "a1_count_having",          # A1+A8
+    "a2_sum_avg",               # A2+A3
+    "a4_min_max",               # A4 term-order min/max
+    "a5_a6_sample_concat",      # A5+A6
+    "a7_groupby_multi",         # A7 flagship
+    "a9_implicit_agg_distinct", # A9 + DISTINCT aggregates
+    "o1_order_limit_offset",    # O1+O2
+    "u1_union_distinct",        # U1+O4
+    "q2_ask",                   # Q2
+    "q3_construct",             # Q3
+    "q4_describe",              # Q4
+    "q5_explain",               # Q5
+    "graph_query",              # GRAPH slot
+    "from_clause",              # dataset clause
+    "b1_bind",                  # B1
+    "subselect_join",           # Q1 subselect
+    "exists_not_exists",        # EXISTS/NOT EXISTS
+    "f_strings",                # F-str1/str2/regex/enc/replace/log
+    "f_numeric_cast",           # F-arith/num/cast
+    "f_terms",                  # F-extract/strdt/same/cmp/ispred/langm
+    "f_cond",                   # F-bound/if/coalesce
+    "f_date_hash",              # F-date/hash/uuid
+    "events_hour_window",       # F-unix + window rollup (batch shape)
+    "update_insert_delete_where",  # W1+W2
+    "update_graph_ops",         # W4-W8
+    "update_transaction",       # W9
+    "rdf_import_nt",            # S3
+    "serialize_roundtrip",      # S6
+    "dump_restore",             # S5
+    "fulltext_all",             # T1+T2+T3+T4
+    "dedup_exact",              # LLM: exact dedup
+    "dedup_fingerprint",        # LLM: fingerprint dedup
+    "dedup_jaccard_verify",     # LLM: pairwise verifier
+    "dedup_minhash_lsh",        # LLM: MinHash LSH (verified, oracle)
+    "dedup_simhash",            # LLM: SimHash (verified, oracle)
+    "text_stats_full",          # LLM: text analysis family
+    "sim_cosine_topk",          # LLM: exact ANN baseline
+    "sim_ivf_exact",            # LLM: IVF probe search
+    "sim_lsh_ann",              # LLM: hyperplane LSH ANN (rows-only)
+    "stream_window_counts",     # streaming windowed rollup (oracle)
+    "stream_sessionize",        # streaming stateful sessionize (oracle)
+    "multimodal_features",      # LLM: multimodal plumbing
+]
+
 _REG = None
 
 
 def _reg() -> dict[str, tuple]:
     global _REG
     if _REG is None:
-        _REG = _registry()
+        full = _registry()
+        full.update(_round3_entries())
+        assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
+        ordered = {n: full[n] for n in _HEAD}
+        ordered.update((n, v) for n, v in full.items() if n not in ordered)
+        _REG = ordered
     return _REG
 
 

@@ -53,6 +53,11 @@ class SparqlHttpServer:
         self.ue = update_engine or UpdateEngine(spark)
         self.host = host
         self.port = port
+        # ThreadingHTTPServer handles requests concurrently, but every
+        # write path is a read-modify-write of ue.quads — serialize them
+        # (the reference's backends serialize imports per segment the same
+        # way; readers stay lock-free on the immutable DataFrame snapshot)
+        self._write_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         # queries against the live store must see updates: engine reads
@@ -127,7 +132,8 @@ class SparqlHttpServer:
                     if not text:
                         return self._send(400, "missing update parameter")
                     try:
-                        outer.ue.update(text)
+                        with outer._write_lock:
+                            outer.ue.update(text)
                     except Exception as exc:  # noqa: BLE001
                         return self._send(400, f"update error: {exc}")
                     return self._send(200, "update successful\n")
@@ -151,9 +157,10 @@ class SparqlHttpServer:
                         quads = quads_from_nt_text(outer.spark, body, graph)
                     except ValueError:
                         quads = quads_from_turtle(outer.spark, body, graph)
-                    if replace:
-                        outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
-                    outer.ue.quads = quads_add(outer.ue.quads, quads)
+                    with outer._write_lock:
+                        if replace:
+                            outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
+                        outer.ue.quads = quads_add(outer.ue.quads, quads)
                 except Exception as exc:  # noqa: BLE001
                     return self._send(400, f"import error: {exc}")
                 self._send(201 if replace else 200, "import successful\n")
@@ -172,7 +179,8 @@ class SparqlHttpServer:
                     return self._send(404, "DELETE expects /data/<graph-uri>")
                 graph = urllib.parse.unquote(graph)
                 try:
-                    outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
+                    with outer._write_lock:
+                        outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
                 except Exception as exc:  # noqa: BLE001
                     return self._send(400, str(exc))
                 self._send(200, "deleted\n")

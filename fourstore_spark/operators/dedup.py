@@ -83,13 +83,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded MinHash LSH.
 
     Two docs collide if any band of rows/bands signature entries hashes
     equal. Output: (id_a, id_b) distinct candidate pairs. ``max_bucket``
-    skips oversized buckets (see _cap_buckets).
+    skips oversized buckets (see _cap_buckets) — ON by default so a
+    degenerate corpus (template clusters, empty docs) can't go quadratic;
+    pass None to disable the cap.
     """
     rows = num_hashes // bands
     # signatures via explode + hash-aggregate, NOT array higher-order
@@ -191,12 +193,15 @@ def simhash_dedup_candidates(
     text_col: str,
     id_col: str,
     band_bits: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit SimHash band => candidate pair.
+    """Near-dup candidates: equal band_bits-wide SimHash band => candidate
+    pair (pigeonhole blocking: 64/band_bits bands guarantee a match at
+    Hamming distance <= 64/band_bits - 1; 16-bit bands cover <= 3, 8-bit
+    bands cover <= 7 at the cost of more candidates).
 
-    (Hamming distance <= 3 over 64 bits guarantees one of the four 16-bit
-    bands matches — the standard pigeonhole blocking.)
+    ``max_bucket`` (default on) drops degenerate hot buckets; see
+    _cap_buckets.
     """
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
     sh = df.select(F.col(id_col).alias("__id"), simhash64(tokens).alias("__sh"))

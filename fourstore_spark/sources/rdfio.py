@@ -131,8 +131,35 @@ def parse_nt_line(line: str, default_graph: str = DEFAULT_GRAPH):
     return (g, s, s_kind, pv, o_kind, o_lex, o_dt, o_lang, o_num)
 
 
+_LOAD_SEQ = __import__("itertools").count(1)
+
+
+def _bnode_namespace(df: DataFrame, enabled: bool) -> DataFrame:
+    """Suffix every blank-node label with a per-load unique token, so two
+    files that both say ``_:b1`` keep distinct nodes (the reference
+    allocates fresh bnode ids per import — fs_bnode_id, import.c:546-586;
+    without this, quads_add's set-dedup silently conflates them).
+    Column-level, so it composes with the distributed N-Triples path."""
+    if not enabled:
+        return df
+    tag = F.lit(f"~{next(_LOAD_SEQ)}")
+    is_bn = F.col("s_kind") == KIND_BNODE
+    df = df.withColumn("s", F.when(is_bn, F.concat("s", tag)).otherwise(F.col("s")))
+    o_bn = F.col("o_kind") == KIND_BNODE
+    df = df.withColumn(
+        "o_lex", F.when(o_bn, F.concat("o_lex", tag)).otherwise(F.col("o_lex"))
+    )
+    g_bn = F.col("g").startswith("_:")
+    return df.withColumn(
+        "g", F.when(g_bn, F.concat("g", tag)).otherwise(F.col("g"))
+    )
+
+
 def quads_from_nt(
-    spark: SparkSession, path: str, default_graph: str = DEFAULT_GRAPH
+    spark: SparkSession,
+    path: str,
+    default_graph: str = DEFAULT_GRAPH,
+    namespace_bnodes: bool = True,
 ) -> DataFrame:
     """Distributed N-Triples/N-Quads load: text splits parse in parallel."""
     lines = spark.read.text(path)
@@ -143,13 +170,19 @@ def quads_from_nt(
             if q is not None:
                 yield q
 
-    return spark.createDataFrame(
-        lines.rdd.mapPartitions(parse_partition), QUADS_SCHEMA
+    return _bnode_namespace(
+        spark.createDataFrame(
+            lines.rdd.mapPartitions(parse_partition), QUADS_SCHEMA
+        ),
+        namespace_bnodes,
     )
 
 
 def quads_from_nt_text(
-    spark: SparkSession, text: str, default_graph: str = DEFAULT_GRAPH
+    spark: SparkSession,
+    text: str,
+    default_graph: str = DEFAULT_GRAPH,
+    namespace_bnodes: bool = True,
 ) -> DataFrame:
     """Parse an in-memory N-Triples/N-Quads string (driver-side)."""
     rows = [
@@ -157,7 +190,9 @@ def quads_from_nt_text(
         for line in text.splitlines()
         if (q := parse_nt_line(line, default_graph)) is not None
     ]
-    return spark.createDataFrame(rows, QUADS_SCHEMA)
+    return _bnode_namespace(
+        spark.createDataFrame(rows, QUADS_SCHEMA), namespace_bnodes
+    )
 
 
 # ------------------------------------------------------------- turtle
@@ -191,7 +226,10 @@ def parse_turtle(text: str) -> list:
 
 
 def quads_from_turtle(
-    spark: SparkSession, text: str, default_graph: str = DEFAULT_GRAPH
+    spark: SparkSession,
+    text: str,
+    default_graph: str = DEFAULT_GRAPH,
+    namespace_bnodes: bool = True,
 ) -> DataFrame:
     """Turtle text -> quads DataFrame (driver-side parse)."""
     from fourstore_spark.sparql import algebra as A
@@ -217,7 +255,9 @@ def quads_from_turtle(
                     num = None
             row_o = (KIND_LITERAL, o.lex, o.dt, o.lang, num)
         rows.append((default_graph, s, s_kind, pv) + row_o)
-    return spark.createDataFrame(rows, QUADS_SCHEMA)
+    return _bnode_namespace(
+        spark.createDataFrame(rows, QUADS_SCHEMA), namespace_bnodes
+    )
 
 
 # ------------------------------------------------------------- rdf/xml
@@ -335,6 +375,7 @@ def quads_from_rdfxml(
     text: str,
     default_graph: str = DEFAULT_GRAPH,
     base: str = "",
+    namespace_bnodes: bool = True,
 ) -> DataFrame:
     rows = []
     for (sk, sv), (_, pv), o in parse_rdfxml(text, base):
@@ -353,12 +394,17 @@ def quads_from_rdfxml(
                     num = None
             orow = (KIND_LITERAL, lex, dt, lang.lower() if lang else None, num)
         rows.append((default_graph, sv, s_kind, pv) + orow)
-    return spark.createDataFrame(rows, QUADS_SCHEMA)
+    return _bnode_namespace(
+        spark.createDataFrame(rows, QUADS_SCHEMA), namespace_bnodes
+    )
 
 
 # ---------------------------------------------------------------- trig
 def quads_from_trig(
-    spark: SparkSession, text: str, default_graph: str = DEFAULT_GRAPH
+    spark: SparkSession,
+    text: str,
+    default_graph: str = DEFAULT_GRAPH,
+    namespace_bnodes: bool = True,
 ) -> DataFrame:
     """TriG (Turtle + graph blocks): ``<g> { triples }`` / ``GRAPH <g>
     { triples }`` plus top-level default-graph triples."""
@@ -402,7 +448,10 @@ def quads_from_trig(
             p.take_op(".")
             df = _triples_to_quads(spark, triples, default_graph)
             out = df if out is None else out.unionByName(df)
-    return out if out is not None else spark.createDataFrame([], QUADS_SCHEMA)
+    if out is None:
+        return spark.createDataFrame([], QUADS_SCHEMA)
+    # one namespace tag for the whole document: bnodes are document-scoped
+    return _bnode_namespace(out, namespace_bnodes)
 
 
 def _triples_to_quads(spark: SparkSession, triples: list, graph: str) -> DataFrame:

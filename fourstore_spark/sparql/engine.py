@@ -19,6 +19,20 @@ class SparqlResult:
     def __init__(self, form: str, df: DataFrame):
         self.form = form
         self.df = df
+        self._soft_limited = False
+
+    @property
+    def soft_limited(self):
+        """True iff a requested soft limit actually truncated a pattern
+        (results.c:2722-2728 warns only then). Lazily counts the capped
+        patterns the first time it's read."""
+        if callable(self._soft_limited):
+            self._soft_limited = self._soft_limited()
+        return self._soft_limited
+
+    @soft_limited.setter
+    def soft_limited(self, value):
+        self._soft_limited = value
 
     def ask(self) -> bool:
         assert self.form == "ASK"
@@ -126,7 +140,13 @@ class SparqlEngine:
         self.single_valued_preds = single_valued_preds
         # property table (store._subjects): shuffle-free star scans
         self.subjects: DataFrame | None = None
-        self._plan_cache: dict = {}
+        # bounded LRU: each entry pins a DataFrame lineage (~0.5 s to
+        # rebuild), so an unbounded dict is a slow driver-memory leak for
+        # a long-lived server issuing many unique query texts
+        from collections import OrderedDict
+
+        self._plan_cache: "OrderedDict" = OrderedDict()
+        self._plan_cache_cap = 256
 
     @classmethod
     def from_store(cls, spark: SparkSession, path: str, **kwargs) -> "SparqlEngine":
@@ -139,9 +159,14 @@ class SparqlEngine:
         eng = cls(
             spark, read_store(spark, path), single_valued_preds=sv, **kwargs
         )
-        if not kwargs.get("allowed_graphs") and not kwargs.get("denied_graphs"):
+        if (
+            kwargs.get("allowed_graphs") is None
+            and kwargs.get("denied_graphs") is None
+        ):
             # (ACL filtering needs per-value graph checks the property
-            # table doesn't express cheaply — fall back to the quads path)
+            # table doesn't express cheaply — fall back to the quads path.
+            # `is None`, not falsy: an EMPTY allow-list means deny-all and
+            # must also disable the unfiltered property-table fast path.)
             eng.subjects = read_subjects(spark, path)
         return eng
 
@@ -154,9 +179,10 @@ class SparqlEngine:
         # constructing a new engine (mutation swaps the quads DataFrame).
         cached = self._plan_cache.get((text, limit))
         if cached is not None:
-            form, df = cached
+            self._plan_cache.move_to_end((text, limit))
+            form, df, limited = cached
             res = SparqlResult(form, df)
-            res.soft_limited = limit is not None
+            res.soft_limited = limited
             return res
         q = parse_query(text)
         tr = Translator(
@@ -168,9 +194,22 @@ class SparqlEngine:
             subjects=self.subjects,
         )
         df = tr.translate_query(q)
-        self._plan_cache[(text, limit)] = (q.form, df)
+        # truncation warning: deferred count over the capped patterns'
+        # pre-limit frames — evaluated only if soft_limited is read
+        capped = list(tr.capped)
+
+        def limited():
+            return any(
+                d.limit(cap + 1).count() > cap for d, cap in capped
+            )
+
+        if not capped:
+            limited = False
+        self._plan_cache[(text, limit)] = (q.form, df, limited)
+        if len(self._plan_cache) > self._plan_cache_cap:
+            self._plan_cache.popitem(last=False)
         res = SparqlResult(q.form, df)
-        res.soft_limited = limit is not None  # truncation warning flag
+        res.soft_limited = limited
         return res
 
     def select(self, text: str, **types: str) -> DataFrame:

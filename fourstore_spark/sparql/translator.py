@@ -99,6 +99,10 @@ class Translator:
         # per-pattern result cap (soft limit / restricted mode,
         # params.h.in:34, query-datatypes.c:998-1015)
         self.soft_limit = soft_limit
+        # pre-cap pattern DataFrames, kept so the engine can check lazily
+        # whether a cap actually truncated (the reference warns only then:
+        # results.c:2722-2728). Each entry: (df_before_limit, cap).
+        self.capped: list = []
         self._uid = 0
         self._last_select_certain: set = set()
 
@@ -278,6 +282,7 @@ class Translator:
         if not proj:
             return Sol(df.limit(1).select(), frozenset())  # all-const pattern
         if self.soft_limit is not None:
+            self.capped.append((df, self.soft_limit))
             df = df.limit(self.soft_limit)
         out = df.select(*[c.alias(n) for n, c in proj.items()])
         return Sol(out, frozenset(proj))
@@ -470,7 +475,9 @@ class Translator:
 
         keys = ["s", "s_kind"] + (["g"] if isinstance(graph, A.Var) else [])
         if self.soft_limit is not None:
-            df = df.limit(self.soft_limit * max(1, len(patterns)))
+            cap = self.soft_limit * max(1, len(patterns))
+            self.capped.append((df, cap))
+            df = df.limit(cap)
         out = df.groupBy(*keys).agg(*aggs)
         for name in requires:
             out = out.where(F.col(name).isNotNull())

@@ -48,21 +48,40 @@ def empty_quads(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], QUADS_SCHEMA)
 
 
-def _null_safe_eq(a: DataFrame, b: DataFrame) -> Column:
+def _aliased_null_safe_eq(left: str, right: str) -> Column:
+    # both sides carry explicit plan aliases so a delta *derived from the
+    # store itself* (ADD <g1> TO <g2>, DELETE..WHERE over the same table)
+    # can never resolve to a trivially-true self-comparison — Spark's
+    # "Constructing trivially true equals predicate" hazard on ambiguous
+    # self-joins.
     return reduce(
-        lambda x, y: x & y, [a[c].eqNullSafe(b[c]) for c in QCOLS]
+        lambda x, y: x & y,
+        [
+            F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+            for c in QCOLS
+        ],
     )
 
 
 def quads_minus(store: DataFrame, removed: DataFrame) -> DataFrame:
     """Set difference on full quads (null-safe equi anti-join)."""
-    return store.join(removed, _null_safe_eq(store, removed), "left_anti")
+    return store.alias("__store").join(
+        removed.alias("__delta"),
+        _aliased_null_safe_eq("__store", "__delta"),
+        "left_anti",
+    )
 
 
 def quads_add(store: DataFrame, added: DataFrame) -> DataFrame:
     """Set union: only quads not already present are appended."""
-    fresh = added.dropDuplicates(QCOLS).join(
-        store, _null_safe_eq(added, store), "left_anti"
+    fresh = (
+        added.dropDuplicates(QCOLS)
+        .alias("__delta")
+        .join(
+            store.alias("__store"),
+            _aliased_null_safe_eq("__delta", "__store"),
+            "left_anti",
+        )
     )
     return store.unionByName(fresh)
 

@@ -30,7 +30,9 @@ ex:dan foaf:age 23 .
 def test_nt_parse_roundtrip(spark):
     from fourstore_spark.sources.rdfio import quads_from_nt_text, quads_to_nq_lines
 
-    q = quads_from_nt_text(spark, NT)
+    # namespace_bnodes=False: the serializer round trip must reproduce the
+    # parser's verbatim labels
+    q = quads_from_nt_text(spark, NT, namespace_bnodes=False)
     assert q.count() == 6
     row = {r["p"]: r for r in q.collect()}
     age = row["http://xmlns.com/foaf/0.1/age"]
@@ -55,6 +57,22 @@ def test_nt_distributed_load(spark, tmp_path):
     p.write_text(NT)
     q = quads_from_nt(spark, str(p))
     assert q.count() == 6
+
+
+def test_bnode_labels_scoped_per_import(spark):
+    # two files both naming _:b1 keep distinct nodes (fs_bnode_id
+    # allocates per import, import.c:546-586); without namespacing,
+    # quads_add's set-dedup would conflate/drop them
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.update import quads_add
+
+    nt = '_:b1 <urn:p> "v" .'
+    q1 = quads_from_nt_text(spark, nt)
+    q2 = quads_from_nt_text(spark, nt)
+    merged = quads_add(q1, q2)
+    assert merged.count() == 2
+    subjects = {r["s"] for r in merged.collect()}
+    assert len(subjects) == 2 and all(s.startswith("_:b1~") for s in subjects)
 
 
 def test_query_over_imported_nt(spark):

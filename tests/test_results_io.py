@@ -91,8 +91,15 @@ def test_explain_returns_plan(eng):
 
 def test_soft_limit(eng):
     res = eng.query("SELECT ?s ?o WHERE { ?s ?p ?o }", soft_limit=1)
-    assert res.soft_limited
+    assert res.soft_limited  # the cap of 1 actually truncated
     assert res.df.count() <= 2  # capped per pattern, not exact results
+    # identical query, cap far above the data: results exact, and the
+    # truncation warning must NOT fire (results.c:2722-2728 semantics)
+    res2 = eng.query("SELECT ?s ?o WHERE { ?s ?p ?o }", soft_limit=10**9)
+    assert not res2.soft_limited
+    # no cap requested at all
+    res3 = eng.query("SELECT ?s ?o WHERE { ?s ?p ?o }")
+    assert not res3.soft_limited
 
 
 def test_graph_acls(spark):

@@ -116,6 +116,26 @@ def test_add_move_copy(spark, ue):
     assert ue.quads.where(F.col("g") == "urn:other").count() == 2
 
 
+def test_add_from_self_derived_delta(spark, ue):
+    # ADD's delta is derived from the store itself: with ambiguous
+    # (unaliased) join columns this is exactly the self-join shape that
+    # risks a trivially-true equals predicate; quads_add/quads_minus alias
+    # both sides explicitly, so semantics must hold: ADD unions, is
+    # idempotent, and never cross-contaminates other graphs
+    ue.update(
+        'INSERT DATA { GRAPH <urn:g1> { <urn:s> <urn:p> "v" . '
+        '<urn:s2> <urn:p> "w" } GRAPH <urn:g2> { <urn:s> <urn:p> "x" } }'
+    )
+    ue.update("ADD <urn:g1> TO <urn:g2>")
+    assert ue.quads.where(F.col("g") == "urn:g2").count() == 3
+    assert ue.quads.where(F.col("g") == "urn:g1").count() == 2
+    # idempotent: re-ADD inserts nothing (set semantics over the same
+    # store-derived delta)
+    ue.update("ADD <urn:g1> TO <urn:g2>")
+    assert ue.quads.where(F.col("g") == "urn:g2").count() == 3
+    assert ue.quads.count() == 5
+
+
 def test_with_graph_modify(spark, ue):
     ue.update(
         'INSERT DATA { GRAPH <urn:g> { <urn:s> <urn:k> "a" } }'
