@@ -1669,7 +1669,10 @@ def _round3_entries() -> dict[str, tuple]:
         "AND n_name NOT LIKE '%3'",
     )
 
-    # F-arith + F-num + F-cast on one scan
+    # F-arith + F-num + F-cast on one scan, plus 20-digit xsd:decimal
+    # exactness (reference decimal.c fixed-point; DECIMAL(38,18) here):
+    # ?dsum/?dprod/?dcmp are only correct via exact decimal math — a
+    # double path collapses the 21st significant digit
     r["f_numeric_cast"] = (
         _sq(
             f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
@@ -1678,9 +1681,15 @@ def _round3_entries() -> dict[str, tuple]:
                        (xsd:integer(?price) AS ?ip) (xsd:string(?size) AS ?ss)
                        (xsd:double(?size) AS ?ds)
                        (?price * (1 - 0.05) AS ?net)
+                       (?a + "0.000001"^^xsd:decimal AS ?dsum)
+                       (?a * 2 AS ?dprod)
+                       (?a > "12345678901234567890.123455"^^xsd:decimal
+                        AS ?dcmp)
                 WHERE {{ ?p <{P}part#p_retailprice> ?price ;
                             <{P}part#p_size> ?size
-                         BIND(?price - 1000 AS ?x) }}""",
+                         BIND(?price - 1000 AS ?x)
+                         BIND("12345678901234567890.123456"^^xsd:decimal
+                              AS ?a) }}""",
             ax="num",
             cx="num",
             fx="num",
@@ -1688,6 +1697,9 @@ def _round3_entries() -> dict[str, tuple]:
             ip="int",
             ds="num",
             net="num",
+            dsum="dec",
+            dprod="dec",
+            dcmp="bool",
         ),
         "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
         "ABS(p_retailprice - 1000) AS ax, CEIL(p_retailprice - 1000) AS cx, "
@@ -1695,7 +1707,14 @@ def _round3_entries() -> dict[str, tuple]:
         "ROUND(p_retailprice - 1000, 0) AS rx, "
         "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
         "CAST(p_size AS VARCHAR) AS ss, CAST(p_size AS DOUBLE) AS ds, "
-        "p_retailprice * (1 - 0.05) AS net FROM part",
+        "p_retailprice * (1 - 0.05) AS net, "
+        "CAST(CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
+        " + CAST('0.000001' AS DECIMAL(38,18)) AS DECIMAL(38,6)) AS dsum, "
+        "CAST(CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
+        " * 2 AS DECIMAL(38,6)) AS dprod, "
+        "CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
+        " > CAST('12345678901234567890.123455' AS DECIMAL(38,18)) AS dcmp "
+        "FROM part",
     )
 
     # term kinds/constructors: STRLANG/LANG/LANGMATCHES/DATATYPE/STR/

@@ -57,7 +57,7 @@ def main() -> None:
     manifest = read_manifest(store_path)
     if os.environ.get("SPARK_GRAFT_REBUILD") or not manifest or (
         "single_valued_preds" not in manifest
-    ):
+    ) or ("pred_stats" not in manifest):
         write_store(quads_from_sf_dir(spark, sf_dir), store_path)
     load_sec = time.perf_counter() - t0
     eng = SparqlEngine.from_store(spark, store_path)
@@ -177,9 +177,14 @@ def _duckdb_baseline(sf_dir: str) -> dict:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     sql = {
-        "q1_agg": """SELECT l_returnflag, l_linestatus, SUM(l_quantity),
-            SUM(l_extendedprice), AVG(l_discount), COUNT(*) FROM lineitem
-            WHERE l_shipdate <= DATE '1998-09-02' GROUP BY 1, 2""",
+        # same workload as the Spark flagship: NO shipdate filter (the
+        # SPARQL query scans all lineitem rows), decimal accumulation
+        "q1_agg": """SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE),
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE),
+            CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+              / COUNT(l_discount),
+            COUNT(*) FROM lineitem GROUP BY 1, 2""",
         "q2_join": """SELECT c_name, n_name, r_name FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey""",
@@ -219,8 +224,25 @@ def _duckdb_baseline(sf_dir: str) -> dict:
               SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
                 ORDER BY list_cosine_similarity(qe, embedding) DESC) rn
               FROM q CROSS JOIN embeddings) WHERE rn <= 10""",
-        "q8_textstats": r"""SELECT SUM(len(regexp_split_to_array(trim(text),
-            '\s+'))), COUNT(DISTINCT md5(lower(text))) FROM documents""",
+        # same three aggregates as Spark's q8 (sum tokens, avg quality
+        # score, distinct normalization fingerprints), same formulas
+        "q8_textstats": r"""
+            WITH s AS (SELECT
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END ntok,
+                length(text) nchars,
+                length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) punct,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) fp
+              FROM documents),
+            q AS (SELECT ntok, fp,
+                (least(ntok / 100.0, 1.0)
+                 + greatest(0.0, 1.0 - (CASE WHEN nchars > 0
+                     THEN punct::DOUBLE / nchars ELSE 1.0 END) * 5.0)
+                 + CASE WHEN ntok > 0 AND nchars::DOUBLE / ntok
+                        BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 3.0 q
+              FROM s)
+            SELECT SUM(ntok), AVG(q), COUNT(DISTINCT fp) FROM q""",
     }
     times: dict[str, float] = {}
     for name, q in sql.items():

@@ -93,6 +93,10 @@ class SparqlResult:
                 cols.append(c["num"].alias(var))
             elif t == "int":
                 cols.append(c["num"].cast("long").alias(var))
+            elif t == "dec":
+                # exact decimal results: parse the full-precision lexical
+                # form, normalized to scale 6 for oracle comparison
+                cols.append(c["lex"].cast("decimal(38,6)").alias(var))
             elif t == "ts":
                 cols.append(F.to_timestamp(c["lex"]).alias(var))
             elif t == "date":
@@ -120,6 +124,7 @@ class SparqlEngine:
         allowed_graphs: list[str] | None = None,
         denied_graphs: list[str] | None = None,
         single_valued_preds: set[str] | None = None,
+        pred_stats: dict | None = None,
     ):
         self.spark = spark
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
@@ -138,6 +143,9 @@ class SparqlEngine:
         # store statistics (manifest single_valued_preds): predicates with
         # fan-out 1 let star scans aggregate with codegen first()
         self.single_valued_preds = single_valued_preds
+        # per-predicate cardinalities (manifest pred_stats): drive
+        # planner-side F.broadcast() hints on small scans/stars
+        self.pred_stats = pred_stats
         # property table (store._subjects): shuffle-free star scans
         self.subjects: DataFrame | None = None
         # bounded LRU: each entry pins a DataFrame lineage (~0.5 s to
@@ -157,7 +165,11 @@ class SparqlEngine:
         manifest = read_manifest(path) or {}
         sv = set(manifest.get("single_valued_preds") or []) or None
         eng = cls(
-            spark, read_store(spark, path), single_valued_preds=sv, **kwargs
+            spark,
+            read_store(spark, path),
+            single_valued_preds=sv,
+            pred_stats=manifest.get("pred_stats") or None,
+            **kwargs,
         )
         if (
             kwargs.get("allowed_graphs") is None
@@ -192,6 +204,7 @@ class SparqlEngine:
             soft_limit=limit,
             single_valued_preds=self.single_valued_preds,
             subjects=self.subjects,
+            pred_stats=self.pred_stats,
         )
         df = tr.translate_query(q)
         # truncation warning: deferred count over the capped patterns'

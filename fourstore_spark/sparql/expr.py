@@ -118,6 +118,54 @@ def _string_like(t: Column) -> Column:
     return _is_lit(t) & (t["dt"].isNull() | (t["dt"] == XSD_STRING)) & t["lang"].isNull()
 
 
+# ------------------------------------------------- exact decimal support
+# The reference carries xsd:decimal as 20+20-digit fixed point
+# (src/frontend/decimal.h:6-18, decimal.c). The term struct's o_num DOUBLE
+# loses precision past 2^53, so integer/decimal operands additionally
+# evaluate through DECIMAL(38,18) parsed from the lexical form (SURVEY
+# §1.3 accepts the 38-digit delta vs the reference's 40). Floats/doubles
+# stay on the double path — binary datatypes must NOT pick up spurious
+# exactness.
+_EXACT_DTS = sorted(NUMERIC_DATATYPES - {XSD_DOUBLE, XSD_FLOAT})
+
+_DEC_T = "decimal(38,18)"
+
+
+def _is_exact(t: Column) -> Column:
+    return _is_lit(t) & t["dt"].isin(_EXACT_DTS)
+
+
+def _dec(t: Column) -> Column:
+    """Lexical form as DECIMAL(38,18); NULL when unparseable/overflow
+    (try_cast: ANSI mode must not turn malformed data into a query
+    crash — SPARQL maps it to the error value)."""
+    return t["lex"].try_cast(_DEC_T)
+
+
+def _dec_lex(d: Column) -> Column:
+    """Canonical xsd:decimal lexical form of a decimal column: strip the
+    cast's trailing fractional zeros (and a bare trailing point)."""
+    s = d.cast("string")
+    has_frac = s.contains(".")
+    trimmed = F.regexp_replace(
+        F.regexp_replace(s, r"0+$", ""), r"\.$", ""
+    )
+    return F.when(has_frac, trimmed).otherwise(s)
+
+
+def make_num_dec(d: Column, dt: Column) -> Column:
+    """Term struct for an exact (integer/decimal) arithmetic result: the
+    lexical form keeps full decimal precision, num carries the double
+    approximation for downstream mixed-type math."""
+    is_int = dt == XSD_INTEGER
+    lex = F.when(
+        is_int, d.try_cast("decimal(38,0)").cast("string")
+    ).otherwise(_dec_lex(d))
+    return term_struct(
+        F.lit(KIND_LITERAL), lex, dt, _NULL_S(), d.cast("double")
+    )
+
+
 def _plainish(t: Column) -> Column:
     """literal usable in string fns: plain, xsd:string, or lang-tagged."""
     return _is_lit(t) & (t["dt"].isNull() | (t["dt"] == XSD_STRING))
@@ -160,8 +208,16 @@ def _compare(op: str, lt: Column, rt: Column) -> Column:
             return a <= b
         return a >= b
 
+    # integer/decimal pairs compare exactly through DECIMAL(38,18) (the
+    # reference's fixed-point compare, decimal.c); doubles would collapse
+    # values differing past ~15 significant digits
+    ld, rd = _dec(lt), _dec(rt)
+    both_exact = (
+        _is_exact(lt) & _is_exact(rt) & ld.isNotNull() & rd.isNotNull()
+    )
     res = (
-        F.when(both_num, cmp(lt["num"], rt["num"]))
+        F.when(both_exact, cmp(ld, rd))
+        .when(both_num, cmp(lt["num"], rt["num"]))
         .when(both_time, cmp(_ts(lt), _ts(rt)))
         .when(both_bool, cmp(lt["lex"] == "true", rt["lex"] == "true"))
         .when(both_str, cmp(lt["lex"], rt["lex"]))
@@ -319,8 +375,29 @@ def compile_expr(e, ctx: ExprContext) -> Column:
         else:
             num = F.when(rn != 0.0, ln / rn)  # div-by-zero -> error
         dt = _promoted_dt(lt["dt"], rt["dt"], e.op == "/")
-        return F.when(ln.isNotNull() & rn.isNotNull(), make_num(num, dt)).otherwise(
-            null_term()
+        # exact path: integer/decimal operands compute in DECIMAL(38,18)
+        # (fn_numeric_add's decimal branch -> fs_decimal ops, decimal.c);
+        # the result's lexical form keeps the full precision a double
+        # would destroy. Falls back to the double path on overflow (NULL
+        # from the decimal op) — documented 38-digit delta vs 20+20.
+        # try_* ops: decimal overflow degrades to NULL (-> double path),
+        # never an ANSI runtime error aborting the whole query
+        ld, rd = _dec(lt), _dec(rt)
+        if e.op == "+":
+            dnum = F.try_add(ld, rd)
+        elif e.op == "-":
+            dnum = F.try_subtract(ld, rd)
+        elif e.op == "*":
+            dnum = F.try_multiply(ld, rd)
+        else:
+            dnum = F.when(rd != 0, F.try_divide(ld, rd))
+        both_exact = (
+            _is_exact(lt) & _is_exact(rt) & ld.isNotNull() & rd.isNotNull()
+        )
+        return (
+            F.when(both_exact & dnum.isNotNull(), make_num_dec(dnum, dt))
+            .when(ln.isNotNull() & rn.isNotNull(), make_num(num, dt))
+            .otherwise(null_term())
         )
     if isinstance(e, A.EUnary):
         t = compile_expr(e.arg, ctx)

@@ -63,14 +63,35 @@ TERM_DDL = "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
 
 @dataclass
 class Sol:
-    """A solution-set DataFrame + the set of certainly-bound variables."""
+    """A solution-set DataFrame + the set of certainly-bound variables.
+
+    ``est_rows`` is a leaf-level cardinality estimate from store manifest
+    statistics (the analogue of the reference's per-predicate frequency
+    histograms, fs_bind_freq optimiser.c:445-524); None = unknown. Only
+    scans/stars carry it — joins reset to None, so broadcast hints never
+    fire on unestimated intermediates."""
 
     df: DataFrame
     certain: frozenset
+    est_rows: int | None = None
 
     @property
     def variables(self) -> list[str]:
         return self.df.columns
+
+
+def term_rid(term: Column) -> Column:
+    """64-bit term key — the fs_rid analogue (4s-hash.h:52,68: every term
+    hashes to an fs_rid; joins and dedup compare RIDs, never lexical
+    forms). Join conditions compare these 8-byte keys instead of the full
+    term struct: exchanges hash a long, sort-merge sorts longs, and no
+    string comparison happens per row. Like the reference we accept the
+    2^-64 collision risk (the reference's own group-by hash notes "no
+    guarantee of non-collision", group.c:47-48). ``num`` is excluded: it
+    is derived from (lex, dt). NULL inputs are skipped by xxhash64, which
+    makes the subject-position hash (dt/lang absent) agree with the
+    object-position hash of the same URI."""
+    return F.xxhash64(term["kind"], term["lex"], term["dt"], term["lang"])
 
 
 class Translator:
@@ -82,6 +103,8 @@ class Translator:
         soft_limit: int | None = None,
         single_valued_preds: set | None = None,
         subjects: DataFrame | None = None,
+        pred_stats: dict | None = None,
+        broadcast_rows: int = 200_000,
     ):
         self.spark = spark
         self.quads = quads
@@ -98,6 +121,13 @@ class Translator:
         self.union_default_graph = union_default_graph
         # per-pattern result cap (soft limit / restricted mode,
         # params.h.in:34, query-datatypes.c:998-1015)
+        # per-predicate (quads, distinct-subjects) counts from the store
+        # manifest; leaf scans get est_rows, and _compat_join emits
+        # F.broadcast() hints for estimated-small sides so dimension joins
+        # never degrade to a shuffle on Spark's post-filter size guesses
+        # (which at 100x data blow past any autoBroadcastJoinThreshold)
+        self.pred_stats = pred_stats or {}
+        self.broadcast_rows = broadcast_rows
         self.soft_limit = soft_limit
         # pre-cap pattern DataFrames, kept so the engine can check lazily
         # whether a cap actually truncated (the reference warns only then:
@@ -158,7 +188,9 @@ class Translator:
             base = self.translate(node.pattern, graph)
             ctx = self._ctx(base)
             col = compile_expr(node.expr, ctx)
-            return Sol(base.df.withColumn(node.var, col), base.certain)
+            return Sol(
+                base.df.withColumn(node.var, col), base.certain, base.est_rows
+            )
         if isinstance(node, A.GraphPattern):
             return self.translate(node.pattern, graph=node.graph)
         if isinstance(node, A.ValuesTable):
@@ -285,7 +317,10 @@ class Translator:
             self.capped.append((df, self.soft_limit))
             df = df.limit(self.soft_limit)
         out = df.select(*[c.alias(n) for n, c in proj.items()])
-        return Sol(out, frozenset(proj))
+        est = None
+        if isinstance(tp.p, A.Iri) and tp.p.value in self.pred_stats:
+            est = self.pred_stats[tp.p.value][0]  # quad count upper bound
+        return Sol(out, frozenset(proj), est_rows=est)
 
     @staticmethod
     def _pattern_const_count(tp: A.TriplePattern) -> int:
@@ -509,7 +544,9 @@ class Translator:
         for oname in ovars:
             proj.append(F.col(oname))
             names.append(oname)
-        return Sol(out.select(*proj), frozenset(names))
+        return Sol(
+            out.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
+        )
 
     def _star_scan_pt(self, sname: str, patterns: list, graph) -> Sol:
         """Subject star over the property table: ZERO query-time shuffle —
@@ -583,7 +620,26 @@ class Translator:
         for oname in ovars:
             proj.append(F.col(oname))
             names.append(oname)
-        return Sol(df.select(*proj), frozenset(names))
+        return Sol(
+            df.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
+        )
+
+    def _star_est(self, patterns: list) -> int | None:
+        """Star-scan cardinality upper bound: subjects having ALL the
+        star's predicates <= min per-predicate distinct-subject count.
+        Multi-valued predicates can explode rows beyond the subject count,
+        so only functional (single-valued) stars get an estimate."""
+        if not self.pred_stats:
+            return None
+        est = None
+        for tp, oname in patterns:
+            stats = self.pred_stats.get(tp.p.value)
+            if stats is None:
+                return None
+            if oname is not None and tp.p.value not in self.single_valued_preds:
+                return None
+            est = stats[1] if est is None else min(est, stats[1])
+        return est
 
     # ------------------------------------------------------------ joins
     @staticmethod
@@ -632,13 +688,28 @@ class Translator:
 
         ldf = left.df
         rdf = right.df
+        # manifest-statistics broadcast hints: a side whose leaf estimate
+        # is small gets F.broadcast() regardless of Spark's size guess
+        # (post-filter estimates on a huge quads table exceed any
+        # autoBroadcastJoinThreshold at scale, silently degrading every
+        # dimension join to a shuffle). Only the build-able side of outer/
+        # semi/anti joins is eligible.
+        l_est, r_est = left.est_rows, right.est_rows
+        r_small = r_est is not None and r_est <= self.broadcast_rows
+        l_small = l_est is not None and l_est <= self.broadcast_rows
+        if r_small and not (how == "inner" and l_small and l_est < r_est):
+            rdf = F.broadcast(rdf)
+        elif l_small and how == "inner":
+            ldf = F.broadcast(ldf)
         ren = {c: self._fresh("r") for c in shared}
         for c, n in ren.items():
             rdf = rdf.withColumnRenamed(c, n)
         right_out = [ren.get(c, c) for c in right.df.columns]
 
         def branch_cond(lb, rb, keys):
-            conds = [lb[c] == rb[ren[c]] for c in keys]
+            # equi-keys compare 64-bit RIDs, not term structs (term_rid):
+            # the exchange partitions on a long and SMJ sorts longs
+            conds = [term_rid(lb[c]) == term_rid(rb[ren[c]]) for c in keys]
             if expr is not None:
                 merged = {c: F.coalesce(lb[c], rb[ren[c]]) for c in shared}
                 ctx = ExprContext(
@@ -791,7 +862,11 @@ class Translator:
         if plain:
             e = plain[0] if len(plain) == 1 else A.EAnd(plain)
             ctx = self._ctx(base)
-            base = Sol(base.df.where(compile_bool(e, ctx)), base.certain)
+            # a filter only removes rows: the leaf estimate stays an
+            # upper bound, so broadcast eligibility survives
+            base = Sol(
+                base.df.where(compile_bool(e, ctx)), base.certain, base.est_rows
+            )
         return base
 
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
@@ -987,15 +1062,33 @@ class Translator:
             num = val["num"]
             # exact, order-independent accumulation: sum fixed-point
             # decimals, not doubles (the reference's fn_numeric_add keeps
-            # int64/fs_decimal exact too, filter.c:420-523).  decimal(38,6)
+            # int64/fs_decimal exact too, filter.c:420-523). decimal(38,6)
             # covers xsd:integer exactly to 1e31 and 2-dp money columns.
-            dec = num.cast("decimal(38,6)")
+            # A value decimal(38,6) CANNOT represent — |x| >= 1e32
+            # overflows to NULL (the row would silently drop from the
+            # sum), |x| < 1e-6 rounds to zero — flips the whole group to
+            # the plain double path: deterministic per data, and the
+            # distinct count always uses the same representation as the
+            # distinct sum, so AVG DISTINCT divides matched num/denom.
+            # try_cast: out-of-range doubles become NULL here (and flip
+            # the group to the double path below) instead of raising
+            # under ANSI mode
+            dec = num.try_cast("decimal(38,6)")
+            unrep = num.isNotNull() & (
+                dec.isNull() | ((num != 0.0) & (dec == F.lit(0).cast("decimal(38,6)")))
+            )
+            any_unrep = F.max(unrep.cast("int")) == 1
             if a.distinct:
-                sum_dec = F.sum_distinct(dec)
-                cnt = F.count_distinct(num)
+                sum_dec_ = F.sum_distinct(dec).cast("double")
+                sum_dbl_ = F.sum_distinct(num)
+                cnt = F.when(
+                    any_unrep, F.count_distinct(num)
+                ).otherwise(F.count_distinct(dec))
             else:
-                sum_dec = F.sum(dec)
+                sum_dec_ = F.sum(dec).cast("double")
+                sum_dbl_ = F.sum(num)
                 cnt = F.count(num)
+            sum_dec = F.when(any_unrep, sum_dbl_).otherwise(sum_dec_)
             # result dt via the promotion ladder rank, NOT lexicographic
             # max over IRI strings (fn_numeric_add, filter.c:420)
             rank = (

@@ -82,6 +82,7 @@ def write_store(
         os.path.join(path, "_subjects")
     )
     single_valued: list[str] = []
+    pred_stats: dict = {}
     if compute_stats:
         # fan-out per (p, s) across ALL graphs (safe for every graph
         # scoping a star scan can group under), derived from the already-
@@ -97,6 +98,22 @@ def write_store(
         single_valued = sorted(
             r["p"] for r in fanout.where(F.col("mx") == 1).collect()
         )
+        # per-predicate cardinalities — the reference's frequency
+        # histograms (fs_bind_freq, optimiser.c:445-524; backend message
+        # FS_GET_QUAD_FREQ 4store.h:68). quads = scan estimate for a
+        # constant-p pattern; subjects (approx) = star-scan row estimate.
+        # The planner turns these into F.broadcast() hints, so dimension
+        # joins stay broadcast at ANY autoBroadcastJoinThreshold instead
+        # of depending on Spark's (hopeless, post-filter) size guesses.
+        rows = (
+            stored.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("s").alias("ns"),
+            )
+            .collect()
+        )
+        pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in rows}
     manifest = {
         "format": "fourstore-quads-parquet-v1",
         "rows": n,
@@ -104,6 +121,7 @@ def write_store(
         "distribute": "hash(s)",
         "sort_within": ["p", "s"],
         "single_valued_preds": single_valued,
+        "pred_stats": pred_stats,
     }
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)

@@ -201,3 +201,49 @@ def test_exists_not_exists(engine, duck):
            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
     )
     assert rows_set(df) == exp
+
+
+def test_decimal_exact_arithmetic(engine):
+    # xsd:decimal fidelity (reference decimal.c 20+20 fixed point; here
+    # DECIMAL(38,18)): values past double's 15-16 significant digits must
+    # compare and add exactly, not through the lossy o_num double
+    df = engine.select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?sum ?prod ?gt ?eq WHERE {
+             ?r <urn:col:region#r_name> "ASIA"
+             BIND("12345678901234567890.123456"^^xsd:decimal AS ?a)
+             BIND(?a + "0.000001"^^xsd:decimal AS ?sum)
+             BIND(?a * 2 AS ?prod)
+             BIND(?a > "12345678901234567890.123455"^^xsd:decimal AS ?gt)
+             BIND(?a = "12345678901234567890.123455"^^xsd:decimal AS ?eq)
+           }""",
+        gt="bool",
+        eq="bool",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sum"] == "12345678901234567890.123457"
+    assert r["prod"] == "24691357802469135780.246912"
+    assert r["gt"] is True   # differs only at the 26th significant digit
+    assert r["eq"] is False  # a double path would call these equal
+
+
+def test_sum_avg_double_inputs_not_decimal_clipped(engine, spark):
+    # ADVICE: doubles >= 1e32 must not be dropped by a decimal cast, and
+    # sub-1e-6 magnitudes must not round to zero
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    nt = """
+<urn:a> <urn:v> "1.0E33"^^<http://www.w3.org/2001/XMLSchema#double> .
+<urn:b> <urn:v> "1.0E-8"^^<http://www.w3.org/2001/XMLSchema#double> .
+"""
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    row = eng.select(
+        "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?av) WHERE { ?x <urn:v> ?v }",
+        s="num",
+        av="num",
+    ).collect()[0]
+    assert row["s"] == pytest.approx(1.0e33)
+    assert row["av"] == pytest.approx(0.5e33)

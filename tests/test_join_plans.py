@@ -83,6 +83,61 @@ def test_exists_maybe_unbound(eng):
     assert rows == {"urn:r1", "urn:r3"}
 
 
+def test_manifest_broadcast_hint_at_default_threshold(spark, tmp_path):
+    """A small dimension side must plan as BroadcastHashJoin at Spark's
+    DEFAULT autoBroadcastJoinThreshold, driven by the store manifest's
+    per-predicate statistics (F.broadcast hints), not by Spark's
+    post-filter size guesses — which at scale exceed any threshold and
+    silently degrade every dimension join to a shuffle."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    nt = "\n".join(
+        f'<urn:item:{i}> <urn:dim> <urn:d{i % 3}> .\n'
+        f'<urn:item:{i}> <urn:val> "{i}" .'
+        for i in range(50)
+    ) + "\n" + "\n".join(f'<urn:d{j}> <urn:dname> "dim{j}" .' for j in range(3))
+    path = str(tmp_path / "store")
+    manifest = write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    assert manifest["pred_stats"]["urn:dname"][0] == 3
+    eng = SparqlEngine.from_store(spark, path)
+    q = """SELECT ?v ?dn WHERE {
+             ?i <urn:dim> ?d ; <urn:val> ?v . ?d <urn:dname> ?dn }"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # default threshold, AQE off: the STATIC plan must already broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = eng.query(q).explain("simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert eng.select(q).count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_rid_join_keys_in_plan(spark):
+    """Equi-joins key on the 8-byte term RID (xxhash64), not the term
+    struct: the exchange/sort operates on longs (fs_rid parity,
+    4s-hash.h:52)."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+
+    nt = """
+<urn:a> <urn:p> <urn:b> .
+<urn:b> <urn:q> "x" .
+"""
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    plan = eng.query(
+        "SELECT ?x WHERE { ?a <urn:p> ?b . ?b <urn:q> ?x }"
+    ).explain("simple")
+    assert "xxhash64" in plan, plan
+    rows = eng.select("SELECT ?x WHERE { ?a <urn:p> ?b . ?b <urn:q> ?x }").collect()
+    assert [r[0] for r in rows] == ["x"]
+
+
 def test_single_valued_star_stats(spark, tmp_path):
     """Store stats (functional predicates) switch star scans to first()
     aggregation without changing results; multi-valued predicates keep
