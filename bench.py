@@ -56,8 +56,8 @@ def main() -> None:
     t0 = time.perf_counter()
     manifest = read_manifest(store_path)
     if os.environ.get("SPARK_GRAFT_REBUILD") or not manifest or (
-        "single_valued_preds" not in manifest
-    ) or ("pred_stats" not in manifest):
+        manifest.get("format") != "fourstore-quads-parquet-v2"
+    ):
         write_store(quads_from_sf_dir(spark, sf_dir), store_path)
     load_sec = time.perf_counter() - t0
     eng = SparqlEngine.from_store(spark, store_path)

@@ -146,8 +146,10 @@ class SparqlEngine:
         # per-predicate cardinalities (manifest pred_stats): drive
         # planner-side F.broadcast() hints on small scans/stars
         self.pred_stats = pred_stats
-        # property table (store._subjects): shuffle-free star scans
+        # property table (store._subjects): shuffle-free star scans;
+        # subjects_cols maps predicate URI -> physical parquet column
         self.subjects: DataFrame | None = None
+        self.subjects_cols: dict | None = None
         # bounded LRU: each entry pins a DataFrame lineage (~0.5 s to
         # rebuild), so an unbounded dict is a slow driver-memory leak for
         # a long-lived server issuing many unique query texts
@@ -174,12 +176,14 @@ class SparqlEngine:
         if (
             kwargs.get("allowed_graphs") is None
             and kwargs.get("denied_graphs") is None
+            and manifest.get("pred_columns")
         ):
             # (ACL filtering needs per-value graph checks the property
             # table doesn't express cheaply — fall back to the quads path.
             # `is None`, not falsy: an EMPTY allow-list means deny-all and
             # must also disable the unfiltered property-table fast path.)
             eng.subjects = read_subjects(spark, path)
+            eng.subjects_cols = manifest["pred_columns"]
         return eng
 
     def query(self, text: str, soft_limit: int | None = None) -> SparqlResult:
@@ -205,6 +209,7 @@ class SparqlEngine:
             single_valued_preds=self.single_valued_preds,
             subjects=self.subjects,
             pred_stats=self.pred_stats,
+            subjects_cols=self.subjects_cols,
         )
         df = tr.translate_query(q)
         # truncation warning: deferred count over the capped patterns'

@@ -105,12 +105,15 @@ class Translator:
         subjects: DataFrame | None = None,
         pred_stats: dict | None = None,
         broadcast_rows: int = 200_000,
+        subjects_cols: dict | None = None,
     ):
         self.spark = spark
         self.quads = quads
         # property table (store.py): quads pre-grouped by subject, used by
         # star scans to skip the query-time shuffle entirely
         self.subjects = subjects
+        # predicate URI -> physical column in the wide property table
+        self.subjects_cols = subjects_cols
         # store stats: predicates known to have fan-out 1 per subject
         # (manifest, store.write_store) — the reference's histogram
         # analogue (fs_bind_freq, optimiser.c:445-524)
@@ -448,8 +451,10 @@ class Translator:
         import-backend.c:74-118)."""
         if (
             self.subjects is not None
+            and self.subjects_cols is not None
             and not isinstance(graph, A.Var)
             and self.soft_limit is None
+            and all(tp.p.value in self.subjects_cols for tp, _ in patterns)
         ):
             return self._star_scan_pt(sname, patterns, graph)
         df = self.quads
@@ -549,9 +554,11 @@ class Translator:
         )
 
     def _star_scan_pt(self, sname: str, patterns: list, graph) -> Sol:
-        """Subject star over the property table: ZERO query-time shuffle —
-        map lookups + array filters per subject row, arrays exploded back
-        (or element_at for store-stat functional predicates)."""
+        """Subject star over the wide property table: ZERO query-time
+        shuffle — per-predicate parquet COLUMNS (pruned: only the star's
+        predicates are decoded) + array filters per subject row, arrays
+        exploded back (or element_at for store-stat functional
+        predicates)."""
         df = self.subjects
 
         def graph_vals(vals: Column) -> Column:
@@ -576,7 +583,7 @@ class Translator:
         explodes: list[tuple[str, str]] = []
         ovars: list[str] = []
         for i, (tp, oname) in enumerate(patterns):
-            vals = graph_vals(F.col("props").getItem(tp.p.value))
+            vals = graph_vals(F.col(self.subjects_cols[tp.p.value]))
             if oname is None:  # constant-object existence constraint
                 if isinstance(tp.o, A.Iri):
                     match = lambda x, t=tp: (x["kind"] == KIND_URI) & (

@@ -53,29 +53,41 @@ def write_store(
     )
     stored = spark.read.parquet(path)
     n = stored.count()
-    # property table: the quads pre-grouped by subject — map<p,
-    # array<struct<g, kind, lex, dt, lang, num>>> per subject. Star scans
-    # read it with ZERO query-time shuffle (the groupBy(s) the quads path
-    # would do per query happens once, here, at import).
+    # property table: the quads pre-grouped by subject, ONE PHYSICAL
+    # PARQUET COLUMN PER PREDICATE (array<struct<g, kind, lex, dt, lang,
+    # num>>). Star scans read it with ZERO query-time shuffle (the
+    # groupBy(s) the quads path would do per query happens once, here, at
+    # import), and — unlike a map<p, array<...>> column, which parquet
+    # must materialize wholesale — column pruning means a 5-predicate
+    # star over a 17-predicate subject decodes 5 columns, not 17. The
+    # classic RDF property-table layout (SW-Store / Jena property
+    # tables), replacing the reference's per-predicate ptree files
+    # (ptree.c:46-70) with per-predicate parquet columns.
+    preds = sorted(r["p"] for r in stored.select("p").distinct().collect())
+    pred_columns = {p: f"p{i}" for i, p in enumerate(preds)}
+    val = F.struct(
+        F.col("g"),
+        F.col("o_kind").alias("kind"),
+        F.col("o_lex").alias("lex"),
+        F.col("o_dt").alias("dt"),
+        F.col("o_lang").alias("lang"),
+        F.col("o_num").alias("num"),
+    )
     subj = (
-        stored.groupBy("s", "s_kind", "p")
+        stored.groupBy("s", "s_kind")
         .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("g"),
-                    F.col("o_kind").alias("kind"),
-                    F.col("o_lex").alias("lex"),
-                    F.col("o_dt").alias("dt"),
-                    F.col("o_lang").alias("lang"),
-                    F.col("o_num").alias("num"),
-                )
-            ).alias("vals")
+            *[
+                F.collect_list(F.when(F.col("p") == p, val)).alias(c)
+                for p, c in pred_columns.items()
+            ]
         )
-        .groupBy("s", "s_kind")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("p"), F.col("vals")))
-            ).alias("props")
+        .select(
+            "s",
+            "s_kind",
+            *[
+                F.when(F.size(F.col(c)) > 0, F.col(c)).alias(c)
+                for c in pred_columns.values()
+            ],
         )
     )
     subj.repartition(partitions, F.col("s")).write.mode("overwrite").parquet(
@@ -88,15 +100,14 @@ def write_store(
         # scoping a star scan can group under), derived from the already-
         # grouped property table — no extra pass over the quads
         subj_stored = spark.read.parquet(os.path.join(path, "_subjects"))
-        fanout = (
-            subj_stored.select(
-                F.explode(F.map_entries(F.col("props"))).alias("e")
-            )
-            .groupBy(F.col("e.key").alias("p"))
-            .agg(F.max(F.size(F.col("e.value"))).alias("mx"))
-        )
+        mx = subj_stored.agg(
+            *[
+                F.max(F.size(F.col(c))).alias(c)
+                for c in pred_columns.values()
+            ]
+        ).collect()[0]
         single_valued = sorted(
-            r["p"] for r in fanout.where(F.col("mx") == 1).collect()
+            p for p, c in pred_columns.items() if mx[c] == 1
         )
         # per-predicate cardinalities — the reference's frequency
         # histograms (fs_bind_freq, optimiser.c:445-524; backend message
@@ -115,13 +126,15 @@ def write_store(
         )
         pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in rows}
     manifest = {
-        "format": "fourstore-quads-parquet-v1",
+        "format": "fourstore-quads-parquet-v2",
         "rows": n,
         "partitions": partitions,
         "distribute": "hash(s)",
         "sort_within": ["p", "s"],
         "single_valued_preds": single_valued,
         "pred_stats": pred_stats,
+        # predicate -> physical column name in _subjects
+        "pred_columns": pred_columns,
     }
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
