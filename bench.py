@@ -195,18 +195,22 @@ def _duckdb_baseline(sf_dir: str) -> dict:
         "q5_groupjoin": """SELECT n_name, SUM(o_totalprice), COUNT(*)
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""",
-        # minhash LSH: 32 seeds x 5-char shingles, 8 bands of 4, distinct
-        # candidate pairs — the same algorithm bench's q6 runs on Spark
+        # minhash LSH: 32 hash functions x 5-char shingles, 8 bands of 4,
+        # distinct candidate pairs — same algorithm AND same double-hashing
+        # family as Spark's q6 (hash_i = h1 XOR rotl64(h2, i); two base
+        # hashes per shingle, the rest derived by rotate-xor)
         "q6_minhash": """
             WITH sh AS (
-              SELECT doc_id, hash(sub) h FROM (
+              SELECT doc_id, hash(sub) h1, hash(sub || chr(1)) h2 FROM (
                 SELECT doc_id, unnest([substring(lower(text), i, 5)
                   for i in range(1, greatest(length(text) - 4, 1) + 1)]) sub
                 FROM documents)
             ), sig AS (
               SELECT doc_id, list(mh ORDER BY seed) sig FROM (
                 SELECT doc_id, seed,
-                       min(hash(h::VARCHAR || '_' || seed::VARCHAR)) mh
+                       min(CASE WHEN seed = 0 THEN xor(h1, h2)
+                           ELSE xor(h1, ((h2 % (1::UBIGINT << (64 - seed)))
+                                         << seed) | (h2 >> (64 - seed))) END) mh
                 FROM sh CROSS JOIN (SELECT unnest(range(32)) seed)
                 GROUP BY doc_id, seed) GROUP BY doc_id
             ), banded AS (
