@@ -4,15 +4,17 @@ Replaces the reference's per-predicate radix-tree files (ptree.c:46-70,
 selection query-backend.c:48-69) with a columnar layout tuned for the two
 access paths that dominate SPARQL plans:
 
-- **predicate-constant scans** (every BGP pattern with a known p): rows
-  are sorted by ``(p, s)`` inside each file, so Parquet row-group min/max
-  stats + dictionary filters prune non-matching predicates before any IO;
-- **subject joins / star groups**: rows are hash-distributed by ``s``, so
-  a groupBy(s) star scan or an s-equi-join shuffles evenly (no predicate
-  skew — partitioning BY p would put all of ``rdf:type`` in one
-  partition, the mistake SURVEY §4 warns about). ``write_bucketed``
-  additionally records bucketing in the metastore so s-joins between two
-  bucketed tables skip the shuffle entirely.
+- **predicate-constant scans** (every BGP pattern with a known p): one
+  parquet DIRECTORY per predicate (write.partitionBy(p)) — pruned at
+  planning time, exactly the reference's one-ptree-per-predicate design;
+  files inside are s-sorted so subject-constant patterns also prune by
+  row-group min/max stats;
+- **subject joins / star groups**: within each predicate directory rows
+  are hash-bucketed by ``s`` into evenly-sized files (per-predicate
+  bucket counts proportional to row share, so hot rdf:type-style
+  predicates spread instead of forming one giant partition).
+  ``write_bucketed`` additionally records bucketing in the metastore so
+  s-joins between two bucketed tables skip the shuffle entirely.
 
 A manifest records counts + layout for dump/restore parity
 (src/frontend/dump.c, restore.c)."""
@@ -34,8 +36,8 @@ def write_store(
     partitions: int | None = None,
     compute_stats: bool = True,
 ) -> dict:
-    """Materialize a quads DataFrame at ``path``: hash-distributed by
-    subject, (p, s)-sorted within files.
+    """Materialize a quads DataFrame at ``path``: one directory per
+    predicate, hash(s)-bucketed and s-sorted files within.
 
     With compute_stats, the manifest records which predicates are
     *functional* (at most one object per (g,s)) — the stats analogue of
@@ -45,10 +47,47 @@ def write_store(
     spark = quads.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one DIRECTORY per predicate (write.partitionBy) — the analogue of the
+    # reference's one-ptree-file-per-predicate (ptree.c:46-70): a
+    # predicate-constant scan prunes to its directory at PLANNING time,
+    # touching no other file's footer (at 100 TB: partition pruning beats
+    # per-file row-group stats, which still open every footer). Skew is
+    # handled below the directory: each predicate is sub-bucketed by
+    # hash(s) into ceil(share-of-rows x partitions) files, so rdf:type-
+    # style hot predicates spread over many evenly-sized files instead of
+    # one giant partition (the SURVEY §4 skew warning applies to shuffle
+    # partitioning by p, not to directory layout with per-predicate
+    # bucketing).
+    counts = {
+        r["p"]: r["n"]
+        for r in quads.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values()) or 1
+    buckets = {
+        p: max(1, round(n * partitions / total)) for p, n in counts.items()
+    }
+    if buckets:
+        bucket_of = F.element_at(
+            F.create_map(
+                *[x for p, b in buckets.items() for x in (F.lit(p), F.lit(b))]
+            ),
+            F.col("p"),
+        )
+        shuffled = quads.repartition(
+            max(2 * partitions, 2 * sum(buckets.values())),
+            F.col("p"),
+            F.pmod(F.xxhash64(F.col("s")), bucket_of),
+        )
+    else:  # empty store
+        shuffled = quads.repartition(1)
     (
-        quads.repartition(partitions, F.col("s"))
-        .sortWithinPartitions("p", "s")
+        # sortWithinPartitions(p, s): the writer sees output already
+        # sorted by its partition column so it keeps row order — each
+        # per-predicate file stays s-sorted for row-group min/max pruning
+        # on subject-constant patterns
+        shuffled.sortWithinPartitions("p", "s")
         .write.mode("overwrite")
+        .partitionBy("p")
         .parquet(path)
     )
     stored = spark.read.parquet(path)
@@ -126,11 +165,11 @@ def write_store(
         )
         pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in rows}
     manifest = {
-        "format": "fourstore-quads-parquet-v2",
+        "format": "fourstore-quads-parquet-v3",
         "rows": n,
         "partitions": partitions,
-        "distribute": "hash(s)",
-        "sort_within": ["p", "s"],
+        "distribute": "dir(p) / hash(s)",
+        "sort_within": ["s"],
         "single_valued_preds": single_valued,
         "pred_stats": pred_stats,
         # predicate -> physical column name in _subjects
