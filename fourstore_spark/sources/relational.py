@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fourstore_spark.model import (
     KIND_LITERAL,
@@ -277,13 +278,16 @@ def table_quads(df: DataFrame, table: str) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read as long nanos and convert (micros precision).
+        # events.ts may be TIMESTAMP(NANOS) parquet (rejected by Spark by
+        # default — read as long nanos and convert) or plain micros
+        # TIMESTAMP depending on how the dataset was generated.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

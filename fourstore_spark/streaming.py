@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -97,6 +98,14 @@ def stream_ingest(
     return writer.start()
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet sources may surface
+    TIMESTAMP_NTZ (e.g. Spark 4 reading plain micros timestamps)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -107,7 +116,8 @@ def windowed_event_counts(
     """Tumbling event-time rollup with bounded state: count + value sum
     per (window, key); rows later than the watermark are dropped."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -133,7 +143,9 @@ def streaming_dedup(
     fingerprint wins; state expires with the watermark."""
     from fourstore_spark.operators.textstats import fingerprint
 
-    keyed = docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    keyed = _watermarkable(docs, ts_col).withColumn(
+        "fingerprint", fingerprint(F.col(text_col))
+    )
     return keyed.withWatermark(ts_col, watermark).dropDuplicates(
         ["fingerprint"]
     )
@@ -270,7 +282,8 @@ def sessionize(
             )
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
             fn,
