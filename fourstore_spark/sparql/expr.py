@@ -572,9 +572,37 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
             make_num(F.second(_ts(a0)).cast("double"), F.lit(XSD_DECIMAL)),
         ).otherwise(null_term())
     if name in ("TIMEZONE", "TZ"):
-        # reference: TZ unimplemented (results.c:358-360); lexes here are
-        # normalized UTC-naive, so TZ() == ""
-        return make_string(F.lit(""))
+        # Timezone from the datetime's LEXICAL form (the reference leaves
+        # TZ unimplemented, results.c:358-360; we implement per SPARQL
+        # 17.4.5.7/8). TZ -> simple literal ("Z", "+05:30", "" if absent);
+        # TIMEZONE -> xsd:dayTimeDuration, error when no timezone.
+        is_temporal = a0["dt"].isin(XSD_DATETIME, XSD_DATE)
+        tz = F.regexp_extract(a0["lex"], r"(Z|[+-]\d{2}:\d{2})$", 1)
+        if name == "TZ":
+            return F.when(is_temporal, make_string(tz)).otherwise(null_term())
+        hh = F.substring(tz, 2, 2).cast("int")
+        mm = F.substring(tz, 5, 2).cast("int")
+        sign = F.when(
+            (F.substring(tz, 1, 1) == "-") & ((hh > 0) | (mm > 0)), "-"
+        ).otherwise("")
+        dur = F.when((tz == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S")).otherwise(
+            F.concat(
+                sign,
+                F.lit("PT"),
+                F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(""),
+                F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(""),
+            )
+        )
+        return F.when(
+            is_temporal & (tz != ""),
+            term_struct(
+                F.lit(KIND_LITERAL),
+                dur,
+                F.lit(XSD + "dayTimeDuration"),
+                _NULL_S(),
+                _NULL_D(),
+            ),
+        ).otherwise(null_term())
     if name == "NOW":
         return make_datetime(F.current_timestamp())
     if name == "FROM_UNIXTIME":

@@ -58,10 +58,21 @@ def write_store(
     # one giant partition (the SURVEY §4 skew warning applies to shuffle
     # partitioning by p, not to directory layout with per-predicate
     # bucketing).
-    counts = {
-        r["p"]: r["n"]
-        for r in quads.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # ONE stats pass over the source: per-predicate row count (bucket
+    # sizing below) + approx distinct subjects (the fs_bind_freq-style
+    # planner stats, optimiser.c:445-524) — folded together so the quads
+    # mapping is computed once here instead of once per statistic. The
+    # source is cached across this pass + the layout write.
+    quads = quads.persist()
+    stats_rows = (
+        quads.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("s").alias("ns"),
+        )
+        .collect()
+    )
+    counts = {r["p"]: r["n"] for r in stats_rows}
     total = sum(counts.values()) or 1
     buckets = {
         p: max(1, round(n * partitions / total)) for p, n in counts.items()
@@ -90,8 +101,9 @@ def write_store(
         .partitionBy("p")
         .parquet(path)
     )
+    quads.unpersist()
     stored = spark.read.parquet(path)
-    n = stored.count()
+    n = int(total) if counts else 0
     # property table: the quads pre-grouped by subject, ONE PHYSICAL
     # PARQUET COLUMN PER PREDICATE (array<struct<g, kind, lex, dt, lang,
     # num>>). Star scans read it with ZERO query-time shuffle (the
@@ -102,7 +114,7 @@ def write_store(
     # classic RDF property-table layout (SW-Store / Jena property
     # tables), replacing the reference's per-predicate ptree files
     # (ptree.c:46-70) with per-predicate parquet columns.
-    preds = sorted(r["p"] for r in stored.select("p").distinct().collect())
+    preds = sorted(counts)
     pred_columns = {p: f"p{i}" for i, p in enumerate(preds)}
     val = F.struct(
         F.col("g"),
@@ -129,22 +141,27 @@ def write_store(
             ],
         )
     )
-    subj.repartition(partitions, F.col("s")).write.mode("overwrite").parquet(
-        os.path.join(path, "_subjects")
-    )
+    subj = subj.repartition(partitions, F.col("s"))
     single_valued: list[str] = []
     pred_stats: dict = {}
-    if compute_stats:
+    obs = None
+    if compute_stats and pred_columns:
         # fan-out per (p, s) across ALL graphs (safe for every graph
-        # scoping a star scan can group under), derived from the already-
-        # grouped property table — no extra pass over the quads
-        subj_stored = spark.read.parquet(os.path.join(path, "_subjects"))
-        mx = subj_stored.agg(
+        # scoping a star scan can group under) — observed DURING the
+        # subjects write, so no second decode pass over the property table
+        from pyspark.sql import Observation
+
+        obs = Observation("pred_fanout")
+        subj = subj.observe(
+            obs,
             *[
                 F.max(F.size(F.col(c))).alias(c)
                 for c in pred_columns.values()
-            ]
-        ).collect()[0]
+            ],
+        )
+    subj.write.mode("overwrite").parquet(os.path.join(path, "_subjects"))
+    if obs is not None:
+        mx = obs.get
         single_valued = sorted(
             p for p, c in pred_columns.items() if mx[c] == 1
         )
@@ -155,15 +172,8 @@ def write_store(
         # The planner turns these into F.broadcast() hints, so dimension
         # joins stay broadcast at ANY autoBroadcastJoinThreshold instead
         # of depending on Spark's (hopeless, post-filter) size guesses.
-        rows = (
-            stored.groupBy("p")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct("s").alias("ns"),
-            )
-            .collect()
-        )
-        pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in rows}
+        # Computed in the single stats pass above.
+        pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows}
     manifest = {
         "format": "fourstore-quads-parquet-v3",
         "rows": n,
