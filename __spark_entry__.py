@@ -278,6 +278,33 @@ def _op_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
 
 
+def _op_embedding_neardup_exact(spark, sf_dir):
+    from fourstore_spark.operators.similarity import cosine_neardup_pairs
+
+    # threshold 0.4 has real pairs in the synthetic corpus (59 at sf0.01);
+    # k=64 is ~10x the densest neighborhood, so topk-based = exact
+    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4, k=64)
+
+
+def _op_embedding_neardup_lsh(spark, sf_dir):
+    from fourstore_spark.operators.dedup import embedding_neardup
+
+    # approximate (banding recall < 1 at this low a threshold): rows-only
+    return embedding_neardup(_emb(spark, sf_dir), threshold=0.4, dim=64)
+
+
+# cosine both sides computed on float32 values widened to double; ROUND
+# to 6 dp on both sides makes the float comparison hash-stable
+_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
 def _op_lsh_ann(spark, sf_dir):
     from fourstore_spark.operators.similarity import lsh_ann_topk
 
@@ -1229,6 +1256,8 @@ def _registry() -> dict[str, tuple]:
            QUALIFY rank <= 5""",
     )
     r["sim_lsh_ann"] = (_op_lsh_ann, None)  # approximate: rows-only
+    r["dedup_embedding_exact"] = (_op_embedding_neardup_exact, _EMB_NEARDUP_SQL)
+    r["dedup_embedding_lsh"] = (_op_embedding_neardup_lsh, None)  # recall < 1
     r["sim_ivf_exact"] = (
         _op_ivf_exact,
         """SELECT q.vec_id AS query_id, c.vec_id,
@@ -1858,7 +1887,7 @@ _HEAD = [
     "text_stats_full",          # LLM: text analysis family
     "sim_cosine_topk",          # LLM: exact ANN baseline
     "sim_ivf_exact",            # LLM: IVF probe search
-    "sim_lsh_ann",              # LLM: hyperplane LSH ANN (rows-only)
+    "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
     "stream_window_counts",     # streaming windowed rollup (oracle)
     "stream_sessionize",        # streaming stateful sessionize (oracle)
     "multimodal_features",      # LLM: multimodal plumbing

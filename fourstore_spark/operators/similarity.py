@@ -140,6 +140,40 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    k: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    with cosine(a, b) >= threshold.
+
+    Built on the cosine_topk GEMM kernel with the corpus doubling as the
+    query side, then thresholded — exact as long as no vector has >= k
+    neighbors above the threshold (near-dup neighborhoods are small by
+    definition; pick k with headroom).  Exact all-pairs is inherently
+    O(n^2): at 100 TB use embedding_neardup (LSH-bucketed, linear
+    shuffle) as the scale path and keep this kernel as the verification
+    oracle over samples.  Output: (id_a, id_b, cos), cos rounded to 6 dp.
+    """
+    topk = cosine_topk(
+        corpus,
+        corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return topk.where(
+        (F.col("score") >= threshold) & (F.col("query_id") < F.col("vec_id"))
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("score").alias("cos"),
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, no numpy dependency
     at callsite so plans stay reproducible)."""

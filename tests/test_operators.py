@@ -178,3 +178,58 @@ def test_multimodal_stub_raises(docs):
     media = documents_as_media(docs.limit(2))
     with pytest.raises(Exception):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_embedding_neardup_exact_matches_duckdb(emb, duck):
+    from fourstore_spark.operators.similarity import cosine_neardup_pairs
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in cosine_neardup_pairs(emb, threshold=0.4, k=64).collect()
+    )
+    want = sorted(
+        (a, b, c)
+        for a, b, c in duck.execute(
+            "SELECT a.vec_id, b.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS c "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"
+        ).fetchall()
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert abs(g - w) < 1e-6
+
+
+def test_embedding_neardup_lsh_planted(spark):
+    """Planted near-identical vectors: LSH-verified path finds them with
+    exact precision (every returned pair really >= threshold)."""
+    import random
+
+    from fourstore_spark.operators.dedup import embedding_neardup
+    from fourstore_spark.operators.similarity import cosine_neardup_pairs
+
+    rng = random.Random(7)
+    dim = 32
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [x + rng.gauss(0, 0.01) for x in base]  # cosine ~0.9999
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(df, threshold=0.95, dim=dim).collect()
+    }
+    assert (0, 1) in got
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(df, threshold=0.95).collect()
+    }
+    # precision: LSH-verified output is a subset of the exact answer
+    assert got <= exact
