@@ -68,11 +68,14 @@ def lang_id(text: Column) -> Column:
     return out
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, n_tokens: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: penalizes very short docs,
-    high punctuation ratio, and low mean word length."""
+    high punctuation ratio, and low mean word length.  Pass a precomputed
+    ``n_tokens`` column to avoid re-tokenizing."""
     n_chars = F.length(text).cast("double")
-    n_tokens = token_count(text).cast("double")
+    n_tokens = (token_count(text) if n_tokens is None else n_tokens).cast(
+        "double"
+    )
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("double")
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
     mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
@@ -97,13 +100,45 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stats frame."""
+    """One-pass per-document stats frame.
+
+    The two tokenizations (raw + lowercased-distinct) are projected ONCE
+    into staging columns and every stat derives from those — a naive
+    expression tree re-runs the split per derived column (6x in the
+    physical plan), and at 100 TB the per-row tokenize cost dominates the
+    scan.  CollapseProject keeps the staging projection separate because
+    the arrays are referenced more than once, so codegen evaluates each
+    split exactly once per row."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         "*",
-        token_count(t).alias("n_tokens"),
-        word_token_count(t).alias("n_bpeish_tokens"),
-        lang_id(t).alias("lang_guess"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        tokens(t).alias("__toks"),
+        F.array_distinct(tokens(F.lower(t))).alias("__ltoks"),
     )
+    n_tokens = F.size("__toks").cast("long")
+    # word_token_count semantics on the staged array: split(trim(text))
+    # yields [''] (size 1) for empty text where tokens() yields []
+    bpeish_words = F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(
+        F.size("__toks")
+    )
+    puncts = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    scores = {
+        lang: F.size(
+            F.array_intersect(
+                F.col("__ltoks"), F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    lang = F.lit("und")
+    for lg in sorted(STOPWORDS, reverse=True):
+        lang = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(lang)
+    return staged.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        (bpeish_words + puncts).cast("long").alias("n_bpeish_tokens"),
+        lang.alias("lang_guess"),
+        quality_score(t, n_tokens).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    ).drop("__toks", "__ltoks")
