@@ -1835,6 +1835,45 @@ def _round3_entries() -> dict[str, tuple]:
     # streaming entries now deterministic + oracle-checked (see the ops)
     r["stream_window_counts"] = (_op_stream_window, _WINDOW_ORACLE_SQL)
     r["stream_sessionize"] = (_op_stream_sessionize, _SESSION_ORACLE_SQL)
+
+    # SPARQL 1.1 property paths — beyond the reference (4store/Rasqal is
+    # BGP-only): sequence, alternative+inverse, and the semi-naive
+    # distributed closures (+ fixpoint, * with zero-length + seeded BFS)
+    r["path_seq"] = (
+        _sq(
+            f"""SELECT ?o ?nname WHERE {{
+                  ?o <{P}orders#o_custkey>/<{P}customer#c_nationkey>/<{P}nation#n_name> ?nname }}"""
+        ),
+        "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o, "
+        "n_name AS nname FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey",
+    )
+    r["path_alt_inverse"] = (
+        _sq(
+            f"""SELECT ?r ?n WHERE {{
+                  ?r ^<{P}nation#n_regionkey>|<{P}region#r_name> ?n }}"""
+        ),
+        "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r, "
+        "'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n FROM nation "
+        "UNION ALL SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR), "
+        "r_name FROM region",
+    )
+    r["path_plus"] = (
+        # n_regionkey edges have no second hop, so the 1+ closure equals
+        # the single step — but the fixpoint operator still runs (two
+        # iterations, second empty)
+        _sq(f"SELECT ?n ?r WHERE {{ ?n <{P}nation#n_regionkey>+ ?r }}"),
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r FROM nation",
+    )
+    r["path_star_seeded"] = (
+        # bound-object * : reversed seeded BFS + the zero-length match
+        _sq(f"SELECT ?x WHERE {{ ?x <{P}nation#n_regionkey>* <urn:region:1> }}"),
+        "SELECT 'urn:region:1' AS x UNION ALL "
+        "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) "
+        "FROM nation WHERE n_regionkey = 1",
+    )
     return r
 
 

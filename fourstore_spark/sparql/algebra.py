@@ -117,6 +117,53 @@ class EAggregate:
     separator: str = " "
 
 
+# --------------------------------------------------------------- paths
+# SPARQL 1.1 property paths — BEYOND the reference's surface (4store's
+# Rasqal frontend is BGP-only; parse_verb used to reject these). A path
+# appears in a TriplePattern's predicate slot; the translator expands it
+# (fourstore_spark/sparql/translator.py _path_sol): sequences become
+# joins, alternatives unions, inverses endpoint swaps, negated sets
+# NOT-IN scans, and * / + a distributed semi-naive transitive closure.
+@dataclass(frozen=True)
+class PathSeq:
+    """elt1 / elt2 / ... — steps chained through fresh variables."""
+
+    steps: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """elt1 | elt2 | ... — union of the alternatives."""
+
+    alts: tuple
+
+
+@dataclass(frozen=True)
+class PathInverse:
+    """^elt — traverse backwards (endpoints swapped)."""
+
+    inner: object
+
+
+@dataclass(frozen=True)
+class PathMod:
+    """elt? / elt* / elt+ — zero-or-one / zero-or-more / one-or-more."""
+
+    inner: object
+    mod: str
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    """!(:p1|^:p2|...) — any forward edge whose predicate is outside
+    ``forward`` plus any backward edge outside ``inverse``.  A component
+    participates only if its member list is non-empty, except the
+    degenerate !() which matches every forward edge."""
+
+    forward: tuple
+    inverse: tuple
+
+
 # ------------------------------------------------------------- patterns
 @dataclass
 class BGP:

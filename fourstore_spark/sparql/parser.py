@@ -215,17 +215,81 @@ class Parser:
 
     def parse_verb(self) -> object:
         t = self.peek()
-        if t.type == "IDENT" and t.value == "a":
-            self.next()
-            return A.Iri(RDF_TYPE)
         if t.type == "VAR":
             self.next()
             return A.Var(t.value[1:])
+        return self.parse_path()
+
+    # SPARQL 1.1 property-path grammar (sparql11-query #grammar, rules
+    # [88]-[96]) — beyond the reference (4store/rasqal is BGP-only and
+    # rejects these; this parser is a fresh implementation)
+    def parse_path(self) -> object:
+        alts = [self.parse_path_seq()]
+        while self.take_op("|"):
+            alts.append(self.parse_path_seq())
+        return alts[0] if len(alts) == 1 else A.PathAlt(tuple(alts))
+
+    def parse_path_seq(self) -> object:
+        steps = [self.parse_path_elt_or_inverse()]
+        while self.take_op("/"):
+            steps.append(self.parse_path_elt_or_inverse())
+        return steps[0] if len(steps) == 1 else A.PathSeq(tuple(steps))
+
+    def parse_path_elt_or_inverse(self) -> object:
+        if self.take_op("^"):
+            return A.PathInverse(self.parse_path_elt())
+        return self.parse_path_elt()
+
+    def parse_path_elt(self) -> object:
+        prim = self.parse_path_primary()
+        t = self.peek()
+        if t.type == "OP" and t.value in ("?", "*", "+"):
+            self.next()
+            return A.PathMod(prim, t.value)
+        return prim
+
+    def parse_path_primary(self) -> object:
+        t = self.peek()
+        if t.type == "IDENT" and t.value == "a":
+            self.next()
+            return A.Iri(RDF_TYPE)
         if t.type in ("IRIREF", "PNAME"):
             return self.parse_iri()
-        if t.type == "OP" and t.value in ("^", "|", "/", "*", "+", "!", "("):
-            self.err("property paths are not supported (reference parity: 4store/rasqal BGP-only)")
-        self.err("expected predicate")
+        if self.take_op("!"):
+            return self.parse_path_negated()
+        if self.take_op("("):
+            inner = self.parse_path()
+            self.expect_op(")")
+            return inner
+        self.err("expected predicate or property path")
+
+    def parse_path_negated(self) -> A.PathNeg:
+        forward: list = []
+        inverse: list = []
+
+        def one():
+            (inverse if self.take_op("^") else forward).append(
+                self._path_neg_iri()
+            )
+
+        if self.take_op("("):
+            if not self.take_op(")"):
+                one()
+                while self.take_op("|"):
+                    one()
+                self.expect_op(")")
+        else:
+            one()
+        return A.PathNeg(tuple(forward), tuple(inverse))
+
+    def _path_neg_iri(self) -> A.Iri:
+        t = self.peek()
+        if t.type == "IDENT" and t.value == "a":
+            self.next()
+            return A.Iri(RDF_TYPE)
+        if t.type in ("IRIREF", "PNAME"):
+            return self.parse_iri()
+        self.err("expected IRI in negated property set")
 
     def parse_property_list(self, subj, triples: list) -> None:
         while True:
@@ -646,12 +710,20 @@ class Parser:
         self.parse_solution_modifier(q)
         return q
 
+    def _reject_paths(self, triples: list, where: str) -> list:
+        for tp in triples:
+            if not isinstance(tp.p, (A.Iri, A.Var)):
+                self.err(f"property paths are not allowed in {where}")
+        return triples
+
     def parse_construct_query(self) -> A.Query:
         self.expect_kw("CONSTRUCT")
         q = A.Query(form="CONSTRUCT")
         if self.at_op("{"):
             self.next()
-            q.construct_template = self.parse_triples_block()
+            q.construct_template = self._reject_paths(
+                self.parse_triples_block(), "a CONSTRUCT template"
+            )
             self.expect_op("}")
             self.parse_dataset_clauses(q)
             self.take_kw("WHERE")
@@ -661,7 +733,9 @@ class Parser:
             self.parse_dataset_clauses(q)
             self.expect_kw("WHERE")
             self.expect_op("{")
-            q.construct_template = self.parse_triples_block()
+            q.construct_template = self._reject_paths(
+                self.parse_triples_block(), "a CONSTRUCT template"
+            )
             self.expect_op("}")
             q.pattern = A.BGP(list(q.construct_template))
         self.parse_solution_modifier(q)
@@ -877,6 +951,7 @@ class Parser:
         quads: list = []
 
         def add(triples, g):
+            self._reject_paths(triples, "update quad patterns")
             for tp in triples:
                 if not allow_vars:
                     for t in (tp.s, tp.p, tp.o):

@@ -41,7 +41,9 @@ _TOKEN_RES = [
     ("PNAME", r"(?:[A-Za-z][A-Za-z_0-9\-.]*)?:(?:[A-Za-z_0-9%]"
      r"(?:[A-Za-z_0-9\-.%]*[A-Za-z_0-9\-%])?)?"),
     ("IDENT", r"[A-Za-z_][A-Za-z_0-9]*"),
-    ("OP", r"\^\^|\|\||&&|!=|<=|>=|[=<>!+\-*/(){}\[\],;.^|]"),
+    # bare '?' (not followed by a var name char) is the zero-or-one path
+    # modifier; '?x' stays a VAR (matched first)
+    ("OP", r"\^\^|\|\||&&|!=|<=|>=|[=<>!+\-*/(){}\[\],;.^|?]"),
 ]
 
 _MASTER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_RES))

@@ -218,11 +218,9 @@ class Translator:
         return ctx
 
     # ------------------------------------------------------------- BGP
-    def _pattern_df(self, tp: A.TriplePattern, graph) -> Sol:
-        """One quad-pattern scan: fs_bind (src/backend/query-backend.c:155)
-        as filter+project; constant slots push down to the parquet scan."""
-        df = self.quads
-        # graph slot
+    def _graph_filter(self, df: DataFrame, graph) -> DataFrame:
+        """Apply the graph-slot scoping shared by quad scans, path
+        closures and zero-length-path node sets."""
         if graph is None:
             if self.from_graphs:
                 df = df.where(F.col("g").isin(self.from_graphs))
@@ -235,6 +233,12 @@ class Translator:
             df = df.where(F.col("g") != DEFAULT_GRAPH)
             if self.from_named:
                 df = df.where(F.col("g").isin(self.from_named))
+        return df
+
+    def _pattern_df(self, tp: A.TriplePattern, graph) -> Sol:
+        """One quad-pattern scan: fs_bind (src/backend/query-backend.c:155)
+        as filter+project; constant slots push down to the parquet scan."""
+        df = self._graph_filter(self.quads, graph)
 
         cond = []
         proj: dict[str, Column] = {}
@@ -297,6 +301,13 @@ class Translator:
             slot_var(tp.p, p_term)
         elif isinstance(tp.p, A.Iri):
             cond.append(F.col("p") == tp.p.value)
+        elif isinstance(tp.p, A.PathNeg):
+            # negated property set (forward members only at this level;
+            # _path_sol splits inverse members into a swapped scan)
+            if tp.p.forward:
+                cond.append(
+                    ~F.col("p").isin([i.value for i in tp.p.forward])
+                )
         # object
         if isinstance(tp.o, (A.Var, A.BNode)):
             slot_var(tp.o, o_term)
@@ -336,7 +347,14 @@ class Translator:
         return score
 
     def _bgp(self, triples: list, graph) -> Sol:
-        if not triples:
+        # property-path predicates (beyond the reference: 4store is
+        # BGP-only) expand to their own solutions and join in like any
+        # other connected piece
+        path_triples = [
+            tp for tp in triples if not isinstance(tp.p, (A.Var, A.Iri))
+        ]
+        triples = [tp for tp in triples if isinstance(tp.p, (A.Var, A.Iri))]
+        if not triples and not path_triples:
             return self._unit()
 
         stars, rest = self._find_stars(triples, graph)
@@ -374,6 +392,10 @@ class Translator:
                 bound |= tp_vars(pick)
             sols.extend(self._pattern_df(tp, graph) for tp in ordered)
 
+        sols.extend(
+            self._path_sol(tp.s, tp.p, tp.o, graph) for tp in path_triples
+        )
+
         # fold the per-star / per-pattern solutions, connected pieces first
         sol = sols[0]
         pending = sols[1:]
@@ -389,6 +411,320 @@ class Translator:
         if drop:
             sol = Sol(sol.df.drop(*drop), sol.certain - set(drop))
         return sol
+
+    # ------------------------------------------------- property paths
+    # SPARQL 1.1 property paths (spec §9 / §18.4) — BEYOND the reference:
+    # 4store's Rasqal frontend is BGP-only. Spark-first mapping:
+    # sequence -> join chain, alternative -> union, inverse -> endpoint
+    # swap, negated set -> NOT-IN scan, * / + -> distributed semi-naive
+    # transitive closure (the standard Datalog fixpoint: one RID equi-join
+    # + one anti-join per iteration, frontier localCheckpoint'ed so the
+    # plan stays O(1) per iteration and shuffles carry 8-byte RIDs).
+    def _path_sol(self, s, path, o, graph) -> Sol:
+        if isinstance(path, A.Iri):
+            return self._pattern_df(A.TriplePattern(s, path, o), graph)
+        if isinstance(path, A.PathInverse):
+            return self._path_sol(o, path.inner, s, graph)
+        if isinstance(path, A.PathSeq):
+            mids = [A.Var(self._fresh("path")) for _ in path.steps[1:]]
+            ends = [s, *mids, o]
+            sol = self._path_sol(ends[0], path.steps[0], ends[1], graph)
+            for i, step in enumerate(path.steps[1:], start=1):
+                sol = self._join(
+                    sol,
+                    self._path_sol(ends[i], step, ends[i + 1], graph),
+                    "inner",
+                )
+            drop = [v.name for v in mids]
+            return Sol(sol.df.drop(*drop), sol.certain - set(drop))
+        if isinstance(path, A.PathAlt):
+            sols = [self._path_sol(s, alt, o, graph) for alt in path.alts]
+            out = sols[0]
+            for nxt in sols[1:]:
+                out = self._union(out, nxt)
+            return out
+        if isinstance(path, A.PathNeg):
+            sols = []
+            if path.forward or not path.inverse:
+                sols.append(
+                    self._pattern_df(
+                        A.TriplePattern(s, A.PathNeg(path.forward, ()), o),
+                        graph,
+                    )
+                )
+            if path.inverse and not isinstance(o, A.Literal):
+                # (a literal can never be a triple subject, so an
+                # inverse component with a literal object end is empty)
+                sols.append(
+                    self._pattern_df(
+                        A.TriplePattern(o, A.PathNeg(path.inverse, ()), s),
+                        graph,
+                    )
+                )
+            if not sols:
+                names = [
+                    self._slot_name(t)
+                    for t in (s, o)
+                    if isinstance(t, (A.Var, A.BNode))
+                ]
+                empty = self.spark.range(0).select(
+                    *[
+                        F.lit(None).cast(TERM_DDL).alias(n)
+                        for n in names
+                    ]
+                )
+                return Sol(empty, frozenset())
+            out = sols[0]
+            for nxt in sols[1:]:
+                out = self._union(out, nxt)
+            return out
+        if isinstance(path, A.PathMod):
+            return self._path_mod_sol(s, path, o, graph)
+        raise TypeError(f"cannot translate path {path!r}")
+
+    @staticmethod
+    def _term_match(col: Column, term) -> Column:
+        """Column predicate: does a term-struct column equal a constant?"""
+        if isinstance(term, A.Iri):
+            return (col["kind"] == KIND_URI) & (col["lex"] == term.value)
+        return (
+            (col["kind"] == KIND_LITERAL)
+            & (col["lex"] == term.lex)
+            & col["dt"].eqNullSafe(F.lit(term.dt))
+            & col["lang"].eqNullSafe(F.lit(term.lang))
+        )
+
+    @staticmethod
+    def _term_lit(term) -> Column:
+        """Term-struct literal for a constant endpoint (num left NULL —
+        term_rid excludes it, so RID joins against store terms agree)."""
+        if isinstance(term, A.Iri):
+            kind, lex, dt, lang = KIND_URI, term.value, None, None
+        else:
+            kind, lex, dt, lang = KIND_LITERAL, term.lex, term.dt, term.lang
+        return F.struct(
+            F.lit(kind).cast("tinyint").alias("kind"),
+            F.lit(lex).alias("lex"),
+            F.lit(dt).cast("string").alias("dt"),
+            F.lit(lang).cast("string").alias("lang"),
+            F.lit(None).cast("double").alias("num"),
+        )
+
+    def _path_mod_sol(self, s, path: A.PathMod, o, graph) -> Sol:
+        pa, pb = self._fresh("pa"), self._fresh("pb")
+        step_sol = self._path_sol(A.Var(pa), path.inner, A.Var(pb), graph)
+        ctx = [graph.name] if isinstance(graph, A.Var) else []
+        step = step_sol.df.select(pa, pb, *ctx).distinct()
+        s_const = not isinstance(s, (A.Var, A.BNode))
+        o_const = not isinstance(o, (A.Var, A.BNode))
+        if path.mod == "?":
+            pairs = step
+        elif s_const:
+            # BFS seeded at the bound endpoint — at scale this explores
+            # the reachable cone, not the whole graph's closure
+            pairs = self._transitive_closure(
+                step, pa, pb, ctx, seed=self._term_match(F.col(pa), s)
+            )
+        elif o_const:
+            # bound object: traverse the reversed edges from o, swap back
+            rev = step.select(
+                F.col(pb).alias(pa), F.col(pa).alias(pb), *ctx
+            )
+            pairs = self._transitive_closure(
+                rev, pa, pb, ctx, seed=self._term_match(F.col(pa), o)
+            ).select(F.col(pb).alias(pa), F.col(pa).alias(pb), *ctx)
+        else:
+            pairs = self._transitive_closure(step, pa, pb, ctx)
+        if path.mod in ("?", "*"):
+            zero = self._zero_pairs(s, o, pa, pb, ctx, graph)
+            pairs = pairs.unionByName(zero).distinct()
+        return self._bind_endpoints(pairs, pa, pb, ctx, s, o)
+
+    def _transitive_closure(
+        self,
+        step: DataFrame,
+        pa: str,
+        pb: str,
+        ctx: list,
+        seed: Column | None = None,
+        max_iters: int = 256,
+    ) -> DataFrame:
+        """Distinct pairs connected by 1..n steps: semi-naive fixpoint.
+
+        Each iteration: frontier ⋈ step on the 8-byte term RID (+ graph
+        context for GRAPH ?g scoping), minus already-seen pairs
+        (anti-join), localCheckpoint to truncate lineage and materialize
+        the frontier. The driver loop is inherent to a fixpoint — the one
+        place the engine runs jobs at plan time. Iterations equal the
+        longest shortest reachable path; ``seed`` starts the BFS from a
+        bound endpoint so a 100 TB graph explores one cone instead of the
+        global closure."""
+        # Constraint propagation is disabled for the loop's jobs: the
+        # self-referencing checkpoint/union plans trip Catalyst's cached
+        # constraint rewrite ("key not found" in Union.rewriteConstraints
+        # — LogicalRDD preserves its origin plan's constraints, whose
+        # attribute ids a later DeduplicateRelations rewrites away). With
+        # propagation off, checkpointed leaves carry no constraints, and
+        # the final checkpoint below returns a flat leaf so downstream
+        # optimization never revisits the loop's unions.
+        conf_key = "spark.sql.constraintPropagation.enabled"
+        saved = self.spark.conf.get(conf_key)
+        self.spark.conf.set(conf_key, "false")
+        try:
+            step = step.localCheckpoint(eager=True)
+            frontier = (
+                step.where(seed).localCheckpoint(eager=True)
+                if seed is not None
+                else step
+            )
+            acc = frontier
+            for _ in range(max_iters):
+                f, e = frontier.alias("f"), step.alias("e")
+                cond = term_rid(F.col(f"f.{pb}")) == term_rid(
+                    F.col(f"e.{pa}")
+                )
+                for c in ctx:
+                    cond = cond & (
+                        term_rid(F.col(f"f.{c}")) == term_rid(F.col(f"e.{c}"))
+                    )
+                nxt = (
+                    f.join(e, cond)
+                    .select(
+                        F.col(f"f.{pa}").alias(pa),
+                        F.col(f"e.{pb}").alias(pb),
+                        *[F.col(f"f.{c}").alias(c) for c in ctx],
+                    )
+                    .distinct()
+                )
+                n, a = nxt.alias("n"), acc.alias("a")
+                anti = None
+                for c in (pa, pb, *ctx):
+                    eq = term_rid(F.col(f"n.{c}")) == term_rid(
+                        F.col(f"a.{c}")
+                    )
+                    anti = eq if anti is None else anti & eq
+                nxt = n.join(a, anti, "left_anti").localCheckpoint(eager=True)
+                if nxt.isEmpty():
+                    return acc.localCheckpoint(eager=True)
+                acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            raise RuntimeError(
+                f"property-path closure did not converge in {max_iters} steps"
+            )
+        finally:
+            self.spark.conf.set(conf_key, saved)
+
+    def _zero_pairs(
+        self, s, o, pa: str, pb: str, ctx: list, graph
+    ) -> DataFrame:
+        """Zero-length path component (spec 18.4 ZeroLengthPath): both
+        endpoints unbound -> every node of the scoped graph reaches
+        itself; a constant endpoint reaches itself unconditionally (even
+        off-graph, per spec); two constants match iff sameTerm."""
+        s_const = not isinstance(s, (A.Var, A.BNode))
+        o_const = not isinstance(o, (A.Var, A.BNode))
+        if s_const or o_const:
+            term = s if s_const else o
+            node = self._term_lit(term)
+            if ctx:
+                # one zero-length row per named graph in scope
+                g = self._graph_filter(self.quads, graph).select(
+                    F.struct(
+                        F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                        F.col("g").alias("lex"),
+                        F.lit(None).cast("string").alias("dt"),
+                        F.lit(None).cast("string").alias("lang"),
+                        F.lit(None).cast("double").alias("num"),
+                    ).alias(ctx[0])
+                ).distinct()
+                out = g.select(node.alias(pa), node.alias(pb), ctx[0])
+            else:
+                out = self.spark.range(1).select(
+                    node.alias(pa), node.alias(pb)
+                )
+            if s_const and o_const:
+                same = (
+                    isinstance(s, A.Iri) == isinstance(o, A.Iri)
+                    and (
+                        (s.value == o.value)
+                        if isinstance(s, A.Iri)
+                        else (s.lex, s.dt, s.lang) == (o.lex, o.dt, o.lang)
+                    )
+                )
+                if not same:
+                    out = out.where(F.lit(False))
+            return out
+        nodes = self._graph_nodes(graph, ctx)
+        return nodes.select(
+            F.col("__node").alias(pa), F.col("__node").alias(pb), *ctx
+        )
+
+    def _graph_nodes(self, graph, ctx: list) -> DataFrame:
+        """Distinct RDF nodes (subjects ∪ objects) of the scoped graph,
+        as a __node term-struct column (+ the graph variable column when
+        inside GRAPH ?g)."""
+        df = self._graph_filter(self.quads, graph)
+        g_cols = []
+        if ctx:
+            g_cols = [
+                F.struct(
+                    F.lit(KIND_URI).cast("tinyint").alias("kind"),
+                    F.col("g").alias("lex"),
+                    F.lit(None).cast("string").alias("dt"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("double").alias("num"),
+                ).alias(ctx[0])
+            ]
+        subs = df.select(
+            F.struct(
+                F.col("s_kind").alias("kind"),
+                F.col("s").alias("lex"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("double").alias("num"),
+            ).alias("__node"),
+            *g_cols,
+        )
+        objs = df.select(
+            F.struct(
+                F.col("o_kind").alias("kind"),
+                F.col("o_lex").alias("lex"),
+                F.col("o_dt").alias("dt"),
+                F.col("o_lang").alias("lang"),
+                F.col("o_num").alias("num"),
+            ).alias("__node"),
+            *g_cols,
+        )
+        return subs.unionByName(objs).distinct()
+
+    def _bind_endpoints(
+        self, pairs: DataFrame, pa: str, pb: str, ctx: list, s, o
+    ) -> Sol:
+        """Attach the path's endpoint terms to the (start, end) pair
+        columns: variables rename, constants filter, a repeated variable
+        adds a sameTerm (RID) equality."""
+        df = pairs
+        out_names: dict[str, str] = {}
+        for col, term in ((pa, s), (pb, o)):
+            if isinstance(term, (A.Var, A.BNode)):
+                name = self._slot_name(term)
+                bound = [c for c, n in out_names.items() if n == name]
+                if bound:
+                    df = df.where(
+                        term_rid(F.col(col)) == term_rid(F.col(bound[0]))
+                    )
+                else:
+                    out_names[col] = name
+            else:
+                df = df.where(self._term_match(F.col(col), term))
+        sel = [F.col(c).alias(n) for c, n in out_names.items()] + [
+            F.col(c) for c in ctx
+        ]
+        if not sel:
+            return Sol(df.limit(1).select(), frozenset())
+        return Sol(
+            df.select(*sel), frozenset(list(out_names.values()) + ctx)
+        )
 
     # ------------------------------------------------- subject-star scan
     @staticmethod

@@ -106,9 +106,17 @@ def test_subselect():
     assert isinstance(q.pattern, A.Join)
 
 
-def test_property_path_rejected():
+def test_property_path_parses():
+    # paths are supported since round 3 (beyond reference: rasqal BGP-only)
+    from fourstore_spark.sparql import algebra as A
+
+    q = parse_query("SELECT * WHERE { ?s <urn:a>/<urn:b>+ ?o }")
+    tp = q.pattern.triples[0]
+    assert isinstance(tp.p, A.PathSeq)
+    assert isinstance(tp.p.steps[1], A.PathMod)
+    # but never in CONSTRUCT templates
     with pytest.raises(SparqlSyntaxError):
-        parse_query("SELECT * WHERE { ?s <urn:a>/<urn:b> ?o }")
+        parse_query("CONSTRUCT { ?s <urn:a>/<urn:b> ?o } WHERE { ?s ?p ?o }")
 
 
 def test_comments_and_blank_nodes():
