@@ -329,6 +329,69 @@ def _op_multimodal(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # write path / import / serializer / full-text / store entries
+def _op_multimodal_decode(spark, sf_dir):
+    import pandas as pd
+
+    from fourstore_spark.operators.multimodal import (
+        decode_features,
+        synth_bmp,
+        synth_wav,
+    )
+
+    # deterministic per-doc media synthesis ON THE EXECUTORS (stdlib WAV /
+    # BMP writers), then the real decoder — parameters are closed-form in
+    # doc_id so the oracle reproduces every feature exactly
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 64)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payload = synth_wav(
+                        8000, 1600 + (d % 5) * 160, 512 * (1 + d % 8)
+                    )
+                else:
+                    payload = synth_bmp(
+                        4 + d % 9,
+                        3 + d % 7,
+                        ((d * 37) % 256, (d * 59) % 256, (d * 83) % 256),
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    # doc_id sorts alphabetically before every nullable column, and is
+    # unique — row ordering never compares NULLs across modalities
+    return decode_features(media).withColumnRenamed("media_id", "doc_id")
+
+
+_MULTIMODAL_DECODE_SQL = """
+WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id < 64),
+wav AS (SELECT d, 1600 + (d % 5) * 160 AS nf, 512 * (1 + d % 8) AS amp
+        FROM ids WHERE d % 2 = 0),
+bmp AS (SELECT d, 4 + d % 9 AS w, 3 + d % 7 AS h,
+               (d*37) % 256 AS r, (d*59) % 256 AS g, (d*83) % 256 AS b
+        FROM ids WHERE d % 2 = 1)
+SELECT d AS doc_id, 'audio' AS kind, CAST(44 + nf*2 AS BIGINT) AS n_bytes,
+       CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+       CAST(nf // 8 AS BIGINT) AS duration_ms,
+       CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+       ROUND(amp / 32768.0, 6) AS rms, ROUND(amp / 32768.0, 6) AS peak,
+       CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+       CAST(NULL AS DOUBLE) AS mean_b
+FROM wav
+UNION ALL
+SELECT d, 'image', CAST(54 + ((w*3+3)//4)*4*h AS BIGINT),
+       CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       ROUND(r / 255.0, 6), ROUND(g / 255.0, 6), ROUND(b / 255.0, 6)
+FROM bmp
+"""
+
+
 def _op_update_cycle(spark, sf_dir):
     """INSERT DATA -> DELETE/INSERT WHERE -> query (the reference's
     insert-delete-where HTTP test shape) — result is deterministic."""
@@ -1867,6 +1930,8 @@ def _round3_entries() -> dict[str, tuple]:
         "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
         "'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r FROM nation",
     )
+    # real multimodal decode (stdlib WAV/BMP codecs, exact oracle)
+    r["multimodal_decode"] = (_op_multimodal_decode, _MULTIMODAL_DECODE_SQL)
     r["path_star_seeded"] = (
         # bound-object * : reversed seeded BFS + the zero-length match
         _sq(f"SELECT ?x WHERE {{ ?x <{P}nation#n_regionkey>* <urn:region:1> }}"),
@@ -1929,7 +1994,7 @@ _HEAD = [
     "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
     "stream_window_counts",     # streaming windowed rollup (oracle)
     "stream_sessionize",        # streaming stateful sessionize (oracle)
-    "multimodal_features",      # LLM: multimodal plumbing
+    "multimodal_decode",        # LLM: real WAV/BMP decode (exact oracle)
 ]
 
 _REG = None

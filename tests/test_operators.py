@@ -233,3 +233,46 @@ def test_embedding_neardup_lsh_planted(spark):
     }
     # precision: LSH-verified output is a subset of the exact answer
     assert got <= exact
+
+
+def test_multimodal_real_decode(spark):
+    """Real stdlib WAV/BMP decode: synthesized payloads with closed-form
+    expected features."""
+    import pandas as pd
+
+    from fourstore_spark.operators.multimodal import (
+        decode_bmp,
+        decode_features,
+        decode_wav,
+        synth_bmp,
+        synth_wav,
+    )
+
+    wav = synth_wav(16000, 3200, 1024)
+    got = decode_wav(wav)
+    assert got["duration_ms"] == 200 and got["sample_rate"] == 16000
+    assert got["rms"] == got["peak"] == 1024 / 32768
+
+    bmp = synth_bmp(7, 5, (255, 0, 128))
+    img = decode_bmp(bmp)
+    assert (img["width"], img["height"]) == (7, 5)
+    assert img["mean_r"] == 1.0 and img["mean_g"] == 0.0
+
+    media = spark.createDataFrame(
+        [(1, wav), (2, bmp)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert rows[1]["kind"] == "audio" and rows[1]["n_bytes"] == len(wav)
+    assert rows[2]["kind"] == "image" and rows[2]["width"] == 7
+
+
+def test_multimodal_unknown_format_raises(spark):
+    import pytest as _pytest
+
+    from fourstore_spark.operators.multimodal import decode_features
+
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG....")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="codec"):
+        decode_features(media).collect()
