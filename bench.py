@@ -56,7 +56,7 @@ def main() -> None:
     t0 = time.perf_counter()
     manifest = read_manifest(store_path)
     if os.environ.get("SPARK_GRAFT_REBUILD") or not manifest or (
-        manifest.get("format") != "fourstore-quads-parquet-v3"
+        manifest.get("format") != "fourstore-quads-parquet-v4"
     ):
         write_store(quads_from_sf_dir(spark, sf_dir), store_path)
     load_sec = time.perf_counter() - t0

@@ -916,22 +916,55 @@ class Translator:
                 x["num"].alias("num"),
             )
 
+        def graph_cond(x: Column) -> Column | None:
+            # flat-column analogue of graph_vals: a predicate the store
+            # proved single-valued is ONE (g, o) struct, so graph scoping
+            # is a plain condition, not an array filter
+            if isinstance(graph, A.Iri):
+                return x["g"] == graph.value
+            if self.from_graphs:
+                return x["g"].isin(list(self.from_graphs))
+            if not self.union_default_graph:
+                return x["g"] == DEFAULT_GRAPH
+            return None
+
+        from pyspark.sql.types import ArrayType
+
+        col_type = {f.name: f.dataType for f in self.subjects.schema.fields}
+
         explodes: list[tuple[str, str]] = []
         ovars: list[str] = []
         for i, (tp, oname) in enumerate(patterns):
-            vals = graph_vals(F.col(self.subjects_cols[tp.p.value]))
-            if oname is None:  # constant-object existence constraint
-                if isinstance(tp.o, A.Iri):
-                    match = lambda x, t=tp: (x["kind"] == KIND_URI) & (
-                        x["lex"] == t.o.value
-                    )
-                else:
-                    match = lambda x, t=tp: (
-                        (x["kind"] == KIND_LITERAL)
-                        & (x["lex"] == t.o.lex)
-                        & x["dt"].eqNullSafe(F.lit(t.o.dt))
-                        & x["lang"].eqNullSafe(F.lit(t.o.lang))
-                    )
+            cname = self.subjects_cols[tp.p.value]
+            if isinstance(tp.o, A.Iri):
+                match = lambda x, t=tp: (x["kind"] == KIND_URI) & (
+                    x["lex"] == t.o.value
+                )
+            elif isinstance(tp.o, A.Literal):
+                match = lambda x, t=tp: (
+                    (x["kind"] == KIND_LITERAL)
+                    & (x["lex"] == t.o.lex)
+                    & x["dt"].eqNullSafe(F.lit(t.o.dt))
+                    & x["lang"].eqNullSafe(F.lit(t.o.lang))
+                )
+            else:
+                match = None
+            if not isinstance(col_type[cname], ArrayType):
+                # store-v4 flat struct column (single-valued predicate)
+                v = F.col(cname)
+                gcond = graph_cond(v)
+                keep = v.isNotNull() if gcond is None else (
+                    v.isNotNull() & gcond
+                )
+                if oname is None:  # constant-object existence constraint
+                    df = df.where(keep & match(v))
+                    continue
+                df = df.where(keep)
+                df = df.withColumn(oname, term_of(v))
+                ovars.append(oname)
+                continue
+            vals = graph_vals(F.col(cname))
+            if oname is None:
                 df = df.where(
                     vals.isNotNull() & F.exists(vals, match)
                 )

@@ -58,17 +58,24 @@ def write_store(
     # one giant partition (the SURVEY §4 skew warning applies to shuffle
     # partitioning by p, not to directory layout with per-predicate
     # bucketing).
-    # ONE stats pass over the source: per-predicate row count (bucket
-    # sizing below) + approx distinct subjects (the fs_bind_freq-style
-    # planner stats, optimiser.c:445-524) — folded together so the quads
-    # mapping is computed once here instead of once per statistic. The
-    # source is cached across this pass + the layout write.
+    # ONE stats pass over the source, two-level so it also yields the
+    # per-(p,s) fan-out: row count n (bucket sizing below), EXACT distinct
+    # subjects ns, and max objects per subject (the fs_bind_freq-style
+    # planner stats, optimiser.c:445-524). fanout == 1 predicates get a
+    # FLAT struct column in the property table below instead of
+    # array<struct> — reading a flat struct column skips parquet
+    # repetition levels and the per-row element_at, which measured ~2.5x
+    # on the flagship star scan. The source is cached across this pass +
+    # the layout write.
     quads = quads.persist()
     stats_rows = (
-        quads.groupBy("p")
+        quads.groupBy("p", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("p")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("s").alias("ns"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("ns"),
+            F.max("c").alias("fanout"),
         )
         .collect()
     )
@@ -116,6 +123,10 @@ def write_store(
     # (ptree.c:46-70) with per-predicate parquet columns.
     preds = sorted(counts)
     pred_columns = {p: f"p{i}" for i, p in enumerate(preds)}
+    # fan-out 1 across ALL graphs (safe for every graph scoping a star
+    # scan can group under) -> flat struct column; else array<struct>
+    single_valued = sorted(r["p"] for r in stats_rows if r["fanout"] == 1)
+    sv = set(single_valued)
     val = F.struct(
         F.col("g"),
         F.col("o_kind").alias("kind"),
@@ -128,7 +139,11 @@ def write_store(
         stored.groupBy("s", "s_kind")
         .agg(
             *[
-                F.collect_list(F.when(F.col("p") == p, val)).alias(c)
+                (
+                    F.first(F.when(F.col("p") == p, val), ignorenulls=True)
+                    if p in sv
+                    else F.collect_list(F.when(F.col("p") == p, val))
+                ).alias(c)
                 for p, c in pred_columns.items()
             ]
         )
@@ -136,46 +151,29 @@ def write_store(
             "s",
             "s_kind",
             *[
-                F.when(F.size(F.col(c)) > 0, F.col(c)).alias(c)
-                for c in pred_columns.values()
+                (
+                    F.col(c)
+                    if p in sv
+                    else F.when(F.size(F.col(c)) > 0, F.col(c)).alias(c)
+                )
+                for p, c in pred_columns.items()
             ],
         )
     )
     subj = subj.repartition(partitions, F.col("s"))
-    single_valued: list[str] = []
-    pred_stats: dict = {}
-    obs = None
-    if compute_stats and pred_columns:
-        # fan-out per (p, s) across ALL graphs (safe for every graph
-        # scoping a star scan can group under) — observed DURING the
-        # subjects write, so no second decode pass over the property table
-        from pyspark.sql import Observation
-
-        obs = Observation("pred_fanout")
-        subj = subj.observe(
-            obs,
-            *[
-                F.max(F.size(F.col(c))).alias(c)
-                for c in pred_columns.values()
-            ],
-        )
     subj.write.mode("overwrite").parquet(os.path.join(path, "_subjects"))
-    if obs is not None:
-        mx = obs.get
-        single_valued = sorted(
-            p for p, c in pred_columns.items() if mx[c] == 1
-        )
+    pred_stats: dict = {}
+    if compute_stats:
         # per-predicate cardinalities — the reference's frequency
         # histograms (fs_bind_freq, optimiser.c:445-524; backend message
         # FS_GET_QUAD_FREQ 4store.h:68). quads = scan estimate for a
-        # constant-p pattern; subjects (approx) = star-scan row estimate.
+        # constant-p pattern; subjects (exact) = star-scan row estimate.
         # The planner turns these into F.broadcast() hints, so dimension
         # joins stay broadcast at ANY autoBroadcastJoinThreshold instead
         # of depending on Spark's (hopeless, post-filter) size guesses.
-        # Computed in the single stats pass above.
         pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows}
     manifest = {
-        "format": "fourstore-quads-parquet-v3",
+        "format": "fourstore-quads-parquet-v4",
         "rows": n,
         "partitions": partitions,
         "distribute": "dir(p) / hash(s)",
