@@ -193,3 +193,23 @@ def test_transaction_rollback_and_commit(spark, ue):
     with _pytest.raises(RuntimeError):
         ue.begin()  # nested txn rejected
     ue.rollback()
+
+
+def test_insert_where_with_property_path(spark):
+    """INSERT ... WHERE with a + closure: the update's WHERE goes through
+    the same translator, so paths (beyond-reference) work in updates."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    nt = "<urn:a> <urn:k> <urn:b> .\n<urn:b> <urn:k> <urn:c> ."
+    ue = UpdateEngine(spark, quads_from_nt_text(spark, nt))
+    ue.update("INSERT { ?x <urn:reach> ?y } WHERE { ?x <urn:k>+ ?y }")
+    got = sorted(
+        (r["s"], r["o_lex"])
+        for r in ue.quads.where("p = 'urn:reach'").collect()
+    )
+    assert got == [
+        ("urn:a", "urn:b"),
+        ("urn:a", "urn:c"),
+        ("urn:b", "urn:c"),
+    ]
