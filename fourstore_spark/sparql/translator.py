@@ -60,6 +60,13 @@ from fourstore_spark.model import XSD_INTEGER
 
 TERM_DDL = "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
 
+# serializes property-path closures: the fixpoint loop toggles a session
+# conf (constraintPropagation) around its jobs, which must not interleave
+# across threads (the threaded HTTP endpoint can run queries concurrently)
+import threading
+
+_CLOSURE_LOCK = threading.Lock()
+
 
 @dataclass
 class Sol:
@@ -568,6 +575,7 @@ class Translator:
         # the final checkpoint below returns a flat leaf so downstream
         # optimization never revisits the loop's unions.
         conf_key = "spark.sql.constraintPropagation.enabled"
+        _CLOSURE_LOCK.acquire()
         saved = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "false")
         try:
@@ -613,6 +621,7 @@ class Translator:
             )
         finally:
             self.spark.conf.set(conf_key, saved)
+            _CLOSURE_LOCK.release()
 
     def _zero_pairs(
         self, s, o, pa: str, pb: str, ctx: list, graph
