@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     imp.add_argument("store")
     imp.add_argument("files", nargs="+")
     imp.add_argument("--graph", default=None)
+    imp.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental append into an existing store (no rebuild; "
+        "property table marked stale unless --rebuild-subjects)",
+    )
+    imp.add_argument("--rebuild-subjects", action="store_true")
 
     up = sub.add_parser("update")
     up.add_argument("store")
@@ -101,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
         from fourstore_spark.sparql.update import UpdateEngine, quads_add
         from fourstore_spark.store import read_manifest, read_store, write_store
 
+        if args.append:
+            from fourstore_spark.store import append_quads
+
+            for f in args.files:
+                append_quads(
+                    load_rdf(spark, f, args.graph or DEFAULT_GRAPH),
+                    args.store,
+                    rebuild_subjects=args.rebuild_subjects,
+                )
+            print(f"appended {len(args.files)} file(s)", file=sys.stderr)
+            return 0
         if read_manifest(args.store):
             quads = read_store(spark, args.store)
         else:

@@ -177,11 +177,14 @@ class SparqlEngine:
             kwargs.get("allowed_graphs") is None
             and kwargs.get("denied_graphs") is None
             and manifest.get("pred_columns")
+            and not manifest.get("subjects_stale")
         ):
             # (ACL filtering needs per-value graph checks the property
             # table doesn't express cheaply — fall back to the quads path.
             # `is None`, not falsy: an EMPTY allow-list means deny-all and
-            # must also disable the unfiltered property-table fast path.)
+            # must also disable the unfiltered property-table fast path.
+            # subjects_stale: append_quads ran without a property-table
+            # rebuild — the quads dirs are current, _subjects is not.)
             eng.subjects = read_subjects(spark, path)
             eng.subjects_cols = manifest["pred_columns"]
         return eng

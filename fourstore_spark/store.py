@@ -68,17 +68,7 @@ def write_store(
     # on the flagship star scan. The source is cached across this pass +
     # the layout write.
     quads = quads.persist()
-    stats_rows = (
-        quads.groupBy("p", "s")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("p")
-        .agg(
-            F.sum("c").alias("n"),
-            F.count(F.lit(1)).alias("ns"),
-            F.max("c").alias("fanout"),
-        )
-        .collect()
-    )
+    stats_rows = _stats_pass(quads)
     counts = {r["p"]: r["n"] for r in stats_rows}
     total = sum(counts.values()) or 1
     buckets = {
@@ -121,7 +111,58 @@ def write_store(
     # classic RDF property-table layout (SW-Store / Jena property
     # tables), replacing the reference's per-predicate ptree files
     # (ptree.c:46-70) with per-predicate parquet columns.
-    preds = sorted(counts)
+    pred_columns, single_valued = _write_subjects(
+        stored, path, partitions, stats_rows
+    )
+    pred_stats: dict = {}
+    if compute_stats:
+        # per-predicate cardinalities — the reference's frequency
+        # histograms (fs_bind_freq, optimiser.c:445-524; backend message
+        # FS_GET_QUAD_FREQ 4store.h:68). quads = scan estimate for a
+        # constant-p pattern; subjects (exact) = star-scan row estimate.
+        # The planner turns these into F.broadcast() hints, so dimension
+        # joins stay broadcast at ANY autoBroadcastJoinThreshold instead
+        # of depending on Spark's (hopeless, post-filter) size guesses.
+        pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows}
+    manifest = {
+        "format": "fourstore-quads-parquet-v4",
+        "rows": n,
+        "partitions": partitions,
+        "distribute": "dir(p) / hash(s)",
+        "sort_within": ["s"],
+        "single_valued_preds": single_valued,
+        "pred_stats": pred_stats,
+        # predicate -> physical column name in _subjects
+        "pred_columns": pred_columns,
+    }
+    with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def _stats_pass(quads: DataFrame) -> list:
+    """Two-level aggregation: per-predicate row count ``n``, exact
+    distinct subjects ``ns`` and max objects per subject ``fanout``."""
+    return (
+        quads.groupBy("p", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("p")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("ns"),
+            F.max("c").alias("fanout"),
+        )
+        .collect()
+    )
+
+
+def _write_subjects(
+    stored: DataFrame, path: str, partitions: int, stats_rows: list
+) -> tuple:
+    """Materialize the wide property table from the stored quads: one
+    physical column per predicate — FLAT struct for fan-out-1 predicates,
+    array<struct> otherwise."""
+    preds = sorted(r["p"] for r in stats_rows)
     pred_columns = {p: f"p{i}" for i, p in enumerate(preds)}
     # fan-out 1 across ALL graphs (safe for every graph scoping a star
     # scan can group under) -> flat struct column; else array<struct>
@@ -162,27 +203,82 @@ def write_store(
     )
     subj = subj.repartition(partitions, F.col("s"))
     subj.write.mode("overwrite").parquet(os.path.join(path, "_subjects"))
-    pred_stats: dict = {}
-    if compute_stats:
-        # per-predicate cardinalities — the reference's frequency
-        # histograms (fs_bind_freq, optimiser.c:445-524; backend message
-        # FS_GET_QUAD_FREQ 4store.h:68). quads = scan estimate for a
-        # constant-p pattern; subjects (exact) = star-scan row estimate.
-        # The planner turns these into F.broadcast() hints, so dimension
-        # joins stay broadcast at ANY autoBroadcastJoinThreshold instead
-        # of depending on Spark's (hopeless, post-filter) size guesses.
-        pred_stats = {r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows}
-    manifest = {
-        "format": "fourstore-quads-parquet-v4",
-        "rows": n,
-        "partitions": partitions,
-        "distribute": "dir(p) / hash(s)",
-        "sort_within": ["s"],
-        "single_valued_preds": single_valued,
-        "pred_stats": pred_stats,
-        # predicate -> physical column name in _subjects
-        "pred_columns": pred_columns,
-    }
+    return pred_columns, single_valued
+
+
+QUAD_KEY = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+
+
+def append_quads(
+    delta: DataFrame, path: str, rebuild_subjects: bool = False
+) -> dict:
+    """Incremental import into a persisted store — the reference's live
+    4s-import path (fs_import buffers + backend insert into a running KB,
+    import.c:333-423) without a store rebuild.
+
+    Set semantics: quads already present are dropped, like the
+    reference's resource/quad dedup on import (import-backend.c:74-118).
+    The anti-join against the existing store is PRUNED to the delta's
+    predicate directories, so a small delta reads a small slice of a
+    100 TB store, and new rows append as new files inside the same
+    per-predicate layout.
+
+    The property table is NOT rewritten by default (rebuilding it is a
+    full groupBy over the store): the manifest is marked
+    ``subjects_stale`` and engines opened afterwards fall back to plain
+    quad scans for stars — always correct, just without the
+    property-table fast path — until ``rebuild_subjects=True`` (or the
+    next ``write_store``) refreshes it. Affected predicates also drop out
+    of ``single_valued_preds`` conservatively (the delta may raise their
+    fan-out; the stats refresh on rebuild restores them)."""
+    spark = delta.sparkSession
+    manifest = read_manifest(path)
+    if not manifest:
+        raise ValueError(f"no store manifest at {path}")
+    partitions = int(manifest.get("partitions") or 32)
+    delta = delta.dropDuplicates(QUAD_KEY)
+    preds = [r[0] for r in delta.select("p").distinct().collect()]
+    existing = spark.read.parquet(path).where(F.col("p").isin(preds))
+    d, s = delta.alias("__d"), existing.alias("__s")
+    cond = None
+    for k in QUAD_KEY:
+        eq = F.col(f"__d.{k}").eqNullSafe(F.col(f"__s.{k}"))
+        cond = eq if cond is None else cond & eq
+    new = d.join(s, cond, "left_anti").persist()
+    n_new = new.count()
+    if n_new:
+        (
+            new.repartition(F.col("p"), F.pmod(F.xxhash64(F.col("s")), F.lit(partitions)))
+            .sortWithinPartitions("p", "s")
+            .write.mode("append")
+            .partitionBy("p")
+            .parquet(path)
+        )
+        manifest["rows"] = int(manifest.get("rows") or 0) + n_new
+        # refresh per-predicate stats for the touched predicates only
+        # (pruned read of their directories, post-append)
+        touched = spark.read.parquet(path).where(F.col("p").isin(preds))
+        for r in _stats_pass(touched):
+            manifest.setdefault("pred_stats", {})[r["p"]] = [
+                int(r["n"]),
+                int(r["ns"]),
+            ]
+        sv = set(manifest.get("single_valued_preds") or [])
+        manifest["single_valued_preds"] = sorted(sv - set(preds))
+        manifest["subjects_stale"] = True
+    new.unpersist()
+    if rebuild_subjects and manifest.get("subjects_stale"):
+        stored = spark.read.parquet(path)
+        stats_rows = _stats_pass(stored)
+        pred_columns, single_valued = _write_subjects(
+            stored, path, partitions, stats_rows
+        )
+        manifest["pred_columns"] = pred_columns
+        manifest["single_valued_preds"] = single_valued
+        manifest["pred_stats"] = {
+            r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows
+        }
+        manifest["subjects_stale"] = False
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
     return manifest

@@ -1,0 +1,96 @@
+"""Incremental store append (the reference's live 4s-import path:
+import into a running KB without a rebuild, import.c:333-423) — set
+semantics, pruned anti-join, property-table staleness protocol."""
+
+from pyspark.sql import functions as F
+
+from fourstore_spark import SparqlEngine
+from fourstore_spark.sources.rdfio import quads_from_nt_text
+from fourstore_spark.store import append_quads, read_manifest, write_store
+
+
+def _build(spark, tmp_path):
+    nt = "\n".join(
+        [
+            '<urn:a> <urn:p> "v1" .',
+            "<urn:a> <urn:q> <urn:b> .",
+            '<urn:b> <urn:p> "v2" .',
+        ]
+    )
+    path = str(tmp_path / "store")
+    write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    return path
+
+
+def test_append_new_quads_visible(spark, tmp_path):
+    path = _build(spark, tmp_path)
+    delta = quads_from_nt_text(spark, '<urn:c> <urn:p> "v3" .')
+    man = append_quads(delta, path)
+    assert man["rows"] == 4 and man["subjects_stale"] is True
+    eng = SparqlEngine.from_store(spark, path)
+    # stale property table -> engine falls back to quad scans
+    assert eng.subjects is None
+    got = sorted(
+        r["o"] for r in eng.select(
+            "SELECT ?o WHERE { ?s <urn:p> ?o }"
+        ).collect()
+    )
+    assert got == ["v1", "v2", "v3"]
+
+
+def test_append_dedups_existing(spark, tmp_path):
+    path = _build(spark, tmp_path)
+    delta = quads_from_nt_text(
+        spark, '<urn:a> <urn:p> "v1" .\n<urn:c> <urn:p> "v3" .'
+    )
+    man = append_quads(delta, path)
+    assert man["rows"] == 4  # the duplicate quad was dropped
+    eng = SparqlEngine.from_store(spark, path)
+    assert eng.select("SELECT ?s ?o WHERE { ?s <urn:p> ?o }").count() == 3
+
+
+def test_append_rebuild_restores_property_table(spark, tmp_path):
+    path = _build(spark, tmp_path)
+    delta = quads_from_nt_text(spark, '<urn:c> <urn:p> "v3" .')
+    man = append_quads(delta, path, rebuild_subjects=True)
+    assert man["subjects_stale"] is False
+    eng = SparqlEngine.from_store(spark, path)
+    assert eng.subjects is not None
+    got = sorted(
+        r["o"] for r in eng.select(
+            "SELECT ?o WHERE { ?s <urn:p> ?o }"
+        ).collect()
+    )
+    assert got == ["v1", "v2", "v3"]
+
+
+def test_append_downgrades_single_valued(spark, tmp_path):
+    path = _build(spark, tmp_path)
+    assert "urn:p" in read_manifest(path)["single_valued_preds"]
+    # second value for an existing (p, s): fan-out is now 2
+    delta = quads_from_nt_text(spark, '<urn:a> <urn:p> "v1b" .')
+    man = append_quads(delta, path)
+    assert "urn:p" not in man["single_valued_preds"]
+    eng = SparqlEngine.from_store(spark, path)
+    got = sorted(
+        r["o"] for r in eng.select(
+            "SELECT ?o WHERE { <urn:a> <urn:p> ?o }"
+        ).collect()
+    )
+    assert got == ["v1", "v1b"]
+    # rebuild keeps it multi-valued (array column) and correct
+    man = append_quads(
+        quads_from_nt_text(spark, "<urn:z> <urn:q> <urn:a> ."),
+        path,
+        rebuild_subjects=True,
+    )
+    assert "urn:p" not in man["single_valued_preds"]
+    eng2 = SparqlEngine.from_store(spark, path)
+    assert eng2.subjects is not None
+    star = eng2.select(
+        "SELECT ?s ?o ?b WHERE { ?s <urn:p> ?o ; <urn:q> ?b }"
+    )
+    assert sorted((r["s"], r["o"]) for r in star.collect()) == [
+        ("urn:a", "v1"),
+        ("urn:a", "v1b"),
+    ]
