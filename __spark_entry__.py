@@ -661,6 +661,41 @@ def _op_dump_restore(spark, sf_dir):
     )
 
 
+def _op_store_append(spark, sf_dir):
+    """Incremental append into a persisted store (live-import parity,
+    import.c:333-423): build a store from the region slice, append one
+    new quad + one duplicate, query through the reopened engine."""
+    import shutil
+
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import append_quads, write_store
+
+    path = f"/tmp/fourstore_append_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+    base = _engine(spark, sf_dir).quads.where(
+        F.col("p") == "urn:col:region#r_name"
+    )
+    write_store(base, path, partitions=2)
+    delta = quads_from_nt_text(
+        spark,
+        '<urn:region:99> <urn:col:region#r_name> "NOWHERE" .\n'
+        '<urn:region:0> <urn:col:region#r_name> "AFRICA" .',  # dup: dropped
+        default_graph="urn:g:region",
+    )
+    append_quads(delta, path, rebuild_subjects=True)
+    return SparqlEngine.from_store(spark, path).select(
+        "SELECT ?s ?name WHERE { ?s <urn:col:region#r_name> ?name }"
+    )
+
+
+_STORE_APPEND_SQL = (
+    "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+    "r_name AS name FROM region "
+    "UNION ALL SELECT 'urn:region:99', 'NOWHERE'"
+)
+
+
 def _staged_events(spark, sf_dir) -> str:
     """Stage the events table once as a plain-timestamp parquet dir so the
     streaming file source can replay it."""
@@ -1932,6 +1967,8 @@ def _round3_entries() -> dict[str, tuple]:
     )
     # real multimodal decode (stdlib WAV/BMP codecs, exact oracle)
     r["multimodal_decode"] = (_op_multimodal_decode, _MULTIMODAL_DECODE_SQL)
+    # incremental store append (live-import parity, set semantics)
+    r["store_append"] = (_op_store_append, _STORE_APPEND_SQL)
     r["path_star_seeded"] = (
         # bound-object * : reversed seeded BFS + the zero-length match
         _sq(f"SELECT ?x WHERE {{ ?x <{P}nation#n_regionkey>* <urn:region:1> }}"),
