@@ -1969,6 +1969,37 @@ def _round3_entries() -> dict[str, tuple]:
     r["multimodal_decode"] = (_op_multimodal_decode, _MULTIMODAL_DECODE_SQL)
     # incremental store append (live-import parity, set semantics)
     r["store_append"] = (_op_store_append, _STORE_APPEND_SQL)
+
+    # composed cleaning pipeline: quality filter -> canonical-per-
+    # fingerprint dedup (keep lowest doc_id) — the end-to-end corpus-
+    # cleaning shape, one scan + one shuffle
+    def _op_clean_pipeline(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from fourstore_spark.operators.textstats import text_stats
+
+        st = text_stats(_docs(spark, sf_dir)).where(F.col("quality") >= 0.5)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        return (
+            st.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("doc_id", "fingerprint", "quality")
+        )
+
+    r["dedup_clean_pipeline"] = (
+        _op_clean_pipeline,
+        f"""
+WITH scored AS (
+  SELECT d.doc_id, {_FP_SQL} AS fingerprint, lq.quality
+  FROM documents d JOIN ({_lang_quality_sql()}) lq ON d.doc_id = lq.doc_id
+), kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+         AS rn
+  FROM scored WHERE quality >= 0.5
+)
+SELECT doc_id, fingerprint, quality FROM kept WHERE rn = 1
+""",
+    )
     r["path_star_seeded"] = (
         # bound-object * : reversed seeded BFS + the zero-length match
         _sq(f"SELECT ?x WHERE {{ ?x <{P}nation#n_regionkey>* <urn:region:1> }}"),
