@@ -132,6 +132,11 @@ def main() -> None:
     # best-of-3 per query — the reference's own harness times best/worst
     # over repeats (tests/benchmark/run.pl:40-60); JVM JIT + GC noise on a
     # shared box makes single-shot numbers swing 3-5x
+    # one untimed pass over the first query first: the very first job of a
+    # fresh JVM pays codegen-compile + JIT warm-up that no steady-state
+    # deployment sees (the reference harness likewise repeats to drop
+    # outliers, run.pl:40-60)
+    q1_agg()
     times: dict[str, float] = {}
     for name, fn in bench.items():
         best = float("inf")
