@@ -215,6 +215,19 @@ class GraphPattern:
 
 
 @dataclass
+class ServicePattern:
+    """SERVICE <endpoint> { group } — SPARQL 1.1 Federated Query (beyond
+    the reference). ``group_text`` is the raw source span of the group,
+    shipped verbatim (plus re-declared prefixes) as a SELECT * to the
+    remote SPARQL-protocol endpoint."""
+
+    endpoint: str
+    group_text: str
+    prefixes: dict
+    silent: bool = False
+
+
+@dataclass
 class ValuesTable:
     variables: list
     rows: list  # list of list[Term|None]; None == UNDEF

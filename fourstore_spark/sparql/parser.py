@@ -68,6 +68,7 @@ def _unescape(s: str) -> str:
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.tokens = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -517,7 +518,30 @@ class Parser:
                 elements.append(("pattern", self.parse_inline_data()))
                 self.take_op(".")
             elif self.at_kw("SERVICE"):
-                self.err("SERVICE (federated query) is not supported")
+                # SPARQL 1.1 Federated Query — beyond the reference
+                # (4store has no federation). The inner group's RAW TEXT
+                # is kept so the translator can ship it verbatim to the
+                # remote endpoint; parsing it here still validates syntax.
+                self.next()
+                silent = self.take_kw("SILENT") is not None
+                if self.peek().type == "VAR":
+                    self.err("SERVICE with a variable endpoint is not supported")
+                endpoint = self.parse_iri()
+                start = self.peek().pos  # the '{'
+                self.parse_group_graph_pattern()  # validate inner syntax
+                end = self.tokens[self.i - 1].pos  # the consumed '}'
+                elements.append(
+                    (
+                        "pattern",
+                        A.ServicePattern(
+                            endpoint.value,
+                            self.text[start : end + 1],
+                            dict(self.prefixes),
+                            silent,
+                        ),
+                    )
+                )
+                self.take_op(".")
             elif self.at_op("{"):
                 grp = self.parse_group_graph_pattern()
                 while self.at_kw("UNION"):

@@ -205,6 +205,8 @@ class Translator:
             return self.translate(node.pattern, graph=node.graph)
         if isinstance(node, A.ValuesTable):
             return self._values(node)
+        if isinstance(node, A.ServicePattern):
+            return self._service(node)
         if isinstance(node, A.SubSelect):
             # translate_query resets the dataset clause to the subquery's
             # (always empty) one — save/restore the outer FROM/FROM NAMED
@@ -218,6 +220,77 @@ class Translator:
 
     def _unit(self) -> Sol:
         return Sol(self.spark.range(1).select(), frozenset())
+
+    def _service(self, node: A.ServicePattern) -> Sol:
+        """SPARQL 1.1 Federated Query (beyond the reference): the inner
+        group ships verbatim as ``SELECT *`` to the remote SPARQL-protocol
+        endpoint; the results-JSON bindings land in a local DataFrame of
+        term structs and join into the surrounding pattern like a VALUES
+        table. The remote result set is driver-materialized by design —
+        federation pulls a bounded remote answer, the local 100 TB side
+        never moves. SILENT maps a transport/remote failure to the empty
+        group (single all-unbound solution, spec §18.5). The call happens
+        at plan-construction time, so a cached plan pins the remote
+        snapshot it was built with."""
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        from fourstore_spark.model import NUMERIC_DATATYPES
+
+        prologue = "".join(
+            f"PREFIX {p}: <{iri}>\n" for p, iri in node.prefixes.items()
+        )
+        q = f"{prologue}SELECT * WHERE {node.group_text}"
+        sep = "&" if "?" in node.endpoint else "?"
+        url = node.endpoint + sep + urllib.parse.urlencode(
+            {"query": q, "output": "json"}
+        )
+        try:
+            req = urllib.request.Request(
+                url,
+                headers={"Accept": "application/sparql-results+json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                doc = _json.loads(resp.read().decode("utf-8"))
+        except Exception:
+            if node.silent:
+                return self._unit()
+            raise
+        varnames = list(doc.get("head", {}).get("vars", []))
+        if not varnames:
+            return self._unit()
+
+        def term(b):
+            if b is None:
+                return None
+            kind = {
+                "uri": KIND_URI,
+                "bnode": KIND_BNODE,
+            }.get(b.get("type"), KIND_LITERAL)
+            lex = b.get("value", "")
+            dt = b.get("datatype")
+            lang = b.get("xml:lang")
+            num = None
+            if kind == KIND_LITERAL and dt in NUMERIC_DATATYPES:
+                try:
+                    num = float(lex)
+                except ValueError:
+                    num = None
+            return (kind, lex, dt, lang, num)
+
+        rows = [
+            tuple(term(b.get(v)) for v in varnames)
+            for b in doc.get("results", {}).get("bindings", [])
+        ]
+        schema = ", ".join(f"`{v}` {TERM_DDL}" for v in varnames)
+        df = self.spark.createDataFrame(rows, schema)
+        certain = frozenset(
+            v
+            for i, v in enumerate(varnames)
+            if rows and all(r[i] is not None for r in rows)
+        )
+        return Sol(df, certain)
 
     def _ctx(self, sol: Sol, agg_map: dict | None = None) -> ExprContext:
         ctx = ExprContext(agg_map=agg_map)
