@@ -159,3 +159,11 @@ def test_path_long_chain(spark):
     e = SparqlEngine(spark, quads_from_nt_text(spark, nt))
     got = rows(e, "SELECT ?x WHERE { <urn:n0> <urn:next>+ ?x }")
     assert len(got) == 40
+
+
+def test_closure_over_empty_edge_set(eng):
+    # no <urn:none> edges: + is empty, * still has the zero-length match
+    assert rows(eng, "SELECT ?x WHERE { <urn:a> <urn:none>+ ?x }") == []
+    assert rows(eng, "SELECT ?x WHERE { <urn:a> <urn:none>* ?x }") == [
+        ("urn:a",)
+    ]
