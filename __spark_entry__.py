@@ -696,6 +696,37 @@ _STORE_APPEND_SQL = (
 )
 
 
+_SERVICE_SRV: dict = {}
+
+
+def _op_service_federated(spark, sf_dir):
+    """SPARQL 1.1 SERVICE (beyond reference): federate against a live
+    in-process SPARQL-protocol endpoint serving the same sf quads."""
+    from fourstore_spark.httpd import SparqlHttpServer
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    key = (id(spark), sf_dir)
+    srv = _SERVICE_SRV.get(key)
+    if srv is None:
+        srv = SparqlHttpServer(
+            spark, UpdateEngine(spark, _engine(spark, sf_dir).quads), port=0
+        )
+        srv.start()
+        _SERVICE_SRV[key] = srv
+    return _engine(spark, sf_dir).select(
+        f"""SELECT ?n ?rname WHERE {{
+              ?n <urn:col:nation#n_regionkey> ?r .
+              SERVICE <http://127.0.0.1:{srv.port}/sparql/> {{
+                  ?r <urn:col:region#r_name> ?rname }} }}"""
+    )
+
+
+_SERVICE_SQL = (
+    "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS n, "
+    "r_name AS rname FROM nation JOIN region ON n_regionkey = r_regionkey"
+)
+
+
 def _staged_events(spark, sf_dir) -> str:
     """Stage the events table once as a plain-timestamp parquet dir so the
     streaming file source can replay it."""
@@ -1969,6 +2000,8 @@ def _round3_entries() -> dict[str, tuple]:
     r["multimodal_decode"] = (_op_multimodal_decode, _MULTIMODAL_DECODE_SQL)
     # incremental store append (live-import parity, set semantics)
     r["store_append"] = (_op_store_append, _STORE_APPEND_SQL)
+    # federated SERVICE against a live in-process SPARQL endpoint
+    r["service_federated"] = (_op_service_federated, _SERVICE_SQL)
 
     # composed cleaning pipeline: quality filter -> canonical-per-
     # fingerprint dedup (keep lowest doc_id) — the end-to-end corpus-
