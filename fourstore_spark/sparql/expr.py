@@ -543,7 +543,17 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     if name == "ABS":
         return _numeric_fn(a0, F.abs)
     if name == "CEIL":
-        return _numeric_fn(a0, lambda c: F.ceil(c).cast("double"))
+        # XPath fn:ceiling returns NEGATIVE zero for arguments in (-1, 0)
+        # (and DuckDB's CEIL(double) agrees); Spark's F.ceil returns LONG,
+        # which cannot carry the sign — so for negative inputs compute
+        # ceil(x) = -floor(-x) with the negation applied AFTER the double
+        # cast, preserving -0.0.
+        return _numeric_fn(
+            a0,
+            lambda c: F.when(c < 0, -(F.floor(-c).cast("double"))).otherwise(
+                F.ceil(c).cast("double")
+            ),
+        )
     if name == "FLOOR":
         return _numeric_fn(a0, lambda c: F.floor(c).cast("double"))
     if name == "ROUND":
