@@ -225,6 +225,7 @@ class ServicePattern:
     group_text: str
     prefixes: dict
     silent: bool = False
+    base: str = ""  # query-level BASE, re-declared in the shipped prologue
 
 
 @dataclass

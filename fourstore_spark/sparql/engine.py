@@ -226,9 +226,14 @@ class SparqlEngine:
 
         if not capped:
             limited = False
-        self._plan_cache[(text, limit)] = (q.form, df, limited)
-        if len(self._plan_cache) > self._plan_cache_cap:
-            self._plan_cache.popitem(last=False)
+        # SERVICE runs the federated call at plan-construction time, so a
+        # cached plan would pin that remote snapshot forever — a long-
+        # lived server must re-contact the endpoint per execution. Never
+        # cache plans that touched a SERVICE.
+        if not tr.saw_service:
+            self._plan_cache[(text, limit)] = (q.form, df, limited)
+            if len(self._plan_cache) > self._plan_cache_cap:
+                self._plan_cache.popitem(last=False)
         res = SparqlResult(q.form, df)
         res.soft_limited = limited
         return res

@@ -538,6 +538,7 @@ class Parser:
                             self.text[start : end + 1],
                             dict(self.prefixes),
                             silent,
+                            self.base,
                         ),
                     )
                 )

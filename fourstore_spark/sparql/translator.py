@@ -60,6 +60,14 @@ from fourstore_spark.model import XSD_INTEGER
 
 TERM_DDL = "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
 
+# SERVICE (federated query) driver guards: queries longer than the GET
+# limit ship as protocol §2.1.2 POST; the remote answer is driver-
+# materialized, so cap its size/rows (a runaway endpoint must not OOM the
+# driver). Module-level so deployments can raise them.
+SERVICE_MAX_GET_URL = 2000
+SERVICE_MAX_BYTES = 256 * 1024 * 1024
+SERVICE_MAX_ROWS = 1_000_000
+
 # serializes property-path closures: the fixpoint loop toggles a session
 # conf (constraintPropagation) around its jobs, which must not interleave
 # across threads (the threaded HTTP endpoint can run queries concurrently)
@@ -145,6 +153,9 @@ class Translator:
         self.capped: list = []
         self._uid = 0
         self._last_select_certain: set = set()
+        # set by _service: plans that ran a federated call embed a remote
+        # snapshot and must not be cached by the engine
+        self.saw_service = False
 
     def _fresh(self, prefix: str) -> str:
         self._uid += 1
@@ -230,29 +241,65 @@ class Translator:
         federation pulls a bounded remote answer, the local 100 TB side
         never moves. SILENT maps a transport/remote failure to the empty
         group (single all-unbound solution, spec §18.5). The call happens
-        at plan-construction time, so a cached plan pins the remote
-        snapshot it was built with."""
+        at plan-construction time, so the engine never caches plans that
+        contain a SERVICE (saw_service)."""
+        self.saw_service = True
         import json as _json
         import urllib.parse
         import urllib.request
+        import uuid as _uuid
 
         from fourstore_spark.model import NUMERIC_DATATYPES
 
         prologue = "".join(
             f"PREFIX {p}: <{iri}>\n" for p, iri in node.prefixes.items()
         )
+        if getattr(node, "base", ""):
+            # re-declare the query-level BASE so relative IRIs inside the
+            # shipped group resolve identically at the remote endpoint
+            prologue = f"BASE <{node.base}>\n" + prologue
         q = f"{prologue}SELECT * WHERE {node.group_text}"
+        params = urllib.parse.urlencode({"query": q, "output": "json"})
         sep = "&" if "?" in node.endpoint else "?"
-        url = node.endpoint + sep + urllib.parse.urlencode(
-            {"query": q, "output": "json"}
-        )
+        url = node.endpoint + sep + params
         try:
-            req = urllib.request.Request(
-                url,
-                headers={"Accept": "application/sparql-results+json"},
-            )
+            if len(url) > SERVICE_MAX_GET_URL:
+                # long queries exceed endpoint URL limits: SPARQL protocol
+                # §2.1.2 query-via-POST, application/x-www-form-urlencoded
+                req = urllib.request.Request(
+                    node.endpoint,
+                    data=params.encode("ascii"),
+                    headers={
+                        "Accept": "application/sparql-results+json",
+                        "Content-Type":
+                            "application/x-www-form-urlencoded",
+                    },
+                    method="POST",
+                )
+            else:
+                req = urllib.request.Request(
+                    url,
+                    headers={"Accept": "application/sparql-results+json"},
+                )
             with urllib.request.urlopen(req, timeout=60) as resp:
-                doc = _json.loads(resp.read().decode("utf-8"))
+                # the remote answer lands on the driver: cap its size so a
+                # runaway endpoint cannot exhaust driver memory
+                body = resp.read(SERVICE_MAX_BYTES + 1)
+                if len(body) > SERVICE_MAX_BYTES:
+                    raise RuntimeError(
+                        f"SERVICE <{node.endpoint}> response exceeds "
+                        f"{SERVICE_MAX_BYTES} bytes "
+                        "(fourstore_spark.sparql.translator."
+                        "SERVICE_MAX_BYTES)"
+                    )
+                doc = _json.loads(body.decode("utf-8"))
+            nbind = len(doc.get("results", {}).get("bindings", []))
+            if nbind > SERVICE_MAX_ROWS:
+                raise RuntimeError(
+                    f"SERVICE <{node.endpoint}> returned {nbind} rows, "
+                    f"over the {SERVICE_MAX_ROWS}-row driver guard "
+                    "(fourstore_spark.sparql.translator.SERVICE_MAX_ROWS)"
+                )
         except Exception:
             if node.silent:
                 return self._unit()
@@ -260,6 +307,11 @@ class Translator:
         varnames = list(doc.get("head", {}).get("vars", []))
         if not varnames:
             return self._unit()
+        # blank nodes in a SPARQL result set are scoped to that result set
+        # (§18.5 / protocol): rewrite labels with a per-call unique prefix
+        # so a remote bnode can never RID-unify with a local bnode (or one
+        # from another SERVICE call) that happens to share its label
+        bnode_ns = "svc-" + _uuid.uuid4().hex[:12] + "-"
 
         def term(b):
             if b is None:
@@ -269,6 +321,8 @@ class Translator:
                 "bnode": KIND_BNODE,
             }.get(b.get("type"), KIND_LITERAL)
             lex = b.get("value", "")
+            if kind == KIND_BNODE:
+                lex = bnode_ns + lex
             dt = b.get("datatype")
             lang = b.get("xml:lang")
             num = None
@@ -794,6 +848,14 @@ class Translator:
                 if bound:
                     df = df.where(
                         term_rid(F.col(col)) == term_rid(F.col(bound[0]))
+                    )
+                elif name in ctx:
+                    # endpoint var already bound by the enclosing context
+                    # (e.g. GRAPH ?g { ?g <p>+ ?y }): RID-equality filter
+                    # against the ctx column instead of emitting a second
+                    # column with the same name (AMBIGUOUS_REFERENCE)
+                    df = df.where(
+                        term_rid(F.col(col)) == term_rid(F.col(name))
                     )
                 else:
                     out_names[col] = name

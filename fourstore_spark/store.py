@@ -206,7 +206,9 @@ def _write_subjects(
     return pred_columns, single_valued
 
 
-QUAD_KEY = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+# full quad identity — s_kind included so a bnode subject whose label
+# equals an existing URI subject's lexical form is NOT deduped against it
+QUAD_KEY = ["g", "s", "s_kind", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
 
 
 def append_quads(

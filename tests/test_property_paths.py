@@ -167,3 +167,29 @@ def test_closure_over_empty_edge_set(eng):
     assert rows(eng, "SELECT ?x WHERE { <urn:a> <urn:none>* ?x }") == [
         ("urn:a",)
     ]
+
+
+def test_path_endpoint_var_equals_graph_var(spark):
+    # GRAPH ?g { ?g <p>+ ?y }: the endpoint var collides with the
+    # enclosing graph var — must become an RID filter against the ctx
+    # column, not a duplicate output column (AMBIGUOUS_REFERENCE)
+    nq = "\n".join(
+        [
+            "<urn:g1> <urn:knows> <urn:b> <urn:g1> .",
+            "<urn:b> <urn:knows> <urn:c> <urn:g1> .",
+            "<urn:g2> <urn:knows> <urn:z> <urn:g2> .",
+        ]
+    )
+    e = SparqlEngine(spark, quads_from_nt_text(spark, nq))
+    assert rows(
+        e, "SELECT ?g ?y WHERE { GRAPH ?g { ?g <urn:knows>+ ?y } }"
+    ) == [
+        ("urn:g1", "urn:b"),
+        ("urn:g1", "urn:c"),
+        ("urn:g2", "urn:z"),
+    ]
+    # object-side collision: nobody points back at a graph node
+    assert (
+        rows(e, "SELECT ?g ?x WHERE { GRAPH ?g { ?x <urn:knows>+ ?g } }")
+        == []
+    )

@@ -74,3 +74,109 @@ def test_service_loud_failure_raises(local):
         SERVICE <http://127.0.0.1:1/sparql/> { ?s ?p ?o } }"""
     with pytest.raises(Exception):
         local.select(q)
+
+
+def test_service_plan_not_cached(local, remote):
+    # a SERVICE plan embeds the remote snapshot taken at plan time, so
+    # the engine must NOT serve it from the plan cache: a second run
+    # after a remote update must observe the mutation
+    q = f"""SELECT ?nm WHERE {{
+        SERVICE <http://127.0.0.1:{remote.port}/sparql/> {{
+            <urn:mut> <urn:name> ?nm }} }}"""
+    upd = urllib.parse.urlencode(
+        {"update": 'INSERT DATA { <urn:mut> <urn:name> "v1" }'}
+    ).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{remote.port}/update/",
+        data=upd,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    assert [r["nm"] for r in local.select(q).collect()] == ["v1"]
+    upd2 = urllib.parse.urlencode(
+        {
+            "update": 'DELETE DATA { <urn:mut> <urn:name> "v1" } ; '
+            'INSERT DATA { <urn:mut> <urn:name> "v2" }'
+        }
+    ).encode()
+    req2 = urllib.request.Request(
+        f"http://127.0.0.1:{remote.port}/update/",
+        data=upd2,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req2) as r:
+        assert r.status == 200
+    assert [r["nm"] for r in local.select(q).collect()] == ["v2"]
+
+
+def test_service_long_query_posts(local, remote):
+    # a query text past SERVICE_MAX_GET_URL must ship as protocol POST
+    # (GET would blow typical URL limits) and still answer correctly
+    pad = "A" * 2500  # cheap to evaluate, long enough to force POST
+    q = f"""SELECT ?nm WHERE {{
+        SERVICE <http://127.0.0.1:{remote.port}/sparql/> {{
+            <urn:b> <urn:name> ?nm . FILTER(?nm != "{pad}") }} }}"""
+    assert len(q) > 2000
+    got = [r["nm"] for r in local.select(q).collect()]
+    assert got == ["Remote-B"]
+
+
+def test_service_remote_bnodes_are_scoped(local, remote):
+    # remote bnode labels are result-set scoped (§18.5): they must not
+    # RID-unify with a LOCAL bnode sharing the label, nor across two
+    # SERVICE calls in one query
+    upd = urllib.parse.urlencode(
+        {"update": "INSERT DATA { _:shared <urn:tag> <urn:t1> }"}
+    ).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{remote.port}/update/",
+        data=upd,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    ep = f"http://127.0.0.1:{remote.port}/sparql/"
+    q = f"""SELECT ?b1 ?b2 WHERE {{
+        SERVICE <{ep}> {{ ?b1 <urn:tag> <urn:t1> }}
+        SERVICE <{ep}> {{ ?b2 <urn:tag> <urn:t1> }} }}"""
+    rows = local.select(q).collect()
+    # both calls return one bnode row each; the cross product survives
+    # (bnode labels don't join-unify across calls into fewer rows), and
+    # the two labels must differ
+    assert len(rows) == 1
+    assert rows[0]["b1"] != rows[0]["b2"]
+
+
+def test_service_prologue_redeclares_base(local, monkeypatch):
+    # a query-level BASE must be re-declared in the shipped prologue so
+    # relative IRIs inside the SERVICE group resolve identically remotely
+    captured = {}
+
+    class FakeResp:
+        status = 200
+
+        def read(self, n=-1):
+            return (
+                b'{"head":{"vars":["x"]},"results":{"bindings":[]}}'
+            )
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        return FakeResp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    q = """BASE <http://ex.org/ns/>
+        SELECT ?x WHERE {
+          SERVICE <http://127.0.0.1:9/sparql/> { ?x <urn:p> ?y } }"""
+    local.select(q).collect()
+    sent = urllib.parse.parse_qs(
+        urllib.parse.urlparse(captured["url"]).query
+    )["query"][0]
+    assert sent.startswith("BASE <http://ex.org/ns/>")

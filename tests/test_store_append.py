@@ -94,3 +94,31 @@ def test_append_downgrades_single_valued(spark, tmp_path):
         ("urn:a", "v1"),
         ("urn:a", "v1b"),
     ]
+
+
+def test_append_bnode_subject_not_deduped_against_uri(spark, tmp_path):
+    # quad identity includes s_kind: a BNODE subject whose label equals an
+    # existing URI subject's lexical form is a DIFFERENT quad and must
+    # survive the set-semantics anti-join
+    from fourstore_spark.model import (
+        DEFAULT_GRAPH,
+        KIND_BNODE,
+        KIND_LITERAL,
+        QUADS_SCHEMA,
+    )
+
+    path = _build(spark, tmp_path)
+    delta = spark.createDataFrame(
+        [
+            (
+                DEFAULT_GRAPH, "urn:a", KIND_BNODE, "urn:p",
+                KIND_LITERAL, "v1", None, None, None,
+            )
+        ],
+        QUADS_SCHEMA,
+    )
+    man = append_quads(delta, path)
+    assert man["rows"] == 4  # appended, not dropped as a duplicate
+    # and re-appending the same bnode quad IS dropped (idempotent)
+    man2 = append_quads(delta, path)
+    assert man2["rows"] == 4
