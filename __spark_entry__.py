@@ -380,14 +380,15 @@ SELECT d AS doc_id, 'audio' AS kind, CAST(44 + nf*2 AS BIGINT) AS n_bytes,
        CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
        ROUND(amp / 32768.0, 6) AS rms, ROUND(amp / 32768.0, 6) AS peak,
        CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
-       CAST(NULL AS DOUBLE) AS mean_b
+       CAST(NULL AS DOUBLE) AS mean_b, CAST(NULL AS VARCHAR) AS err
 FROM wav
 UNION ALL
 SELECT d, 'image', CAST(54 + ((w*3+3)//4)*4*h AS BIGINT),
        CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       ROUND(r / 255.0, 6), ROUND(g / 255.0, 6), ROUND(b / 255.0, 6)
+       ROUND(r / 255.0, 6), ROUND(g / 255.0, 6), ROUND(b / 255.0, 6),
+       CAST(NULL AS VARCHAR)
 FROM bmp
 """
 

@@ -129,6 +129,8 @@ DECODED_SCHEMA = StructType(
         StructField("mean_r", DoubleType(), True),
         StructField("mean_g", DoubleType(), True),
         StructField("mean_b", DoubleType(), True),
+        # soft-error channel: non-null iff this row's decode failed
+        StructField("err", StringType(), True),
     ]
 )
 
@@ -234,11 +236,17 @@ def synth_bmp(width: int, height: int, rgb: tuple) -> bytes:
     return header + pixels
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Real decode + per-modality feature extraction via mapInPandas.
 
-    Dispatches on magic bytes: RIFF/WAVE -> decode_wav, BM -> decode_bmp;
-    anything else raises NotImplementedError (the codec-library slot).
+    Dispatches on magic bytes: RIFF/WAVE -> decode_wav, BM -> decode_bmp.
+    A payload that fails to decode — corrupt bytes, or a format needing a
+    codec library (PIL/pyav/torchaudio, not in this container) — is a
+    per-row SOFT error by default: null features plus an ``err`` column.
+    One bad payload among billions must not fail the whole stage after N
+    task retries (the reference's import path likewise soft-skips bad
+    data rather than aborting the KB, error handling in import.c).
+    ``strict=True`` restores the raise for fail-fast pipelines.
     One Arrow boundary crossing per batch; the decode loop is pure
     numpy/stdlib, no media libraries."""
 
@@ -253,15 +261,23 @@ def decode_features(media: DataFrame) -> DataFrame:
                     continue
                 b = bytes(payload)
                 base["n_bytes"] = len(b)
-                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    base.update(decode_wav(b))
-                elif b[:2] == b"BM":
-                    base.update(decode_bmp(b))
-                else:
-                    raise NotImplementedError(
-                        "payload format needs a codec library "
-                        "(PIL/pyav/torchaudio) — not in this container"
-                    )
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        base.update(decode_wav(b))
+                    elif b[:2] == b"BM":
+                        base.update(decode_bmp(b))
+                    else:
+                        raise NotImplementedError(
+                            "payload format needs a codec library "
+                            "(PIL/pyav/torchaudio) — not in this container"
+                        )
+                except Exception as ex:
+                    if strict:
+                        raise
+                    base = {k.name: None for k in DECODED_SCHEMA.fields}
+                    base["media_id"] = mid
+                    base["n_bytes"] = len(b)
+                    base["err"] = f"{type(ex).__name__}: {ex}"
                 out.append(base)
             yield pd.DataFrame(out)
 

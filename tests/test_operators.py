@@ -266,7 +266,32 @@ def test_multimodal_real_decode(spark):
     assert rows[2]["kind"] == "image" and rows[2]["width"] == 7
 
 
-def test_multimodal_unknown_format_raises(spark):
+def test_multimodal_decode_soft_errors(spark):
+    # a corrupt payload and an unsupported format must NOT kill the
+    # stage: both complete with null features + a per-row err, while
+    # good rows in the same batch decode normally
+    from fourstore_spark.operators.multimodal import (
+        decode_features,
+        synth_wav,
+    )
+
+    wav = synth_wav(8000, 800, 256)
+    media = spark.createDataFrame(
+        [
+            (1, b"\x89PNG...."),          # unsupported format
+            (2, b"RIFFxxxxWAVEgarbage"),  # corrupt WAV
+            (3, wav),                     # good row
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert "NotImplementedError" in rows[1]["err"]
+    assert rows[1]["kind"] is None and rows[1]["n_bytes"] == 8
+    assert rows[2]["err"] is not None and rows[2]["kind"] is None
+    assert rows[3]["err"] is None and rows[3]["kind"] == "audio"
+
+
+def test_multimodal_strict_mode_raises(spark):
     import pytest as _pytest
 
     from fourstore_spark.operators.multimodal import decode_features
@@ -275,4 +300,4 @@ def test_multimodal_unknown_format_raises(spark):
         [(1, b"\x89PNG....")], "media_id long, payload binary"
     )
     with _pytest.raises(Exception, match="codec"):
-        decode_features(media).collect()
+        decode_features(media, strict=True).collect()
