@@ -3,8 +3,15 @@
 Mirrors the reference's httpd surface (/root/reference/src/http/httpd.c):
 
 - ``GET/POST /sparql/`` — params ``query``, ``output`` (json|xml|csv|tsv),
-  ``soft-limit`` (httpd.c:1102-1195, :1133-1140)
+  ``soft-limit``, ``restricted``, ``default-graph-uri`` /
+  ``named-graph-uri`` (protocol dataset, overrides FROM — the reference
+  parses-but-ignores these, httpd.c:1104 "ignored for now"; we honor
+  them), ``apikey`` (graph ACLs), JSONP ``callback``
+  (httpd.c:1102-1195, :1133-1140, :1150-1152)
 - ``POST /update/`` — param ``update`` (httpd.c:1314+)
+- ``OPTIONS *`` — CORS preflight (httpd.c:1483-1501); every response
+  carries ``Access-Control-Allow-Origin: *`` when the request has an
+  Origin header (IS_CORS, httpd.c:56)
 - ``PUT /data/<graph-uri>`` — replace graph with request body
   (N-Triples/Turtle; httpd.c:687-753)
 - ``POST /data/`` — append body to graph given by ``graph`` param
@@ -21,6 +28,7 @@ front of a long-lived SparkSession the same way.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -38,6 +46,15 @@ _CONTENT_TYPES = {
     "ntriples": "application/n-triples",
 }
 
+# restricted mode caps per-pattern results at the reference's default
+# soft limit (params.h.in:34: 998 per segment; FS_QUERY_RESTRICTED
+# truncation query-datatypes.c:999-1015)
+RESTRICTED_SOFT_LIMIT = 998
+
+# JSONP callback must be a plain JS identifier path — anything else is a
+# script-injection vector, not a callback
+_CALLBACK_RE = re.compile(r"^[A-Za-z_$][A-Za-z0-9_$]*(\.[A-Za-z_$][A-Za-z0-9_$]*)*$")
+
 
 class SparqlHttpServer:
     """serve() blocks; start()/stop() run it on a thread (for tests)."""
@@ -48,11 +65,20 @@ class SparqlHttpServer:
         update_engine: UpdateEngine | None = None,
         host: str = "127.0.0.1",
         port: int = 8890,
+        graph_access_control: dict[str, list[str]] | None = None,
+        cors: bool = True,
     ):
+        """``graph_access_control`` enables the reference's apikey ACL
+        mode (httpd.c:1156-1159): a map of apikey -> list of graph URIs
+        that key may see. When set, /sparql/ and write endpoints REQUIRE
+        an ``apikey`` param (403 otherwise); an unknown key sees no
+        graphs (empty allow-list = deny-all, engine ACL semantics)."""
         self.spark = spark
         self.ue = update_engine or UpdateEngine(spark)
         self.host = host
         self.port = port
+        self.graph_access_control = graph_access_control
+        self.cors = cors
         # ThreadingHTTPServer handles requests concurrently, but every
         # write path is a read-modify-write of ue.quads — serialize them
         # (the reference's backends serialize imports per segment the same
@@ -73,61 +99,152 @@ class SparqlHttpServer:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype + "; charset=utf-8")
                 self.send_header("Content-Length", str(len(data)))
+                # IS_CORS (httpd.c:56): any request carrying an Origin
+                # header gets the open-access CORS grant
+                if outer.cors and self.headers.get("Origin"):
+                    self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
                 self.wfile.write(data)
 
+            def do_OPTIONS(self):
+                # CORS preflight (http_options_request, httpd.c:1483-1501)
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET, POST, OPTIONS"
+                )
+                self.send_header("Access-Control-Max-Age", "3628800")
+                want = self.headers.get("Access-Control-Request-Headers")
+                if want:
+                    self.send_header("Access-Control-Allow-Headers", want)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def _acl_engine(self, params: dict):
+                """Engine for this request, apikey-filtered when graph
+                access control is on. Returns (engine, error_response)."""
+                acl = outer.graph_access_control
+                if acl is None:
+                    return SparqlEngine(outer.spark, outer.ue.quads), None
+                key = params.get("apikey")
+                if not key:
+                    # httpd.c:1157 wording
+                    return None, (
+                        403,
+                        "403 forbidden - apikey parameter has to be "
+                        "included in request.",
+                    )
+                # unknown key -> empty allow-list -> deny-all
+                return (
+                    SparqlEngine(
+                        outer.spark,
+                        outer.ue.quads,
+                        allowed_graphs=list(acl.get(key, [])),
+                    ),
+                    None,
+                )
+
             def _params(self) -> dict:
                 url = urllib.parse.urlparse(self.path)
-                params = dict(urllib.parse.parse_qsl(url.query))
+                pairs = urllib.parse.parse_qsl(url.query, keep_blank_values=True)
                 length = int(self.headers.get("Content-Length") or 0)
+                params: dict = {}
                 if length:
                     body = self.rfile.read(length).decode("utf-8")
                     ctype = self.headers.get("Content-Type", "")
                     if "application/x-www-form-urlencoded" in ctype:
-                        params.update(dict(urllib.parse.parse_qsl(body)))
+                        pairs += urllib.parse.parse_qsl(body, keep_blank_values=True)
                     elif "application/sparql-query" in ctype:
                         params["query"] = body
                     elif "application/sparql-update" in ctype:
                         params["update"] = body
                     else:
                         params["__body"] = body
+                params.update(dict(pairs))
+                # protocol dataset params repeat (one per graph): keep
+                # every occurrence, not just the last
+                self._multi = {}
+                for k, v in pairs:
+                    self._multi.setdefault(k, []).append(v)
                 return params
 
-            def _query(self, params: dict):
+            def _query(self, params: dict, multiparams: dict | None = None):
                 text = params.get("query")
                 if not text:
                     return self._send(400, "missing query parameter")
                 fmt = params.get("output", "json")
                 soft = params.get("soft-limit")
+                limit = int(soft) if soft else None
+                if "restricted" in params:
+                    # FS_QUERY_RESTRICTED (httpd.c:1131-1132): cap
+                    # per-pattern results at the reference's default
+                    limit = (
+                        min(limit, RESTRICTED_SOFT_LIMIT)
+                        if limit
+                        else RESTRICTED_SOFT_LIMIT
+                    )
+                mp = multiparams or {}
                 try:
-                    eng = SparqlEngine(outer.spark, outer.ue.quads)
+                    eng, err = self._acl_engine(params)
+                    if err:
+                        return self._send(err[0], err[1])
                     res = eng.query(
-                        text, soft_limit=int(soft) if soft else None
+                        text,
+                        soft_limit=limit,
+                        default_graph_uri=mp.get("default-graph-uri"),
+                        named_graph_uri=mp.get("named-graph-uri"),
                     )
                     if res.form in ("CONSTRUCT", "DESCRIBE"):
                         fmt = "ntriples"
                     body = res.serialize(fmt)
                 except Exception as exc:  # noqa: BLE001 — 4xx per httpd.c
                     return self._send(400, f"parser error: {exc}")
+                cb = params.get("callback")
+                if cb and fmt == "json":
+                    # JSONP (json_function, httpd.c:1150-1152 /
+                    # results.c:2281-2298) — identifier-checked
+                    if not _CALLBACK_RE.match(cb):
+                        return self._send(400, "invalid callback name")
+                    return self._send(
+                        200, f"{cb}({body})", "text/javascript"
+                    )
                 self._send(200, body, _CONTENT_TYPES.get(fmt, "text/plain"))
 
             def do_GET(self):
                 url = urllib.parse.urlparse(self.path)
                 if url.path.rstrip("/") == "/sparql":
-                    return self._query(self._params())
+                    return self._query(self._params(), self._multi)
                 if url.path.rstrip("/") == "/status":
                     return self._send(200, "4store-spark: running\n")
                 if url.path.rstrip("/") == "/status/size":
                     return self._send(200, f"{outer.ue.quads.count()}\n")
                 self._send(404, "not found")
 
+            def _write_denied(self, params: dict) -> bool:
+                """Writes under graph access control need a KNOWN apikey
+                (the reference gates destructive ops on an admin key,
+                httpd.c:498-500)."""
+                acl = outer.graph_access_control
+                if acl is None:
+                    return False
+                if params.get("apikey") in acl:
+                    return False
+                self._send(
+                    403,
+                    "403 forbidden - valid apikey parameter has to be "
+                    "included in request.",
+                )
+                return True
+
             def do_POST(self):
                 url = urllib.parse.urlparse(self.path)
                 params = self._params()
                 path = url.path.rstrip("/")
                 if path == "/sparql":
-                    return self._query(params)
+                    return self._query(params, self._multi)
                 if path == "/update":
+                    if self._write_denied(params):
+                        return
                     text = params.get("update")
                     if not text:
                         return self._send(400, "missing update parameter")
@@ -138,6 +255,8 @@ class SparqlHttpServer:
                         return self._send(400, f"update error: {exc}")
                     return self._send(200, "update successful\n")
                 if path == "/data":
+                    if self._write_denied(params):
+                        return
                     graph = params.get("graph")
                     body = params.get("__body", "")
                     if not graph:
@@ -171,6 +290,8 @@ class SparqlHttpServer:
                     return self._send(404, "PUT expects /data/<graph-uri>")
                 graph = urllib.parse.unquote(graph)
                 params = self._params()
+                if self._write_denied(params):
+                    return
                 self._load(graph, params.get("__body", ""), replace=True)
 
             def do_DELETE(self):
@@ -178,6 +299,8 @@ class SparqlHttpServer:
                 if not self.path.startswith("/data/") or not graph:
                     return self._send(404, "DELETE expects /data/<graph-uri>")
                 graph = urllib.parse.unquote(graph)
+                if self._write_denied(self._params()):
+                    return
                 try:
                     with outer._write_lock:
                         outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")

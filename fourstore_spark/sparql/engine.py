@@ -189,21 +189,41 @@ class SparqlEngine:
             eng.subjects_cols = manifest["pred_columns"]
         return eng
 
-    def query(self, text: str, soft_limit: int | None = None) -> SparqlResult:
+    def query(
+        self,
+        text: str,
+        soft_limit: int | None = None,
+        default_graph_uri: list[str] | None = None,
+        named_graph_uri: list[str] | None = None,
+    ) -> SparqlResult:
+        """``default_graph_uri`` / ``named_graph_uri`` are the SPARQL
+        protocol dataset parameters: when given they OVERRIDE the query's
+        own FROM / FROM NAMED clauses (protocol §2.1.4)."""
         limit = soft_limit if soft_limit is not None else self.soft_limit
+        key = (
+            text,
+            limit,
+            tuple(default_graph_uri) if default_graph_uri else None,
+            tuple(named_graph_uri) if named_graph_uri else None,
+        )
         # compiled-plan cache (fs_query_cache, query-cache.c:36-94): the
         # translated DataFrame is immutable, so re-running the same text
         # skips ~3000 py4j round-trips of plan construction (~0.5 s/query
-        # driver-side).  Keyed per (text, limit); invalidated only by
-        # constructing a new engine (mutation swaps the quads DataFrame).
-        cached = self._plan_cache.get((text, limit))
+        # driver-side).  Keyed per (text, limit, protocol dataset);
+        # invalidated only by constructing a new engine (mutation swaps
+        # the quads DataFrame).
+        cached = self._plan_cache.get(key)
         if cached is not None:
-            self._plan_cache.move_to_end((text, limit))
+            self._plan_cache.move_to_end(key)
             form, df, limited = cached
             res = SparqlResult(form, df)
             res.soft_limited = limited
             return res
         q = parse_query(text)
+        if default_graph_uri:
+            q.from_graphs = list(default_graph_uri)
+        if named_graph_uri:
+            q.from_named = list(named_graph_uri)
         tr = Translator(
             self.spark,
             self.quads,
@@ -231,7 +251,7 @@ class SparqlEngine:
         # lived server must re-contact the endpoint per execution. Never
         # cache plans that touched a SERVICE.
         if not tr.saw_service:
-            self._plan_cache[(text, limit)] = (q.form, df, limited)
+            self._plan_cache[key] = (q.form, df, limited)
             if len(self._plan_cache) > self._plan_cache_cap:
                 self._plan_cache.popitem(last=False)
         res = SparqlResult(q.form, df)

@@ -2,6 +2,7 @@
 (insert -> query -> delete cycles over the SPARQL protocol)."""
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -105,3 +106,173 @@ def test_http_construct_ntriples(server):
     st, body = _get(server, f"/sparql/?query={q}")
     assert st == 200
     assert '<urn:s> <urn:copy> "hello" .' in body
+
+
+def _get_hdrs(srv, path, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", headers=headers or {}
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode(), dict(r.headers)
+
+
+def test_http_jsonp_callback(server):
+    _post(
+        server,
+        "/update/",
+        {"update": 'INSERT DATA { <urn:jp> <urn:v> "1" }'},
+    )
+    q = urllib.parse.quote("SELECT ?o WHERE { <urn:jp> <urn:v> ?o }")
+    st, body, hdrs = _get_hdrs(
+        server, f"/sparql/?query={q}&callback=handle.it"
+    )
+    assert st == 200
+    assert body.startswith("handle.it(") and body.endswith(")")
+    assert "javascript" in hdrs["Content-Type"]
+    json.loads(body[len("handle.it("):-1])  # payload is valid JSON
+    # a non-identifier callback is rejected, not reflected
+    try:
+        _get_hdrs(server, f"/sparql/?query={q}&callback=alert(1)%3B")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_http_cors_headers(server):
+    q = urllib.parse.quote("ASK { ?s ?p ?o }")
+    # Origin header present -> CORS grant on the response (IS_CORS)
+    st, _, hdrs = _get_hdrs(
+        server, f"/sparql/?query={q}", {"Origin": "http://example.org"}
+    )
+    assert st == 200
+    assert hdrs.get("Access-Control-Allow-Origin") == "*"
+    # no Origin -> no CORS header
+    st, _, hdrs = _get_hdrs(server, f"/sparql/?query={q}")
+    assert "Access-Control-Allow-Origin" not in hdrs
+    # OPTIONS preflight
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/sparql/",
+        method="OPTIONS",
+        headers={
+            "Origin": "http://example.org",
+            "Access-Control-Request-Headers": "content-type",
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "GET" in r.headers["Access-Control-Allow-Methods"]
+        assert r.headers["Access-Control-Allow-Headers"] == "content-type"
+
+
+def test_http_default_graph_uri(server):
+    _post(
+        server,
+        "/update/",
+        {
+            "update": "INSERT DATA { "
+            'GRAPH <urn:g:a> { <urn:dg> <urn:v> "in-a" } '
+            'GRAPH <urn:g:b> { <urn:dg> <urn:v> "in-b" } }'
+        },
+    )
+    q = urllib.parse.quote("SELECT ?o WHERE { <urn:dg> <urn:v> ?o }")
+    dg = urllib.parse.quote("urn:g:a")
+    st, body = _get(
+        server, f"/sparql/?query={q}&default-graph-uri={dg}"
+    )
+    vals = [
+        b["o"]["value"]
+        for b in json.loads(body)["results"]["bindings"]
+    ]
+    assert vals == ["in-a"]
+    # both graphs via repeated param
+    dgb = urllib.parse.quote("urn:g:b")
+    st, body = _get(
+        server,
+        f"/sparql/?query={q}&default-graph-uri={dg}"
+        f"&default-graph-uri={dgb}",
+    )
+    vals = sorted(
+        b["o"]["value"]
+        for b in json.loads(body)["results"]["bindings"]
+    )
+    assert vals == ["in-a", "in-b"]
+
+
+def test_http_restricted_soft_limit(server):
+    _post(
+        server,
+        "/update/",
+        {
+            "update": "INSERT DATA { "
+            + " ".join(
+                f'<urn:rs:{i}> <urn:rsv> "{i}" .' for i in range(1200)
+            )
+            + " }"
+        },
+    )
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s <urn:rsv> ?o }")
+    st, body = _get(server, f"/sparql/?query={q}&restricted")
+    n = len(json.loads(body)["results"]["bindings"])
+    assert n == 998  # RESTRICTED_SOFT_LIMIT capped the pattern
+    st, body = _get(server, f"/sparql/?query={q}")
+    assert len(json.loads(body)["results"]["bindings"]) == 1200
+
+
+def test_http_apikey_acl(spark):
+    from fourstore_spark.httpd import SparqlHttpServer
+
+    srv = SparqlHttpServer(
+        spark,
+        port=0,
+        graph_access_control={
+            "alice-key": ["urn:g:open"],
+            "admin-key": ["urn:g:open", "urn:g:secret"],
+        },
+    )
+    srv.start()
+    try:
+        _post(
+            srv,
+            "/update/",
+            {
+                "update": "INSERT DATA { "
+                'GRAPH <urn:g:open> { <urn:d> <urn:v> "pub" } '
+                'GRAPH <urn:g:secret> { <urn:d> <urn:v> "sec" } }',
+                "apikey": "admin-key",
+            },
+        )
+        q = urllib.parse.quote("SELECT ?o WHERE { <urn:d> <urn:v> ?o }")
+        # no apikey -> 403 with the reference's wording
+        try:
+            _get(srv, f"/sparql/?query={q}")
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403 and "apikey" in e.read().decode()
+        # alice sees only the open graph
+        st, body = _get(srv, f"/sparql/?query={q}&apikey=alice-key")
+        vals = [
+            b["o"]["value"]
+            for b in json.loads(body)["results"]["bindings"]
+        ]
+        assert vals == ["pub"]
+        # admin sees both
+        st, body = _get(srv, f"/sparql/?query={q}&apikey=admin-key")
+        assert (
+            len(json.loads(body)["results"]["bindings"]) == 2
+        )
+        # unknown key: deny-all, not error
+        st, body = _get(srv, f"/sparql/?query={q}&apikey=mallory")
+        assert json.loads(body)["results"]["bindings"] == []
+        # writes without a KNOWN key -> 403
+        try:
+            _post(
+                srv,
+                "/update/",
+                {"update": "INSERT DATA { <urn:x> <urn:y> <urn:z> }"},
+            )
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        srv.stop()
