@@ -2044,6 +2044,119 @@ SELECT doc_id, fingerprint, quality FROM kept WHERE rn = 1
     return r
 
 
+def _round4_entries() -> dict[str, tuple]:
+    """Head-slot consolidation (round 4): merge pairs of single-family
+    shape checks into combined entries so the freed driver-window slots
+    can grade the beyond-parity flagships (property paths, federated
+    SERVICE, incremental store append). The original per-family entries
+    stay in the tail for the local contract replica."""
+    r: dict[str, tuple] = {}
+    P = "urn:col:"
+
+    # Q2 ASK + Q5 EXPLAIN — both single-row shape checks, one driver row
+    def _op_ask_explain(spark, sf_dir):
+        return _q_ask(spark, sf_dir).crossJoin(_op_explain(spark, sf_dir))
+
+    r["q2_q5_ask_explain"] = (
+        _op_ask_explain,
+        "SELECT DISTINCT true AS ask, true AS has_hash_aggregate, "
+        "false AS has_nested_loop_join, true AS has_plan "
+        "FROM customer WHERE c_mktsegment = 'BUILDING'",
+    )
+
+    # GRAPH ?g scoping + FROM dataset clause, tagged by source
+    def _op_graph_from(spark, sf_dir):
+        e = _engine(spark, sf_dir)
+        a = e.select(
+            f"""SELECT ?g ?s ?o WHERE {{
+                  GRAPH ?g {{ ?s <{P}region#r_name> ?o }}
+                  FILTER(?g = <urn:g:region>) }}"""
+        )
+        b = e.select(
+            "SELECT ?s ?o FROM <urn:g:region> WHERE { ?s ?p ?o }"
+        ).select(F.lit("from:urn:g:region").alias("g"), "s", "o")
+        return a.unionByName(b)
+
+    r["graph_from_dataset"] = (
+        _op_graph_from,
+        "SELECT 'urn:g:region' AS g, "
+        "'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+        "r_name AS o FROM region UNION ALL "
+        "SELECT 'from:urn:g:region', "
+        "'urn:region:' || CAST(r_regionkey AS VARCHAR), r_name FROM region",
+    )
+
+    # A5 SAMPLE + A6 GROUP_CONCAT + A9 implicit/DISTINCT aggregates: the
+    # grouped rows cross-joined with the single implicit-aggregate row
+    # (SPARQL prebound-subselect product, J6 machinery)
+    r["a5_a6_a9_aggregates"] = (
+        _sq(
+            f"""SELECT ?c ?sname ?names ?n ?total ?td ?ad WHERE {{
+                  {{ SELECT ?c (SAMPLE(?name) AS ?sname)
+                            (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names)
+                     WHERE {{ ?c <{P}customer#c_name> ?name }}
+                     GROUP BY ?c }}
+                  {{ SELECT (COUNT(?p) AS ?n) (SUM(?size) AS ?total)
+                            (SUM(DISTINCT ?size) AS ?td)
+                            (AVG(DISTINCT ?size) AS ?ad)
+                     WHERE {{ ?p <{P}part#p_size> ?size }} }} }}""",
+            n="int",
+            total="num",
+            td="num",
+            ad="num",
+        ),
+        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        "c_name AS sname, c_name AS names, g.n, g.total, g.td, g.ad "
+        "FROM customer CROSS JOIN ("
+        f"SELECT COUNT(*) AS n, {_sum6('p_size')} AS total, "
+        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) AS td, "
+        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) "
+        "/ COUNT(DISTINCT p_size) AS ad FROM part) g",
+    )
+
+    # F-rand / F-now: nondeterministic functions graded by BOUNDED checks
+    # rather than no check at all — RAND() in [0,1) on every row and
+    # per-row varying (2000 doubles: collision odds ~4e-10); NOW()
+    # constant across the whole query (spec §17.4.5 "invocations return
+    # the same value within a query") and in a sane year range
+    r["f_rand_now_bounds"] = (
+        _sq(
+            f"""SELECT (COUNT(?p) AS ?n)
+                       (SUM(IF(?r >= 0 && ?r < 1, 0, 1)) AS ?bad)
+                       (COUNT(DISTINCT ?r) AS ?ndr)
+                       (COUNT(DISTINCT ?t) AS ?nts)
+                       (SUM(IF(YEAR(?t) >= 2020 && YEAR(?t) < 2100, 0, 1))
+                        AS ?tbad)
+                WHERE {{ ?p <{P}part#p_size> ?size
+                         BIND(RAND() AS ?r) BIND(NOW() AS ?t) }}""",
+            n="int",
+            bad="num",
+            ndr="int",
+            nts="int",
+            tbad="num",
+        ),
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS DOUBLE) AS bad, "
+        "CAST(COUNT(*) AS BIGINT) AS ndr, CAST(1 AS BIGINT) AS nts, "
+        "CAST(0 AS DOUBLE) AS tbad FROM part",
+    )
+
+    # U1 UNION + O4 DISTINCT + O1 ORDER BY + O2 LIMIT/OFFSET composed
+    # (all-uppercase ASCII values: SPARQL term order == DuckDB collation)
+    r["o1_u1_order_union"] = (
+        _sq(
+            f"""SELECT DISTINCT ?v WHERE {{
+                  {{ ?c <{P}customer#c_mktsegment> ?v }}
+                  UNION {{ ?r <{P}region#r_name> ?v }} }}
+                ORDER BY ?v LIMIT 8 OFFSET 2"""
+        ),
+        "SELECT DISTINCT v FROM ("
+        "SELECT c_mktsegment AS v FROM customer "
+        "UNION SELECT r_name FROM region) "
+        "ORDER BY v LIMIT 8 OFFSET 2",
+    )
+    return r
+
+
 # the driver's verification window: exactly the first 50 registry entries,
 # one per SURVEY §2 / LLM-pipeline component family.
 _HEAD = [
@@ -2058,18 +2171,18 @@ _HEAD = [
     "a1_count_having",          # A1+A8
     "a2_sum_avg",               # A2+A3
     "a4_min_max",               # A4 term-order min/max
-    "a5_a6_sample_concat",      # A5+A6
+    "a5_a6_a9_aggregates",      # A5+A6+A9+DISTINCT aggregates (merged)
     "a7_groupby_multi",         # A7 flagship
-    "a9_implicit_agg_distinct", # A9 + DISTINCT aggregates
-    "o1_order_limit_offset",    # O1+O2
-    "u1_union_distinct",        # U1+O4
-    "q2_ask",                   # Q2
+    "o1_u1_order_union",        # O1+O2+U1+O4 (merged)
+    "q2_q5_ask_explain",        # Q2+Q5 (merged)
     "q3_construct",             # Q3
     "q4_describe",              # Q4
-    "q5_explain",               # Q5
-    "graph_query",              # GRAPH slot
-    "from_clause",              # dataset clause
+    "graph_from_dataset",       # GRAPH slot + dataset clause (merged)
     "b1_bind",                  # B1
+    "path_seq",                 # property paths: sequence (beyond ref)
+    "path_plus",                # property paths: + closure fixpoint
+    "store_append",             # incremental store append
+    "service_federated",        # SPARQL 1.1 SERVICE (live endpoint)
     "subselect_join",           # Q1 subselect
     "exists_not_exists",        # EXISTS/NOT EXISTS
     "f_strings",                # F-str1/str2/regex/enc/replace/log
@@ -2107,6 +2220,7 @@ def _reg() -> dict[str, tuple]:
     if _REG is None:
         full = _registry()
         full.update(_round3_entries())
+        full.update(_round4_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

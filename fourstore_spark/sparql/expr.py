@@ -339,19 +339,14 @@ def compile_expr(e, ctx: ExprContext) -> Column:
         if k not in ctx.agg_map:
             raise ValueError("aggregate used outside aggregation context")
         return ctx.agg_map[k]
-    if isinstance(e, A.EOr):
-        # SPARQL 3VL: true || error = true (fn_logical_or, filter.c:949)
-        cols = [ebv(compile_expr(a, ctx)) for a in e.args]
-        out = cols[0]
-        for c in cols[1:]:
-            out = out | c
-        return make_bool(out)
-    if isinstance(e, A.EAnd):
-        cols = [ebv(compile_expr(a, ctx)) for a in e.args]
-        out = cols[0]
-        for c in cols[1:]:
-            out = out & c
-        return make_bool(out)
+    if isinstance(e, (A.EOr, A.EAnd)):
+        # SPARQL 3VL (fn_logical_and/or, filter.c:934-963). Route through
+        # compile_bool even in VALUE position: the naive
+        # ebv(struct)->struct round-trip multiplies the expression tree
+        # ~8-16x per nesting level — IF(a && b, ...) over two comparison
+        # terms was measured to exhaust the driver heap at plan
+        # construction before this reuse.
+        return make_bool(compile_bool(e, ctx))
     if isinstance(e, A.ECompare):
         return make_bool(
             _compare(e.op, compile_expr(e.left, ctx), compile_expr(e.right, ctx))
@@ -400,9 +395,10 @@ def compile_expr(e, ctx: ExprContext) -> Column:
             .otherwise(null_term())
         )
     if isinstance(e, A.EUnary):
-        t = compile_expr(e.arg, ctx)
         if e.op == "!":
-            return make_bool(~ebv(t))
+            # same tree-size rationale as EAnd/EOr above
+            return make_bool(~compile_bool(e.arg, ctx))
+        t = compile_expr(e.arg, ctx)
         if e.op == "-":
             return F.when(t["num"].isNotNull(), make_num(-t["num"], t["dt"])).otherwise(
                 null_term()
@@ -425,6 +421,17 @@ def _numeric_fn(t: Column, f) -> Column:
 
 def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     name = e.name
+    if name == "IF":
+        # the condition is a boolean-position expression: compile it with
+        # compile_bool (EBV semantics, error -> NULL -> else-is-skipped
+        # branch below) instead of the struct round-trip, which doubles a
+        # potentially huge condition tree (see EAnd/EOr in compile_expr)
+        cond = compile_bool(e.args[0], ctx)
+        thenv = compile_expr(e.args[1], ctx)
+        elsev = compile_expr(e.args[2], ctx)
+        return (
+            F.when(cond, thenv).when(~cond, elsev).otherwise(null_term())
+        )
     args = [compile_expr(a, ctx) for a in e.args]
 
     # -- casts: xsd:TYPE(expr) arrives with the full datatype IRI as name
@@ -466,8 +473,6 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
         return F.when(a0.isNotNull(), make_bool(a0["num"].isNotNull())).otherwise(null_term())
     if name == "SAMETERM":
         return make_bool(_same_term(a0, args[1]))
-    if name == "IF":
-        return F.when(ebv(a0), args[1]).when(~ebv(a0), args[2]).otherwise(null_term())
     if name == "COALESCE":
         return F.coalesce(*args)
     if name == "STRLANG":
