@@ -4,8 +4,11 @@ Covers the reference's query surface (it links Rasqal's "sparql11" grammar,
 src/frontend/query.c:347-354): SELECT/ASK/CONSTRUCT/DESCRIBE, BGPs with
 ';'/','/'a'/bnode-property-lists/collections, OPTIONAL/UNION/MINUS/GRAPH/
 FILTER/BIND/VALUES, sub-SELECT, expressions and aggregates, solution
-modifiers, FROM/FROM NAMED.  Property paths are not in the reference's
-surface and raise a clear error.
+modifiers, FROM/FROM NAMED.  BEYOND the reference's (Rasqal-bound)
+surface, this parser also accepts SPARQL 1.1 property paths
+(seq/alt/inverse/negated sets/closures — translator._path_sol) and
+SERVICE federated query; paths remain rejected where the spec forbids
+them (CONSTRUCT templates, update quad patterns).
 
 Group -> algebra translation follows SPARQL 1.1 §18.2.2.6 (the reference's
 equivalent is graph_pattern_walk, src/frontend/query.c:1305-1437).
