@@ -109,6 +109,50 @@ def term_rid(term: Column) -> Column:
     return F.xxhash64(term["kind"], term["lex"], term["dt"], term["lang"])
 
 
+def _expr_contains_exists(e) -> bool:
+    """True when an expression tree contains an EXISTS/NOT EXISTS node —
+    those compile to semi/anti joins in the translator, never through
+    compile_expr/compile_bool."""
+    if isinstance(e, A.EExists):
+        return True
+    if isinstance(e, (A.EAnd, A.EOr, A.ECall)):
+        return any(_expr_contains_exists(a) for a in e.args)
+    if isinstance(e, A.EUnary):
+        return _expr_contains_exists(e.arg)
+    if isinstance(e, (A.ECompare, A.EArith)):
+        return _expr_contains_exists(e.left) or _expr_contains_exists(e.right)
+    if isinstance(e, A.EIn):
+        return _expr_contains_exists(e.expr) or any(
+            _expr_contains_exists(o) for o in e.options
+        )
+    return False
+
+
+def _subst_alias_vars(e, amap: dict):
+    """Rewrite EVar(name) -> amap[name] through an expression tree —
+    lets HAVING reference SELECT aliases (HAVING(?sum > 0) with
+    (SUM(?x) AS ?sum)), a widely-supported convenience; the substituted
+    aggregate resolves through agg_map to its already-computed column."""
+    s = lambda x: _subst_alias_vars(x, amap)  # noqa: E731
+    if isinstance(e, A.EVar):
+        return amap.get(e.name, e)
+    if isinstance(e, A.EAnd):
+        return A.EAnd([s(a) for a in e.args])
+    if isinstance(e, A.EOr):
+        return A.EOr([s(a) for a in e.args])
+    if isinstance(e, A.EUnary):
+        return A.EUnary(e.op, s(e.arg))
+    if isinstance(e, A.ECompare):
+        return A.ECompare(e.op, s(e.left), s(e.right))
+    if isinstance(e, A.EArith):
+        return A.EArith(e.op, s(e.left), s(e.right))
+    if isinstance(e, A.EIn):
+        return A.EIn(s(e.expr), [s(o) for o in e.options], e.negated)
+    if isinstance(e, A.ECall):
+        return A.ECall(e.name, [s(a) for a in e.args])
+    return e
+
+
 class Translator:
     def __init__(
         self,
@@ -189,12 +233,11 @@ class Translator:
                 self.translate(node.left, graph), self.translate(node.right, graph), "inner"
             )
         if isinstance(node, A.LeftJoin):
-            return self._join(
-                self.translate(node.left, graph),
-                self.translate(node.right, graph),
-                "left",
-                expr=node.expr,
-            )
+            left = self.translate(node.left, graph)
+            right = self.translate(node.right, graph)
+            if node.expr is not None and _expr_contains_exists(node.expr):
+                return self._leftjoin_exists(left, right, node.expr, graph)
+            return self._join(left, right, "left", expr=node.expr)
         if isinstance(node, A.Union):
             return self._union(
                 self.translate(node.left, graph), self.translate(node.right, graph)
@@ -1375,6 +1418,11 @@ class Translator:
         parts = node.expr.args if isinstance(node.expr, A.EAnd) else [node.expr]
         plain = []
         for p in parts:
+            # !(EXISTS{..}) in unary form is the same anti-join
+            if isinstance(p, A.EUnary) and p.op == "!" and isinstance(
+                p.arg, A.EExists
+            ):
+                p = A.EExists(p.arg.pattern, negated=not p.arg.negated)
             if isinstance(p, A.EExists):
                 base = self._exists(base, p, graph)
             else:
@@ -1390,9 +1438,32 @@ class Translator:
         return base
 
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
-        inner = self.translate(e.pattern, graph)
+        # Spec 8.3.2 substitute semantics: FILTERs inside the EXISTS group
+        # must see the *outer* row's bindings. Peel top-level FILTER
+        # conjuncts off the inner pattern and evaluate them as part of the
+        # semi/anti-join condition (where both sides' columns are in
+        # scope); conjuncts that themselves contain EXISTS stay inside the
+        # translated pattern (they recurse through _filter as before).
+        pat = e.pattern
+        corr: list = []
+        while isinstance(pat, A.Filter):
+            parts = (
+                pat.expr.args if isinstance(pat.expr, A.EAnd) else [pat.expr]
+            )
+            keep = [p for p in parts if _expr_contains_exists(p)]
+            corr += [p for p in parts if not _expr_contains_exists(p)]
+            if keep:
+                pat = A.Filter(
+                    keep[0] if len(keep) == 1 else A.EAnd(keep), pat.pattern
+                )
+                break
+            pat = pat.pattern
+        inner = self.translate(pat, graph)
+        expr = None
+        if corr:
+            expr = corr[0] if len(corr) == 1 else A.EAnd(corr)
         shared = sorted(set(base.df.columns) & set(inner.df.columns))
-        if not shared:
+        if not shared and expr is None:
             # EXISTS {} with no correlation: keep all iff inner nonempty.
             # Stays lazy — a 1-row probe joined cross-wise, instead of a
             # blocking .count() at plan time.
@@ -1400,7 +1471,62 @@ class Translator:
             how0 = "left_anti" if e.negated else "left_semi"
             return Sol(base.df.join(probe, F.lit(True), how0), base.certain)
         how = "anti" if e.negated else "semi"
-        return Sol(self._compat_join(base, inner, how), base.certain)
+        return Sol(self._compat_join(base, inner, how, expr=expr), base.certain)
+
+    def _leftjoin_exists(
+        self, left: Sol, right: Sol, expr, graph
+    ) -> Sol:
+        """LeftJoin whose condition contains EXISTS/NOT EXISTS (a FILTER
+        EXISTS written inside an OPTIONAL group). EXISTS can't compile to
+        a join-ON Column, so evaluate by decomposition:
+
+          matched   = Join(left+rowid, right, plain-conjuncts)
+                      then the EXISTS conjuncts as semi/anti joins
+          unmatched = left rows whose rowid never survived
+          result    = matched UNION unmatched-padded-with-nulls
+
+        The rowid makes the subtraction duplicate-safe; localCheckpoint
+        pins the nondeterministic ids so both branches see one assignment."""
+        rowid = self._fresh("ljid")
+        ldf = left.df.withColumn(
+            rowid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        lsol = Sol(ldf, left.certain)
+        parts = expr.args if isinstance(expr, A.EAnd) else [expr]
+        plain = [p for p in parts if not _expr_contains_exists(p)]
+        exist_parts = [p for p in parts if _expr_contains_exists(p)]
+        j = self._join(
+            lsol,
+            right,
+            "inner",
+            expr=(
+                None
+                if not plain
+                else plain[0] if len(plain) == 1 else A.EAnd(plain)
+            ),
+        )
+        for p in exist_parts:
+            if isinstance(p, A.EUnary) and p.op == "!" and isinstance(
+                p.arg, A.EExists
+            ):
+                p = A.EExists(p.arg.pattern, negated=not p.arg.negated)
+            if not isinstance(p, A.EExists):
+                raise NotImplementedError(
+                    "EXISTS nested inside a non-conjunct OPTIONAL filter "
+                    "expression is not supported"
+                )
+            j = self._exists(j, p, graph)
+        matched = j.df
+        unmatched = ldf.join(
+            matched.select(rowid), on=rowid, how="left_anti"
+        )
+        for c in matched.columns:
+            if c not in unmatched.columns:
+                unmatched = unmatched.withColumn(c, null_term())
+        out = matched.unionByName(unmatched.select(*matched.columns)).drop(
+            rowid
+        )
+        return Sol(out, left.certain)
 
     def _values(self, v: A.ValuesTable) -> Sol:
         rows = []
@@ -1441,7 +1567,14 @@ class Translator:
             ctx = self._ctx(Sol(df, sol.certain))
 
         # HAVING (src/frontend/results.c:2681-2704)
+        alias_map = {
+            item[2]: item[1]
+            for item in proj
+            if item[0] == "expr" and item[2] not in df.columns
+        }
         for h in q.having:
+            if alias_map:
+                h = _subst_alias_vars(h, alias_map)
             df = df.where(compile_bool(h, ctx))
             ctx.columns = set(df.columns) | set(agg_map)
 
@@ -1630,7 +1763,19 @@ class Translator:
                 # one double division of the exact sum — deterministic
                 agg = sum_dec.cast("double") / cnt
                 dt = F.when(dt == XSD_INTEGER, F.lit(XSD_DECIMAL)).otherwise(dt)
-            return F.when(agg.isNotNull(), make_num(agg, dt)).otherwise(null_term())
+            # Spec 18.5 error propagation: a bound non-numeric value makes
+            # the whole aggregate error -> unbound (the reference's
+            # fn_numeric_add returns FS_ERROR_INVALID_TYPE likewise,
+            # filter.c:420). An EMPTY value multiset is NOT an error:
+            # Sum({}) = 0 and Avg({}) = 0 per the spec's definitions.
+            any_err = F.max((val.isNotNull() & num.isNull()).cast("int")) == 1
+            zero = make_num(F.lit(0.0), F.lit(XSD_INTEGER))
+            return (
+                F.when(any_err, null_term())
+                .when(cnt == 0, zero)
+                .when(agg.isNotNull(), make_num(agg, dt))
+                .otherwise(null_term())
+            )
         if a.name in ("MIN", "MAX"):
             # SPARQL term order, not numeric order (results.c:820-872 uses
             # the ORDER BY comparator, src/frontend/order.c:66-126)

@@ -53,6 +53,16 @@ def test_dawg_case(spark, case):
         assert res.ask() is case["ask"]
         return
 
+    if "construct_isomorphic" in case:
+        from scripts.dawg_verify import isomorphic, nt_triples
+
+        got = nt_triples(
+            [ln for ln in res.serialize("ntriples").splitlines() if ln.strip()]
+        )
+        want = nt_triples(case["construct_isomorphic"])
+        assert isomorphic(got, want), got
+        return
+
     if "construct_ntriples" in case:
         got = {
             ln.strip()
