@@ -1297,9 +1297,14 @@ def _registry() -> dict[str, tuple]:
                          BIND(?bal - 5000 AS ?x) }}""",
             ax="num", cx="num", fx="num", rx="num",
         ),
+        # rx: XPath fn:round (ties toward +inf, negative zero preserved),
+        # hence the CASE over DOUBLE instead of DuckDB's half-away ROUND
         "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
         "ABS(c_acctbal - 5000) AS ax, CEIL(c_acctbal - 5000) AS cx, "
-        "FLOOR(c_acctbal - 5000) AS fx, ROUND(c_acctbal - 5000, 0) AS rx "
+        "FLOOR(c_acctbal - 5000) AS fx, "
+        "CASE WHEN c_acctbal < 5000 THEN "
+        "-abs(floor(CAST(c_acctbal - 5000 AS DOUBLE) + 0.5)) "
+        "ELSE floor(CAST(c_acctbal - 5000 AS DOUBLE) + 0.5) END AS rx "
         "FROM customer",
     )
     r["f_cast"] = (
@@ -1863,7 +1868,10 @@ def _round3_entries() -> dict[str, tuple]:
         "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
         "ABS(p_retailprice - 1000) AS ax, CEIL(p_retailprice - 1000) AS cx, "
         "FLOOR(p_retailprice - 1000) AS fx, "
-        "ROUND(p_retailprice - 1000, 0) AS rx, "
+        # XPath fn:round: ties toward +inf, -0.0 preserved (engine matches)
+        "CASE WHEN p_retailprice < 1000 THEN "
+        "-abs(floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5)) "
+        "ELSE floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5) END AS rx, "
         "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
         "CAST(p_size AS VARCHAR) AS ss, CAST(p_size AS DOUBLE) AS ds, "
         "p_retailprice * (1 - 0.05) AS net, "

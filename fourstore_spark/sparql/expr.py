@@ -109,7 +109,7 @@ def _ts(t: Column) -> Column:
     """Temporal literal -> timestamp (reference keeps epoch seconds,
     src/frontend/filter-datatypes.h:51)."""
     return F.when(
-        t["dt"].isin(XSD_DATETIME, XSD_DATE), F.to_timestamp(t["lex"])
+        t["dt"].isin(XSD_DATETIME, XSD_DATE), F.try_to_timestamp(t["lex"])
     ).otherwise(F.lit(None).cast("timestamp"))
 
 
@@ -391,7 +391,10 @@ def compile_expr(e, ctx: ExprContext) -> Column:
         )
         return (
             F.when(both_exact & dnum.isNotNull(), make_num_dec(dnum, dt))
-            .when(ln.isNotNull() & rn.isNotNull(), make_num(num, dt))
+            # gate on the RESULT, not the operands: division by zero has
+            # both operands bound but a null result, and must surface as a
+            # proper unbound (null struct), never a literal with null num
+            .when(num.isNotNull(), make_num(num, dt))
             .otherwise(null_term())
         )
     if isinstance(e, A.EUnary):
@@ -457,9 +460,12 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
             _is_lit(a0), make_string(F.coalesce(a0["lang"], F.lit("")))
         ).otherwise(null_term())
     if name == "DATATYPE":  # fn_datatype, filter.c:1177
-        dt = F.when(a0["lang"].isNotNull(), XSD + "langString").otherwise(
-            F.coalesce(a0["dt"], F.lit(XSD_STRING))
-        )
+        # language-tagged literals have datatype rdf:langString (RDF 1.1
+        # namespace, NOT xsd:)
+        dt = F.when(
+            a0["lang"].isNotNull(),
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+        ).otherwise(F.coalesce(a0["dt"], F.lit(XSD_STRING)))
         return F.when(_is_lit(a0), make_uri(dt)).otherwise(null_term())
     if name == "BOUND":  # fn_bound, filter.c:1015
         return make_bool(a0.isNotNull())
@@ -501,7 +507,13 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     if name == "LCASE":
         return F.when(_plainish(a0), make_string(F.lower(a0["lex"]), a0["lang"])).otherwise(null_term())
     if name == "CONCAT":
-        return make_string(F.concat(*[a["lex"] for a in args]))
+        # fn:concat lang rule (spec 17.4.3.12): all args sharing one
+        # language tag -> result keeps it; any mix -> simple literal
+        lex = F.concat(*[a["lex"] for a in args])
+        same_lang = args[0]["lang"].isNotNull()
+        for a in args[1:]:
+            same_lang = same_lang & a["lang"].eqNullSafe(args[0]["lang"])
+        return make_string(lex, F.when(same_lang, args[0]["lang"]))
     if name == "CONTAINS":
         return make_bool(a0["lex"].contains(args[1]["lex"]))
     if name == "STRSTARTS":
@@ -562,29 +574,45 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     if name == "FLOOR":
         return _numeric_fn(a0, lambda c: F.floor(c).cast("double"))
     if name == "ROUND":
-        # half away from zero for negatives too (C round(), filter.c:328);
-        # Spark F.round alone is half-up on the signed value
+        # XPath fn:round: ties round toward POSITIVE infinity
+        # (round(-2.5) = -2), unlike the reference's C round()
+        # half-away-from-zero (filter.c:328) — the spec wins here.
+        # floor(x + 0.5) implements it; the negative branch goes through
+        # -abs(...) so results in [-0.5, 0) keep the sign as -0.0
+        # (fn:round preserves negative zero, like CEIL above).
         return _numeric_fn(
             a0,
-            lambda c: F.when(c < 0, -F.round(-c, 0)).otherwise(F.round(c, 0)),
+            lambda c: F.when(
+                c < 0, -F.abs(F.floor(c + F.lit(0.5)).cast("double"))
+            ).otherwise(F.round(c, 0)),
         )
     if name == "RAND":
         return make_num(F.rand(), F.lit(XSD_DOUBLE))
 
     # ---- dates (filter.c:1486-1577)
     if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
-        fn = {
-            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
-            "HOURS": F.hour, "MINUTES": F.minute,
+        # components come from the LEXICAL value (spec 17.4.5): converting
+        # through a timestamp would rewrite "10:30+02:00" into the session
+        # timezone and shift HOURS/DAY. _ts still gates validity.
+        pat = {
+            "YEAR": r"^(-?\d{4,})-",
+            "MONTH": r"^-?\d{4,}-(\d{2})",
+            "DAY": r"^-?\d{4,}-\d{2}-(\d{2})",
+            "HOURS": r"T(\d{2}):",
+            "MINUTES": r"T\d{2}:(\d{2})",
         }[name]
+        comp = F.regexp_extract(a0["lex"], pat, 1)
         return F.when(
-            _ts(a0).isNotNull(),
-            make_num(fn(_ts(a0)).cast("double"), F.lit(XSD_INTEGER)),
+            _ts(a0).isNotNull() & (comp != ""),
+            make_num(comp.cast("double"), F.lit(XSD_INTEGER)),
         ).otherwise(null_term())
     if name == "SECONDS":
+        comp = F.regexp_extract(
+            a0["lex"], r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", 1
+        )
         return F.when(
-            _ts(a0).isNotNull(),
-            make_num(F.second(_ts(a0)).cast("double"), F.lit(XSD_DECIMAL)),
+            _ts(a0).isNotNull() & (comp != ""),
+            make_num(comp.cast("double"), F.lit(XSD_DECIMAL)),
         ).otherwise(null_term())
     if name in ("TIMEZONE", "TZ"):
         # Timezone from the datetime's LEXICAL form (the reference leaves
@@ -650,13 +678,15 @@ def _compile_cast(dt_iri: str, t: Column) -> Column:
     """xsd:*() constructor casts (fn_cast_intl, filter.c:1315; cast_*
     helpers filter.c:42-183). Invalid input -> error (NULL)."""
     if dt_iri in NUMERIC_DATATYPES:
+        # try_cast, not cast: an invalid lexical form ("abc") is a cast
+        # ERROR -> unbound, never an ANSI runtime exception killing the job
         src = F.when(t["num"].isNotNull(), t["num"]).when(
             (t["dt"] == XSD_BOOLEAN), F.when(t["lex"] == "true", 1.0).otherwise(0.0)
-        ).when(_plainish(t), t["lex"].cast("double"))
+        ).when(_plainish(t), t["lex"].try_cast("double"))
         if dt_iri == XSD_INTEGER:
             # truncate toward zero (cast_integer, filter.c:128; XPath),
             # not floor: xsd:integer(-2.7) = -2
-            src = src.cast("long").cast("double")
+            src = src.try_cast("long").cast("double")
         return F.when(src.isNotNull(), make_num(src, F.lit(dt_iri))).otherwise(null_term())
     if dt_iri == XSD_BOOLEAN:
         b = (
@@ -669,6 +699,6 @@ def _compile_cast(dt_iri: str, t: Column) -> Column:
     if dt_iri == XSD_STRING:
         return F.when(t.isNotNull() & (t["kind"] != KIND_BNODE), make_string(t["lex"])).otherwise(null_term())
     if dt_iri in (XSD_DATETIME, XSD_DATE):
-        ts = F.to_timestamp(t["lex"])
+        ts = F.try_to_timestamp(t["lex"])
         return F.when(ts.isNotNull(), make_datetime(ts, dt_iri)).otherwise(null_term())
     raise NotImplementedError(f"cast to {dt_iri} not implemented")

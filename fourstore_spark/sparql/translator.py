@@ -52,6 +52,7 @@ from fourstore_spark.sparql.expr import (
     compile_expr,
     const_term,
     ebv,
+    make_bool,
     make_num,
     make_string,
     null_term,
@@ -250,11 +251,20 @@ class Translator:
             return self._filter(node, graph)
         if isinstance(node, A.Extend):
             base = self.translate(node.pattern, graph)
+            expr = node.expr
+            markers: list[str] = []
+            if _expr_contains_exists(expr):
+                # EXISTS in value position (BIND(EXISTS{..} AS ?x)):
+                # materialize each EXISTS as a boolean marker column first
+                base, expr, markers = self._materialize_exists(
+                    base, expr, graph
+                )
             ctx = self._ctx(base)
-            col = compile_expr(node.expr, ctx)
-            return Sol(
-                base.df.withColumn(node.var, col), base.certain, base.est_rows
-            )
+            col = compile_expr(expr, ctx)
+            out = base.df.withColumn(node.var, col)
+            if markers:
+                out = out.drop(*markers)
+            return Sol(out, base.certain, base.est_rows)
         if isinstance(node, A.GraphPattern):
             return self.translate(node.pattern, graph=node.graph)
         if isinstance(node, A.ValuesTable):
@@ -1001,10 +1011,14 @@ class Translator:
             F.col("o_lang").alias("lang"),
             F.col("o_num").alias("num"),
         )
+        # all intermediate columns use internal __-prefixed names and only
+        # alias to the SPARQL variable in the final projection: a variable
+        # named ?s / ?s_kind / ?g would otherwise clobber the groupBy key
+        # columns the subject struct is built from
         aggs = []
         requires = []
         explodes = []
-        ovars: list[str] = []
+        ovars: list[tuple[str, str]] = []  # (internal col, variable name)
         for i, (tp, oname) in enumerate(patterns):
             m = F.col("p") == tp.p.value
             if oname is None:  # constant object: existence constraint
@@ -1027,14 +1041,15 @@ class Translator:
                 # store stats say fan-out <= 1: a codegen-friendly first()
                 # replaces collect_list+explode (HashAggregate instead of
                 # ObjectHashAggregate, no Generate node)
-                aggs.append(F.first(F.when(m, o_term), ignorenulls=True).alias(oname))
-                requires.append(oname)
-                ovars.append(oname)
+                name = f"__f{i}"
+                aggs.append(F.first(F.when(m, o_term), ignorenulls=True).alias(name))
+                requires.append(name)
+                ovars.append((name, oname))
             else:
                 name = f"__v{i}"
                 aggs.append(F.collect_list(F.when(m, o_term)).alias(name))
-                explodes.append((name, oname))
-                ovars.append(oname)
+                explodes.append((name, f"__e{i}"))
+                ovars.append((f"__e{i}", oname))
 
         keys = ["s", "s_kind"] + (["g"] if isinstance(graph, A.Var) else [])
         if self.soft_limit is not None:
@@ -1044,9 +1059,9 @@ class Translator:
         out = df.groupBy(*keys).agg(*aggs)
         for name in requires:
             out = out.where(F.col(name).isNotNull())
-        for name, oname in explodes:
+        for name, ename in explodes:
             # explode drops subjects lacking the predicate — inner semantics
-            out = out.withColumn(oname, F.explode(F.col(name)))
+            out = out.withColumn(ename, F.explode(F.col(name)))
 
         proj = [
             F.struct(
@@ -1069,8 +1084,8 @@ class Translator:
                 ).alias(graph.name)
             )
             names.append(graph.name)
-        for oname in ovars:
-            proj.append(F.col(oname))
+        for col, oname in ovars:
+            proj.append(F.col(col).alias(oname))
             names.append(oname)
         return Sol(
             out.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
@@ -1119,8 +1134,13 @@ class Translator:
 
         col_type = {f.name: f.dataType for f in self.subjects.schema.fields}
 
+        # as in _star_scan: object terms land in internal __-prefixed
+        # columns and only alias to the variable name at the end — a
+        # variable named ?s / ?s_kind (or matching a property-table column)
+        # must not clobber the columns later patterns and the subject
+        # struct read
         explodes: list[tuple[str, str]] = []
-        ovars: list[str] = []
+        ovars: list[tuple[str, str]] = []  # (internal col, variable name)
         for i, (tp, oname) in enumerate(patterns):
             cname = self.subjects_cols[tp.p.value]
             if isinstance(tp.o, A.Iri):
@@ -1147,8 +1167,8 @@ class Translator:
                     df = df.where(keep & match(v))
                     continue
                 df = df.where(keep)
-                df = df.withColumn(oname, term_of(v))
-                ovars.append(oname)
+                df = df.withColumn(f"__o{i}", term_of(v))
+                ovars.append((f"__o{i}", oname))
                 continue
             vals = graph_vals(F.col(cname))
             if oname is None:
@@ -1158,17 +1178,17 @@ class Translator:
                 continue
             df = df.where(vals.isNotNull() & (F.size(vals) > 0))
             if tp.p.value in self.single_valued_preds:
-                df = df.withColumn(oname, term_of(F.element_at(vals, 1)))
+                df = df.withColumn(f"__o{i}", term_of(F.element_at(vals, 1)))
             else:
                 name = f"__pv{i}"
                 df = df.withColumn(name, vals)
-                explodes.append((name, oname))
-            ovars.append(oname)
-        for name, oname in explodes:
+                explodes.append((name, f"__o{i}"))
+            ovars.append((f"__o{i}", oname))
+        for name, ocol in explodes:
             # explode to a temp column first: field extraction can't apply
             # directly to a generator expression
             df = df.withColumn(name + "e", F.explode(F.col(name)))
-            df = df.withColumn(oname, term_of(F.col(name + "e")))
+            df = df.withColumn(ocol, term_of(F.col(name + "e")))
 
         proj = [
             F.struct(
@@ -1180,8 +1200,8 @@ class Translator:
             ).alias(sname)
         ]
         names = [sname]
-        for oname in ovars:
-            proj.append(F.col(oname))
+        for col, oname in ovars:
+            proj.append(F.col(col).alias(oname))
             names.append(oname)
         return Sol(
             df.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
@@ -1429,12 +1449,18 @@ class Translator:
                 plain.append(p)
         if plain:
             e = plain[0] if len(plain) == 1 else A.EAnd(plain)
+            markers: list[str] = []
+            if _expr_contains_exists(e):
+                # EXISTS under ||, IF, etc. (not a bare conjunct):
+                # materialize as boolean marker columns, then filter
+                base, e, markers = self._materialize_exists(base, e, graph)
             ctx = self._ctx(base)
             # a filter only removes rows: the leaf estimate stays an
             # upper bound, so broadcast eligibility survives
-            base = Sol(
-                base.df.where(compile_bool(e, ctx)), base.certain, base.est_rows
-            )
+            out = base.df.where(compile_bool(e, ctx))
+            if markers:
+                out = out.drop(*markers)
+            base = Sol(out, base.certain, base.est_rows)
         return base
 
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
@@ -1511,10 +1537,13 @@ class Translator:
             ):
                 p = A.EExists(p.arg.pattern, negated=not p.arg.negated)
             if not isinstance(p, A.EExists):
-                raise NotImplementedError(
-                    "EXISTS nested inside a non-conjunct OPTIONAL filter "
-                    "expression is not supported"
+                # EXISTS below a non-conjunct operator: marker columns
+                j, p2, marks = self._materialize_exists(j, p, graph)
+                j = Sol(
+                    j.df.where(compile_bool(p2, self._ctx(j))).drop(*marks),
+                    j.certain,
                 )
+                continue
             j = self._exists(j, p, graph)
         matched = j.df
         unmatched = ldf.join(
@@ -1527,6 +1556,55 @@ class Translator:
             rowid
         )
         return Sol(out, left.certain)
+
+    def _materialize_exists(self, base: Sol, expr, graph):
+        """EXISTS in VALUE position (BIND(EXISTS{..} AS ?x), EXISTS under
+        || / IF / COALESCE): evaluate each EXISTS group as a boolean
+        marker column by partitioning the solution with the same semi/anti
+        joins a FILTER-conjunct EXISTS uses — the true side UNION the
+        false side puts every input row on exactly one side with
+        duplicates preserved — then substitute a fresh variable for the
+        EExists node. Returns (new base, rewritten expr, marker columns
+        for the caller to drop once consumed)."""
+        markers: list[str] = []
+
+        def walk(e):
+            nonlocal base
+            if isinstance(e, A.EExists):
+                name = self._fresh("exv")
+                pos = self._exists(
+                    base, A.EExists(e.pattern, False), graph
+                ).df
+                neg = self._exists(
+                    base, A.EExists(e.pattern, True), graph
+                ).df
+                tv, fv = (False, True) if e.negated else (True, False)
+                base = Sol(
+                    pos.withColumn(name, make_bool(F.lit(tv))).unionByName(
+                        neg.withColumn(name, make_bool(F.lit(fv)))
+                    ),
+                    base.certain,
+                )
+                markers.append(name)
+                return A.EVar(name)
+            if isinstance(e, (A.EAnd, A.EOr)):
+                return type(e)([walk(a) for a in e.args])
+            if isinstance(e, A.EUnary):
+                return A.EUnary(e.op, walk(e.arg))
+            if isinstance(e, (A.ECompare, A.EArith)):
+                return type(e)(e.op, walk(e.left), walk(e.right))
+            if isinstance(e, A.EIn):
+                return A.EIn(
+                    walk(e.expr), [walk(o) for o in e.options], e.negated
+                )
+            if isinstance(e, A.ECall):
+                return A.ECall(e.name, [walk(a) for a in e.args])
+            return e
+
+        # walk() rebinds `base` via nonlocal — run it BEFORE building the
+        # return tuple (tuple elements evaluate left-to-right)
+        new_expr = walk(expr)
+        return base, new_expr, markers
 
     def _values(self, v: A.ValuesTable) -> Sol:
         rows = []
