@@ -2162,6 +2162,86 @@ def _round4_entries() -> dict[str, tuple]:
         "UNION SELECT r_name FROM region) "
         "ORDER BY v LIMIT 8 OFFSET 2",
     )
+
+    # ---- corpus cleaning: decontamination + repetition filters ---------
+    # benchmark decontamination: docs sharing any word 8-gram with the
+    # "eval set" (doc_id % 97 == 0) are dropped; broadcast semi-join of
+    # the eval grams against the exploded corpus grams, corpus unshuffled
+    def _op_decontaminate(spark, sf_dir):
+        from fourstore_spark.operators.cleaning import ngram_decontaminate
+
+        d = _docs(spark, sf_dir)
+        ev = d.where(F.col("doc_id") % 97 == 0).select("text")
+        return ngram_decontaminate(d, ev, n=8).select("doc_id")
+
+    r["clean_decontaminate"] = (
+        _op_decontaminate,
+        r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8 THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(toks) - 7),
+                  i -> array_to_string(toks[i:i+7], ' ')))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS grams
+  FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT f.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) f
+  JOIN ev USING (gram)
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+""",
+    )
+
+    # Gopher-style repetition quality signals: zero-shuffle array
+    # expressions over one tokenize; DuckDB list_* lambdas mirror 1:1
+    def _op_repetition(spark, sf_dir):
+        from fourstore_spark.operators.cleaning import repetition_stats
+
+        return repetition_stats(_docs(spark, sf_dir)).select(
+            "doc_id", "dup_word_frac", "dup_2gram_frac", "top_word_frac"
+        )
+
+    r["clean_repetition_stats"] = (
+        _op_repetition,
+        r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [] END AS g2
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0 THEN
+         round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+       ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN len(g2) > 0 THEN
+         round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+       ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(toks) > 0 THEN
+         round(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+               / len(toks), 6)
+       ELSE 0.0 END AS top_word_frac
+FROM g
+""",
+    )
     return r
 
 

@@ -1,0 +1,160 @@
+"""Corpus-cleaning operators a large-scale training-data pipeline needs:
+benchmark decontamination and repetition-based quality filtering.
+
+Extends the engine's text family (operators/textstats.py) with the two
+standard pre-training hygiene steps:
+
+- ``ngram_decontaminate``: drop/flag corpus documents that share any
+  word n-gram with an evaluation/benchmark set (training-on-test
+  contamination). Scale shape: the eval side's distinct n-grams are a
+  SMALL relation -> broadcast hash semi-join against the exploded corpus
+  n-grams; the corpus never shuffles, only matched doc ids aggregate.
+- ``repetition_stats`` / ``repetition_filter``: within-document
+  repetition signals (duplicate-word fraction, duplicate-2-gram
+  fraction, most-frequent-word fraction) in the style of the Gopher /
+  C4 quality filters. Pure column expressions — at 100 TB these run
+  inside the parquet scan projection with zero shuffles.
+
+Everything has an exact DuckDB-SQL oracle (list_* lambdas mirror the
+Spark higher-order functions 1:1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens of trimmed text ([] for empty)."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined). A document shorter than n
+    tokens contributes its whole token sequence as one gram, so short
+    eval rows still participate in containment checks."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ),
+    ).otherwise(
+        F.when(
+            F.size(toks) > 0, F.array(F.array_join(toks, " "))
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove (mode='drop') or mark
+    (mode='flag', adds boolean ``contaminated``) every corpus document
+    sharing at least one word n-gram with the evaluation set.
+
+    100 TB shape: eval n-grams deduplicate to a small relation that is
+    explicitly broadcast; the corpus side is a scan + generate + broadcast
+    semi-join (no corpus shuffle); only the matched ids (a tiny set)
+    aggregate before the final id join."""
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(ecol), n)).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    )
+    hit_ids = (
+        corpus_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return docs.join(hit_ids, id_col, "left_anti")
+    marked = hit_ids.withColumn("contaminated", F.lit(True))
+    return docs.join(marked, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+
+    - ``dup_word_frac``:  1 - distinct_words / words
+    - ``dup_2gram_frac``: 1 - distinct_2grams / 2grams
+    - ``top_word_frac``:  occurrences of the most frequent word / words
+
+    All three are single-pass array expressions over one tokenize."""
+    staged = df.select(
+        "*", _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    nw = F.size(toks)
+    grams2 = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nw - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_word = F.when(
+        nw > 0,
+        F.round(1.0 - F.size(F.array_distinct(toks)) / nw.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    dup_2gram = F.when(
+        F.size(grams2) > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams2))
+            / F.size(grams2).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_word = F.when(
+        nw > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda x: F.size(F.filter(toks, lambda y: y == x)),
+                )
+            ).cast("double")
+            / nw,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "*",
+        dup_word.alias("dup_word_frac"),
+        dup_2gram.alias("dup_2gram_frac"),
+        top_word.alias("top_word_frac"),
+    ).drop("__toks")
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.4,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """Keep documents under all repetition thresholds (defaults chosen for
+    the synthetic corpus; production pipelines tune per-source)."""
+    s = repetition_stats(df, text_col)
+    return s.where(
+        (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+    ).drop("dup_word_frac", "dup_2gram_frac", "top_word_frac")

@@ -1,0 +1,79 @@
+"""Corpus-cleaning operators: decontamination + repetition filters."""
+
+from pyspark.sql import functions as F
+
+from fourstore_spark.operators.cleaning import (
+    ngram_decontaminate,
+    repetition_filter,
+    repetition_stats,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_sliding_and_short(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("",)], "text string"
+    ).select(word_ngrams(F.col("text"), 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == ["x y"]  # shorter than n: whole sequence is one gram
+    assert rows[2] == []
+
+
+def test_decontaminate_drop_and_flag(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally unrelated content here now"),
+            (3, "quick brown fox jumps high today"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("benchmark says quick brown fox jumps",)], "text string"
+    )
+    clean = ngram_decontaminate(docs, ev, n=4)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {2}
+    flagged = ngram_decontaminate(docs, ev, n=4, mode="flag")
+    got = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    plan = ngram_decontaminate(docs, ev, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are distinct"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # 4 tokens, 1 distinct -> dup 0.75; 3 bigrams all "spam spam" -> ~0.667
+    assert abs(got[1].dup_word_frac - 0.75) < 1e-9
+    assert abs(got[1].dup_2gram_frac - (1 - 1 / 3)) < 1e-6
+    assert got[1].top_word_frac == 1.0
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].dup_2gram_frac == 0.0
+    assert abs(got[2].top_word_frac - 0.2) < 1e-9
+
+
+def test_repetition_filter_drops_spam(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a perfectly normal document with varied words"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = repetition_filter(docs)
+    assert [r.doc_id for r in kept.select("doc_id").collect()] == [2]
+    assert "dup_word_frac" not in kept.columns
