@@ -2242,6 +2242,19 @@ SELECT doc_id,
 FROM g
 """,
     )
+
+    # EXISTS in value position (BIND(EXISTS{..} AS ?x)) — beyond most
+    # engines; materialized as semi/anti-join marker columns
+    r["f_exists_value"] = (
+        _sq(
+            f"""SELECT ?nn ?has WHERE {{ ?n <{P}nation#n_name> ?nn
+                 BIND(EXISTS {{ ?c <{P}customer#c_nationkey> ?n }} AS ?has)
+               }}""",
+            has="bool",
+        ),
+        "SELECT n_name AS nn, EXISTS(SELECT 1 FROM customer c "
+        "WHERE c.c_nationkey = n.n_nationkey) AS has FROM nation n",
+    )
     return r
 
 

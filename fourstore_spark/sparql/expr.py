@@ -453,6 +453,22 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
             (a0["kind"] == KIND_URI) | _string_like(a0), make_uri(a0["lex"])
         ).otherwise(null_term())
     if name == "BNODE":
+        if args:
+            # BNODE(expr) — spec 17.4.2.9: the same argument within the
+            # SAME solution row maps to the same blank node, different
+            # rows get distinct ones: hash (lexical arg, row position)
+            lex = F.concat(
+                F.lit("_:gen"),
+                F.abs(
+                    F.xxhash64(a0["lex"], F.monotonically_increasing_id())
+                ).cast("string"),
+            )
+            return F.when(
+                _string_like(a0),
+                term_struct(
+                    F.lit(KIND_BNODE), lex, _NULL_S(), _NULL_S(), _NULL_D()
+                ),
+            ).otherwise(null_term())
         lex = F.concat(F.lit("_:gen"), F.abs(F.xxhash64(F.rand())).cast("string"))
         return term_struct(F.lit(KIND_BNODE), lex, _NULL_S(), _NULL_S(), _NULL_D())
     if name == "LANG":  # fn_lang, filter.c:1130 — non-literal is an error
