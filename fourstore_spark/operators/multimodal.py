@@ -11,10 +11,12 @@ Decoding: REAL for PCM WAV (stdlib `wave`) and uncompressed 24-bit BMP
 (struct + numpy) — no external media libs needed; `decode_features`
 dispatches on magic bytes and extracts per-modality features (duration /
 sample-rate / RMS / peak for audio, dimensions / channel means for
-images). Formats that genuinely need a codec library (JPEG/PNG/MP4...)
-still raise NotImplementedError at the exact spot PIL/pyav/torchaudio
-plugs in; `extract_features` keeps the byte-histogram stub so downstream
-operators stay exercisable on arbitrary bytes.
+images). PNG/JPEG/GIF get REAL header-only probes (width/height parsed
+from IHDR / SOFn / logical-screen descriptors in pure stdlib); their
+PIXEL decode — and MP4 & friends entirely — still raises
+NotImplementedError at the exact spot PIL/pyav/torchaudio plugs in;
+`extract_features` keeps the byte-histogram stub so downstream operators
+stay exercisable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -201,6 +203,55 @@ def decode_bmp(b: bytes) -> dict:
     }
 
 
+def probe_png(b: bytes) -> dict:
+    """PNG header-only probe: IHDR is always the first chunk after the
+    8-byte signature — width/height are big-endian u32 at offsets 16/20.
+    Pixel statistics would need zlib+filter decode, so only metadata."""
+    import struct
+
+    if len(b) < 24 or b[12:16] != b"IHDR":
+        raise ValueError("truncated PNG")
+    w, h = struct.unpack(">II", b[16:24])
+    return {"kind": "image", "width": w, "height": h}
+
+
+def probe_jpeg(b: bytes) -> dict:
+    """JPEG header-only probe: walk the marker stream to the first SOFn
+    (0xC0-0xCF except DHT 0xC4 / DAC 0xCC / RSTn): height/width are
+    big-endian u16 at payload offsets 3/5. Entropy-coded pixel data needs
+    a codec, so only metadata."""
+    import struct
+
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                break
+            h, w = struct.unpack(">HH", b[i + 5:i + 9])
+            return {"kind": "image", "width": w, "height": h}
+        i += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
+def probe_gif(b: bytes) -> dict:
+    """GIF header-only probe: logical screen width/height are
+    little-endian u16 at offsets 6/8."""
+    import struct
+
+    if len(b) < 10:
+        raise ValueError("truncated GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"kind": "image", "width": w, "height": h}
+
+
 def synth_wav(rate: int, n_frames: int, amp: int) -> bytes:
     """Deterministic 16-bit mono PCM WAV: an alternating ±amp square wave
     (exact RMS and peak = amp/32768 — closed-form for oracles)."""
@@ -266,6 +317,13 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         base.update(decode_wav(b))
                     elif b[:2] == b"BM":
                         base.update(decode_bmp(b))
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        # header-only: real dims, pixel stats need zlib
+                        base.update(probe_png(b))
+                    elif b[:3] == b"\xff\xd8\xff":
+                        base.update(probe_jpeg(b))
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        base.update(probe_gif(b))
                     else:
                         raise NotImplementedError(
                             "payload format needs a codec library "

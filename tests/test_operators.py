@@ -301,3 +301,46 @@ def test_multimodal_strict_mode_raises(spark):
     )
     with _pytest.raises(Exception, match="codec"):
         decode_features(media, strict=True).collect()
+
+
+def test_multimodal_header_probes(spark):
+    """PNG/JPEG/GIF header-only probes: real dimensions from pure-stdlib
+    marker parsing; pixel decode stays the codec-library slot."""
+    import struct
+
+    from fourstore_spark.operators.multimodal import (
+        decode_features,
+        probe_gif,
+        probe_jpeg,
+        probe_png,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    assert probe_png(png) == {"kind": "image", "width": 640, "height": 480}
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    assert probe_jpeg(jpeg) == {"kind": "image", "width": 640, "height": 480}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert probe_gif(gif) == {"kind": "image", "width": 320, "height": 200}
+
+    media = spark.createDataFrame(
+        [(1, png), (2, jpeg), (3, gif), (4, b"\x89PNGbad")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_features(media).collect()}
+    for mid in (1, 2, 3):
+        assert rows[mid]["kind"] == "image" and rows[mid]["err"] is None
+    assert rows[1]["width"] == 640 and rows[3]["height"] == 200
+    assert rows[4]["err"] is not None  # truncated signature: soft error
