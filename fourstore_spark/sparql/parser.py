@@ -727,7 +727,53 @@ class Parser:
         if subselect and self.at_kw("VALUES"):
             self.next()
             q.values = self.parse_inline_data()
+        self._validate_select(q)
         return q
+
+    def _validate_select(self, q: A.Query):
+        """Spec 18.2.4.1 projection rules (the reference relies on Rasqal
+        for the same checks): a variable may appear only once in the
+        SELECT clause; under aggregation a projected plain variable must
+        be a GROUP BY key; SELECT * is incompatible with grouping."""
+        seen: set = set()
+        for item in q.projection:
+            name = item[1] if item[0] == "var" else item[2]
+            if name in seen:
+                self.err(f"variable ?{name} appears twice in SELECT")
+            seen.add(name)
+
+        def has_agg(e) -> bool:
+            if isinstance(e, A.EAggregate):
+                return True
+            if isinstance(e, (A.EAnd, A.EOr, A.ECall)):
+                return any(has_agg(a) for a in e.args)
+            if isinstance(e, A.EUnary):
+                return has_agg(e.arg)
+            if isinstance(e, (A.ECompare, A.EArith)):
+                return has_agg(e.left) or has_agg(e.right)
+            if isinstance(e, A.EIn):
+                return has_agg(e.expr) or any(has_agg(o) for o in e.options)
+            return False
+
+        grouped = bool(q.group_by) or bool(q.having) or any(
+            item[0] == "expr" and has_agg(item[1]) for item in q.projection
+        )
+        if not grouped:
+            return
+        if not q.projection:
+            self.err("SELECT * cannot be used with GROUP BY")
+        keys: set = set()
+        for g in q.group_by:
+            if isinstance(g, A.EVar):
+                keys.add(g.name)
+            elif isinstance(g, tuple) and g[0] == "as":
+                keys.add(g[2])
+        for item in q.projection:
+            if item[0] == "var" and item[1] not in keys:
+                self.err(
+                    f"variable ?{item[1]} is projected but neither "
+                    "aggregated nor a GROUP BY key"
+                )
 
     def parse_ask_query(self) -> A.Query:
         self.expect_kw("ASK")
