@@ -728,6 +728,7 @@ class Parser:
             self.next()
             q.values = self.parse_inline_data()
         self._validate_select(q)
+        self._validate_distinct_order(q)
         return q
 
     def _validate_select(self, q: A.Query):
@@ -773,6 +774,45 @@ class Parser:
                 self.err(
                     f"variable ?{item[1]} is projected but neither "
                     "aggregated nor a GROUP BY key"
+                )
+
+    def _validate_distinct_order(self, q: A.Query):
+        """Spec 15.1/15.3.1: with SELECT DISTINCT, ordering conditions may
+        only use projected variables — ordering by a non-projected
+        variable is ambiguous after duplicate elimination (which source
+        row's value would order the surviving one?)."""
+        if not ((q.distinct or q.reduced) and q.projection and q.order_by):
+            return
+        names = {
+            item[1] if item[0] == "var" else item[2] for item in q.projection
+        }
+
+        def walk(e, out):
+            if isinstance(e, A.EVar):
+                out.add(e.name)
+            elif isinstance(e, A.EAggregate):
+                out.add("__agg__")
+            elif isinstance(e, (A.EAnd, A.EOr, A.ECall)):
+                for a in e.args:
+                    walk(a, out)
+            elif isinstance(e, A.EUnary):
+                walk(e.arg, out)
+            elif isinstance(e, (A.ECompare, A.EArith)):
+                walk(e.left, out)
+                walk(e.right, out)
+            elif isinstance(e, A.EIn):
+                walk(e.expr, out)
+                for o in e.options:
+                    walk(o, out)
+
+        for expr, _asc in q.order_by:
+            used: set = set()
+            walk(expr, used)
+            bad = used - names
+            if bad:
+                self.err(
+                    "ORDER BY with SELECT DISTINCT may only use projected "
+                    f"variables (offending: {sorted(bad)})"
                 )
 
     def parse_ask_query(self) -> A.Query:

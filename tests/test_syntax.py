@@ -49,6 +49,8 @@ NEGATIVE = {
     "star-with-group-by": "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s",
     "path-in-construct-template":
         "CONSTRUCT { ?s <urn:p>+ ?o } WHERE { ?s ?p ?o }",
+    "distinct-order-nonprojected-var":
+        "SELECT DISTINCT ?x WHERE { ?x <urn:p> ?v } ORDER BY ?v",
 }
 
 NEGATIVE_UPDATE = {
