@@ -2243,6 +2243,38 @@ FROM g
 """,
     )
 
+    # streaming decontamination: the stream replay of clean_decontaminate
+    # (stateless per-row n-gram overlap against broadcast eval grams), so
+    # the exact batch oracle applies
+    def _op_stream_decontaminate(spark, sf_dir):
+        from fourstore_spark.streaming import stream_decontaminate
+
+        d = _docs(spark, sf_dir)
+        path = f"/tmp/fourstore_docs_staged_{abs(hash(sf_dir)) % 10**8}"
+        import os as _os
+
+        if not _os.path.isdir(path):
+            d.repartition(1).write.mode("overwrite").parquet(path)
+        ev = d.where(F.col("doc_id") % 97 == 0).select("text")
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        name = f"decon_{abs(hash(sf_dir)) % 10**8}"
+        q = (
+            stream_decontaminate(stream, ev, n=8)
+            .select("doc_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+        return spark.table(name)
+
+    r["stream_decontaminate"] = (
+        _op_stream_decontaminate, r["clean_decontaminate"][1]
+    )
+
     # EXISTS in value position (BIND(EXISTS{..} AS ?x)) — beyond most
     # engines; materialized as semi/anti-join marker columns
     r["f_exists_value"] = (

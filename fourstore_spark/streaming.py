@@ -17,6 +17,9 @@ built on Spark's native streaming runtime:
   fingerprint — the streaming form of operators.dedup.exact_dedup.
 - **sessionize**: applyInPandasWithState gap-based sessionization —
   the custom-stateful-operator pattern (GroupState, per-key timeout).
+- **stream_decontaminate**: ingest-time benchmark decontamination
+  against a static eval set — stateless per-row n-gram overlap check,
+  eval grams broadcast once.
 """
 
 from __future__ import annotations
@@ -293,3 +296,36 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming benchmark decontamination: drop stream documents sharing
+    any word n-gram with a STATIC evaluation set — the continuous form of
+    operators.cleaning.ngram_decontaminate for ingest-time filtering.
+
+    Shape: the eval side is static and small, so its distinct n-grams
+    broadcast; the stream side stays stateless — each micro-batch checks
+    arrays_overlap per row (no explode, no streaming state, no shuffle of
+    the stream). A stream-static LEFT ANTI join would need the stream
+    exploded + re-aggregated (stateful); the per-row array check keeps
+    exactly-once append semantics trivially."""
+    from fourstore_spark.operators.cleaning import word_ngrams
+
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .agg(F.collect_set("__g").alias("__gs"))
+    )
+    # one-row static frame carrying the gram set; stream-static inner
+    # join on TRUE broadcasts that single row to every stream partition
+    joined = docs.join(F.broadcast(eval_grams), F.lit(True), "inner")
+    return joined.where(
+        ~F.arrays_overlap(word_ngrams(F.col(text_col), n), F.col("__gs"))
+    ).drop("__gs")

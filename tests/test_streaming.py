@@ -165,3 +165,33 @@ def test_sessionize(spark, tmp_path):
     # the open sessions are still in state — only closed ones emitted
     closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in got}
     assert (1, 2, 3.0) in closed
+
+
+def test_stream_decontaminate(spark, tmp_path):
+    from fourstore_spark.streaming import stream_decontaminate
+
+    src = tmp_path / "sdocs"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words fill this clean document here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(src / "p"))
+    ev = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog today",)], "text string"
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "p"))
+    clean = stream_decontaminate(stream, ev, n=8)
+    q = (
+        clean.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r[0] for r in spark.sql("SELECT doc_id FROM decon_stream").collect()}
+    assert ids == {2}
