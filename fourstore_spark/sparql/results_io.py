@@ -18,7 +18,24 @@ from xml.sax.saxutils import escape as xml_escape
 from fourstore_spark.model import KIND_BNODE, KIND_LITERAL, KIND_URI
 
 
-def _term_dict(term) -> dict | None:
+class _BnodeNamer:
+    """Per-serialization blank-node relabeling. Internal labels may
+    contain characters outside the BLANK_NODE_LABEL grammar (the import
+    path's collision-proof '~' namespacing, rdfio.py), so writers emit
+    fresh b0, b1, ... labels instead — consistent within one
+    serialization, which is all the spec requires (the reference likewise
+    emits Raptor-generated genid labels on output)."""
+
+    def __init__(self):
+        self._map: dict = {}
+
+    def __call__(self, lex: str) -> str:
+        if lex.startswith("_:"):
+            lex = lex[2:]
+        return self._map.setdefault(lex, f"b{len(self._map)}")
+
+
+def _term_dict(term, bn: _BnodeNamer) -> dict | None:
     """Row struct -> SPARQL-JSON RDF-term object."""
     if term is None or term["kind"] is None:
         return None
@@ -26,8 +43,7 @@ def _term_dict(term) -> dict | None:
     if kind == KIND_URI:
         return {"type": "uri", "value": term["lex"]}
     if kind == KIND_BNODE:
-        lex = term["lex"]
-        return {"type": "bnode", "value": lex[2:] if lex.startswith("_:") else lex}
+        return {"type": "bnode", "value": bn(term["lex"])}
     out = {"type": "literal", "value": term["lex"]}
     if term["lang"]:
         out["xml:lang"] = term["lang"]
@@ -37,10 +53,11 @@ def _term_dict(term) -> dict | None:
 
 
 def _iter_bindings(df, variables):
+    bn = _BnodeNamer()
     for row in df.toLocalIterator():
         binding = {}
         for v in variables:
-            t = _term_dict(row[v])
+            t = _term_dict(row[v], bn)
             if t is not None:
                 binding[v] = t
         yield binding
@@ -99,24 +116,25 @@ def select_xml(df, variables=None, ask: bool | None = None) -> str:
 
 
 # --------------------------------------------------------------- CSV/TSV
-def _csv_cell(term) -> str:
+def _csv_cell(term, bn: _BnodeNamer) -> str:
     if term is None or term["kind"] is None:
         return ""
+    if term["kind"] == KIND_BNODE:
+        return "_:" + bn(term["lex"])
     v = term["lex"] or ""
     if any(c in v for c in (",", '"', "\n", "\r")):
         return '"' + v.replace('"', '""') + '"'
     return v
 
 
-def _tsv_cell(term) -> str:
+def _tsv_cell(term, bn: _BnodeNamer) -> str:
     if term is None or term["kind"] is None:
         return ""
     kind = term["kind"]
     if kind == KIND_URI:
         return f"<{term['lex']}>"
     if kind == KIND_BNODE:
-        lex = term["lex"]
-        return lex if lex.startswith("_:") else f"_:{lex}"
+        return "_:" + bn(term["lex"])
     v = (term["lex"] or "").replace("\\", "\\\\").replace('"', '\\"')
     v = v.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
     out = f'"{v}"'
@@ -130,9 +148,10 @@ def _tsv_cell(term) -> str:
 def select_csv(df, variables=None) -> str:
     """SPARQL 1.1 Results CSV (output_csv, results.c:2143)."""
     variables = variables or df.columns
+    bn = _BnodeNamer()
     lines = [",".join(variables)]
     for row in df.toLocalIterator():
-        lines.append(",".join(_csv_cell(row[v]) for v in variables))
+        lines.append(",".join(_csv_cell(row[v], bn) for v in variables))
     return "\r\n".join(lines) + "\r\n"
 
 
@@ -140,9 +159,10 @@ def select_tsv(df, variables=None) -> str:
     """SPARQL 1.1 Results TSV (the reference's 'text' format,
     output_text, results.c:2014)."""
     variables = variables or df.columns
+    bn = _BnodeNamer()
     lines = ["\t".join("?" + v for v in variables)]
     for row in df.toLocalIterator():
-        lines.append("\t".join(_tsv_cell(row[v]) for v in variables))
+        lines.append("\t".join(_tsv_cell(row[v], bn) for v in variables))
     return "\n".join(lines) + "\n"
 
 
@@ -160,14 +180,19 @@ def graph_ntriples(df) -> str:
             .replace("\t", "\\t")
         )
 
+    bn = _BnodeNamer()
     lines = []
     for row in df.toLocalIterator():
-        s = row["s"] if row["s_kind"] == KIND_BNODE else f"<{row['s']}>"
+        s = (
+            "_:" + bn(row["s"])
+            if row["s_kind"] == KIND_BNODE
+            else f"<{row['s']}>"
+        )
         p = f"<{row['p']}>"
         if row["o_kind"] == KIND_URI:
             o = f"<{row['o_lex']}>"
         elif row["o_kind"] == KIND_BNODE:
-            o = row["o_lex"]
+            o = "_:" + bn(row["o_lex"])
         else:
             o = f'"{esc(row["o_lex"])}"'
             if row["o_lang"]:
