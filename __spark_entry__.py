@@ -2275,6 +2275,91 @@ FROM g
         _op_stream_decontaminate, r["clean_decontaminate"][1]
     )
 
+    # one-call corpus hygiene: quality floor + repetition filter +
+    # decontamination + canonical fingerprint dedup composed
+    def _op_corpus_clean(spark, sf_dir):
+        from fourstore_spark.operators.cleaning import corpus_clean
+
+        d = _docs(spark, sf_dir)
+        ev = d.where(F.col("doc_id") % 97 == 0).select("text")
+        return corpus_clean(d, ev).select("doc_id")
+
+    r["corpus_clean_full"] = (
+        _op_corpus_clean,
+        r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), rep AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [] END AS g2
+  FROM tok
+), repf AS (
+  SELECT doc_id FROM rep WHERE
+    (CASE WHEN len(toks) > 0 THEN
+       round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+     ELSE 0.0 END) <= 0.6
+    AND (CASE WHEN len(g2) > 0 THEN
+       round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+     ELSE 0.0 END) <= 0.4
+    AND (CASE WHEN len(toks) > 0 THEN
+       round(list_max(list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+             / len(toks), 6)
+     ELSE 0.0 END) <= 0.2
+), q AS (
+  SELECT doc_id,
+         round((least((CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0,
+             1.0)
+           + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+               / length(text) ELSE 1.0 END) * 5.0)
+           + CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+               AND length(text)::DOUBLE
+                   / (CASE WHEN length(trim(text)) = 0 THEN 1
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)
+                   BETWEEN 3.0 AND 12.0
+               THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8 THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(toks) - 7),
+                  i -> array_to_string(toks[i:i+7], ' ')))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS grams
+  FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT f.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) f
+  JOIN ev USING (gram)
+), kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN repf USING (doc_id) JOIN q USING (doc_id)
+  WHERE q.quality >= 0.5
+    AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+), fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
+  FROM kept
+)
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) rn
+  FROM fp) WHERE rn = 1
+""",
+    )
+
     # EXISTS in value position (BIND(EXISTS{..} AS ?x)) — beyond most
     # engines; materialized as semi/anti-join marker columns
     r["f_exists_value"] = (

@@ -158,3 +158,50 @@ def repetition_filter(
         & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
         & (F.col("top_word_frac") <= max_top_word_frac)
     ).drop("dup_word_frac", "dup_2gram_frac", "top_word_frac")
+
+
+def corpus_clean(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    n: int = 8,
+    max_dup_word_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.4,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """End-to-end corpus hygiene in one call: quality floor ->
+    repetition filter -> (optional) benchmark decontamination ->
+    canonical-fingerprint dedup (lowest id per fingerprint wins).
+
+    Every stage except the final dedup is a row-wise drop, so the
+    composition stays scan-shaped: one pass computes all filter signals,
+    the decontamination adds the broadcast semi-join, and the only
+    corpus shuffle is the final fingerprint window."""
+    from pyspark.sql import Window
+
+    from fourstore_spark.operators.textstats import (
+        fingerprint,
+        quality_score,
+    )
+
+    d = docs.where(quality_score(F.col(text_col)) >= min_quality)
+    d = repetition_filter(
+        d,
+        text_col,
+        max_dup_word_frac=max_dup_word_frac,
+        max_dup_2gram_frac=max_dup_2gram_frac,
+        max_top_word_frac=max_top_word_frac,
+    )
+    if eval_df is not None:
+        d = ngram_decontaminate(
+            d, eval_df, n=n, text_col=text_col, id_col=id_col
+        )
+    fp = d.withColumn("__fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )

@@ -77,3 +77,26 @@ def test_repetition_filter_drops_spam(spark):
     kept = repetition_filter(docs)
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [2]
     assert "dup_word_frac" not in kept.columns
+
+
+def test_corpus_clean_composition(spark):
+    from fourstore_spark.operators.cleaning import corpus_clean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a normal document with plenty of varied interesting words"),
+            (2, "a normal document with plenty of varied interesting words"),
+            (3, "spam spam spam spam spam spam spam spam spam spam"),
+            (4, "benchmark probe question answer pair goes right here now"),
+            (5, "another clean and unique document nobody else resembles"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("benchmark probe question answer pair goes right here today",)],
+        "text string",
+    )
+    kept = {r.doc_id for r in corpus_clean(docs, ev).select("doc_id").collect()}
+    # 2 deduped against 1 (same fingerprint, lowest id wins), 3 dropped by
+    # repetition, 4 decontaminated (shares an 8-gram with the eval set)
+    assert kept == {1, 5}
