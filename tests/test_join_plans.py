@@ -169,3 +169,34 @@ def test_single_valued_star_stats(spark, tmp_path):
     # the stats plan has no Generate (explode) for the functional predicate
     plan = stats.query("SELECT ?s ?o WHERE { ?s <urn:one> ?o ; <urn:one> ?o2 }").explain("simple")
     assert "Generate" not in plan
+
+
+def test_star_scan_nested_schema_pruning(spark, tmp_path):
+    """Property-table star scans must null-check the kind LEAF, not the
+    whole struct: a struct-level isNotNull defeats Catalyst's nested
+    pruning and the parquet scan decodes every leaf (incl. the graph
+    string) of every predicate. Guard: the scan's ReadSchema carries no
+    g leaf when no graph scoping applies."""
+    import re
+
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    nt = """
+<urn:a> <urn:one> "a1" .
+<urn:a> <urn:two> "a2" .
+<urn:b> <urn:one> "b1" .
+<urn:b> <urn:two> "b2" .
+"""
+    path = str(tmp_path / "store_np")
+    write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    eng = SparqlEngine.from_store(spark, path)
+    res = eng.query("SELECT ?s WHERE { ?s <urn:one> ?o ; <urn:two> ?m }")
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    subject_scans = [s for s in schemas if "struct<" in s and "kind" in s]
+    assert subject_scans, plan
+    for s in subject_scans:
+        assert "g:string" not in s, s     # graph leaf pruned
+        assert "lang:string" not in s, s  # unused leaves pruned
