@@ -57,6 +57,7 @@ def main() -> None:
     manifest = read_manifest(store_path)
     if os.environ.get("SPARK_GRAFT_REBUILD") or not manifest or (
         manifest.get("format") != "fourstore-quads-parquet-v4"
+        or "pred_numeric_dt" not in manifest  # older cache: re-derive stats
     ):
         write_store(quads_from_sf_dir(spark, sf_dir), store_path)
     load_sec = time.perf_counter() - t0

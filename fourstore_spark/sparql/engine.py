@@ -125,6 +125,7 @@ class SparqlEngine:
         denied_graphs: list[str] | None = None,
         single_valued_preds: set[str] | None = None,
         pred_stats: dict | None = None,
+        pred_numeric_dt: dict | None = None,
     ):
         self.spark = spark
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
@@ -146,6 +147,9 @@ class SparqlEngine:
         # per-predicate cardinalities (manifest pred_stats): drive
         # planner-side F.broadcast() hints on small scans/stars
         self.pred_stats = pred_stats
+        # predicate -> proven-uniform numeric datatype (manifest): lets
+        # SUM/AVG take the slim fixed-datatype path
+        self.pred_numeric_dt = pred_numeric_dt
         # property table (store._subjects): shuffle-free star scans;
         # subjects_cols maps predicate URI -> physical parquet column
         self.subjects: DataFrame | None = None
@@ -171,6 +175,7 @@ class SparqlEngine:
             read_store(spark, path),
             single_valued_preds=sv,
             pred_stats=manifest.get("pred_stats") or None,
+            pred_numeric_dt=manifest.get("pred_numeric_dt") or None,
             **kwargs,
         )
         if (
@@ -233,6 +238,7 @@ class SparqlEngine:
             subjects=self.subjects,
             pred_stats=self.pred_stats,
             subjects_cols=self.subjects_cols,
+            pred_numeric_dt=self.pred_numeric_dt,
         )
         df = tr.translate_query(q)
         # truncation warning: deferred count over the capped patterns'

@@ -90,6 +90,12 @@ class Sol:
     df: DataFrame
     certain: frozenset
     est_rows: int | None = None
+    # var -> predicate URI, for variables bound directly from a
+    # constant-predicate object slot (scan/star provenance). Consumed by
+    # the aggregate planner for the slim fixed-datatype SUM/AVG path;
+    # dropped (None) by any operator that can't preserve it — losing it
+    # is always safe, it only disables an optimization.
+    var_pred: dict | None = None
 
     @property
     def variables(self) -> list[str]:
@@ -166,6 +172,7 @@ class Translator:
         pred_stats: dict | None = None,
         broadcast_rows: int = 200_000,
         subjects_cols: dict | None = None,
+        pred_numeric_dt: dict | None = None,
     ):
         self.spark = spark
         self.quads = quads
@@ -190,6 +197,13 @@ class Translator:
         # never degrade to a shuffle on Spark's post-filter size guesses
         # (which at 100x data blow past any autoBroadcastJoinThreshold)
         self.pred_stats = pred_stats or {}
+        # predicate -> store-proven uniform numeric datatype with all
+        # values exactly DECIMAL(38,6)-representable: SUM/AVG over a
+        # variable bound from such a predicate take the slim fixed-dt
+        # path (2 aggregate buffers instead of 6, no per-row promotion/
+        # representability machinery) — bit-identical results by the
+        # stats guarantee (store._numeric_dt_stats)
+        self.pred_numeric_dt = pred_numeric_dt or {}
         self.broadcast_rows = broadcast_rows
         self.soft_limit = soft_limit
         # pre-cap pattern DataFrames, kept so the engine can check lazily
@@ -519,9 +533,13 @@ class Translator:
             df = df.limit(self.soft_limit)
         out = df.select(*[c.alias(n) for n, c in proj.items()])
         est = None
-        if isinstance(tp.p, A.Iri) and tp.p.value in self.pred_stats:
-            est = self.pred_stats[tp.p.value][0]  # quad count upper bound
-        return Sol(out, frozenset(proj), est_rows=est)
+        vp = None
+        if isinstance(tp.p, A.Iri):
+            if tp.p.value in self.pred_stats:
+                est = self.pred_stats[tp.p.value][0]  # quad count upper bound
+            if isinstance(tp.o, A.Var):
+                vp = {tp.o.name: tp.p.value}
+        return Sol(out, frozenset(proj), est_rows=est, var_pred=vp)
 
     @staticmethod
     def _pattern_const_count(tp: A.TriplePattern) -> int:
@@ -596,7 +614,16 @@ class Translator:
         # bnodes are scoped to the BGP — drop their columns
         drop = [c for c in sol.df.columns if c.startswith("__bn_")]
         if drop:
-            sol = Sol(sol.df.drop(*drop), sol.certain - set(drop))
+            sol = Sol(
+                sol.df.drop(*drop),
+                sol.certain - set(drop),
+                var_pred={
+                    k: v
+                    for k, v in (sol.var_pred or {}).items()
+                    if k not in drop
+                }
+                or None,
+            )
         return sol
 
     # ------------------------------------------------- property paths
@@ -1088,7 +1115,12 @@ class Translator:
             proj.append(F.col(col).alias(oname))
             names.append(oname)
         return Sol(
-            out.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
+            out.select(*proj),
+            frozenset(names),
+            est_rows=self._star_est(patterns),
+            var_pred={
+                o: tp.p.value for tp, o in patterns if o is not None
+            },
         )
 
     def _star_scan_pt(self, sname: str, patterns: list, graph) -> Sol:
@@ -1212,7 +1244,12 @@ class Translator:
             proj.append(F.col(col).alias(oname))
             names.append(oname)
         return Sol(
-            df.select(*proj), frozenset(names), est_rows=self._star_est(patterns)
+            df.select(*proj),
+            frozenset(names),
+            est_rows=self._star_est(patterns),
+            var_pred={
+                o: tp.p.value for tp, o in patterns if o is not None
+            },
         )
 
     def _star_est(self, patterns: list) -> int | None:
@@ -1256,8 +1293,21 @@ class Translator:
         certain = (
             left.certain | right.certain if how == "inner" else left.certain
         )
+        # merge provenance; a var claimed by both sides with different
+        # predicates loses its entry (values could come from either)
+        vp: dict | None = None
+        if left.var_pred or right.var_pred:
+            vp = dict(left.var_pred or {})
+            for k, v in (right.var_pred or {}).items():
+                if k in vp:
+                    if vp[k] != v:
+                        vp.pop(k)
+                else:
+                    vp[k] = v
         return Sol(
-            self._compat_join(left, right, how, expr=expr), frozenset(certain)
+            self._compat_join(left, right, how, expr=expr),
+            frozenset(certain),
+            var_pred=vp,
         )
 
     def _compat_join(
@@ -1464,11 +1514,12 @@ class Translator:
                 base, e, markers = self._materialize_exists(base, e, graph)
             ctx = self._ctx(base)
             # a filter only removes rows: the leaf estimate stays an
-            # upper bound, so broadcast eligibility survives
+            # upper bound, so broadcast eligibility survives (and so does
+            # scan provenance, var_pred)
             out = base.df.where(compile_bool(e, ctx))
             if markers:
                 out = out.drop(*markers)
-            base = Sol(out, base.certain, base.est_rows)
+            base = Sol(out, base.certain, base.est_rows, base.var_pred)
         return base
 
     def _exists(self, base: Sol, e: A.EExists, graph) -> Sol:
@@ -1768,12 +1819,20 @@ class Translator:
                 group_cols.append(name)
             ctx.columns = set(df.columns)
 
+        # store-proven uniform numeric datatypes for scan-provenanced vars
+        var_dt: dict = {}
+        if self.pred_numeric_dt and sol.var_pred:
+            for v, p in sol.var_pred.items():
+                known = self.pred_numeric_dt.get(p)
+                if known:
+                    var_dt[v] = known
+
         agg_exprs: list[Column] = []
         agg_names: list[str] = []
         for a in aggs:
             name = self._fresh("agg")
             agg_names.append(name)
-            agg_exprs.append(self._agg_column(a, ctx).alias(name))
+            agg_exprs.append(self._agg_column(a, ctx, var_dt).alias(name))
 
         if group_cols:
             out = df.groupBy(*group_cols).agg(*agg_exprs) if agg_exprs else df.groupBy(
@@ -1787,7 +1846,9 @@ class Translator:
         agg_map = {agg_key(a): F.col(n) for a, n in zip(aggs, agg_names)}
         return out, agg_map, group_cols
 
-    def _agg_column(self, a: A.EAggregate, ctx: ExprContext) -> Column:
+    def _agg_column(
+        self, a: A.EAggregate, ctx: ExprContext, var_dt: dict | None = None
+    ) -> Column:
         """One aggregate -> a term-struct aggregate Column
         (src/frontend/results.c:524-901)."""
         if a.name == "COUNT" and a.expr is None:
@@ -1799,6 +1860,41 @@ class Translator:
             return make_num(cnt.cast("double"), F.lit(XSD_INTEGER))
         if a.name in ("SUM", "AVG"):
             num = val["num"]
+            # slim fixed-datatype path: the store proved every value of
+            # this scan-provenanced variable is ONE exact numeric
+            # datatype, all representable in DECIMAL(38,6) — so the
+            # promotion ladder, representability probe and error check
+            # below are statically decided: 2 aggregate buffers instead
+            # of 6 and no per-row type machinery, bit-identical results
+            known = (
+                var_dt.get(a.expr.name)
+                if var_dt and isinstance(a.expr, A.EVar)
+                else None
+            )
+            if known:
+                # accumulation is ALWAYS decimal (like the general path:
+                # exact + order-independent; stats guarantee every value
+                # is representable); only the result datatype varies
+                dec = num.cast("decimal(38,6)")
+                if a.distinct:
+                    sum_ = F.sum_distinct(dec)
+                    cnt_k = F.count_distinct(dec)
+                else:
+                    sum_ = F.sum(dec)
+                    cnt_k = F.count(num)
+                agg_k = sum_.cast("double")
+                ladder = (XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT)
+                if a.name == "AVG":
+                    agg_k = agg_k / cnt_k
+                    out_dt = known if known in ladder else XSD_DECIMAL
+                else:
+                    out_dt = known if known in ladder else XSD_INTEGER
+                zero = make_num(F.lit(0.0), F.lit(XSD_INTEGER))
+                return (
+                    F.when(cnt_k == 0, zero)
+                    .when(agg_k.isNotNull(), make_num(agg_k, F.lit(out_dt)))
+                    .otherwise(null_term())
+                )
             # exact, order-independent accumulation: sum fixed-point
             # decimals, not doubles (the reference's fn_numeric_add keeps
             # int64/fs_decimal exact too, filter.c:420-523). decimal(38,6)

@@ -132,6 +132,10 @@ def write_store(
         "sort_within": ["s"],
         "single_valued_preds": single_valued,
         "pred_stats": pred_stats,
+        # predicate -> proven-uniform numeric datatype (slim aggregates)
+        "pred_numeric_dt": _numeric_dt_stats(stats_rows)
+        if compute_stats
+        else {},
         # predicate -> physical column name in _subjects
         "pred_columns": pred_columns,
     }
@@ -142,18 +146,62 @@ def write_store(
 
 def _stats_pass(quads: DataFrame) -> list:
     """Two-level aggregation: per-predicate row count ``n``, exact
-    distinct subjects ``ns`` and max objects per subject ``fanout``."""
+    distinct subjects ``ns``, max objects per subject ``fanout``, plus
+    object-datatype uniformity signals (dt min/max + null flags + num
+    bounds) — they let the manifest prove a predicate's values are all
+    one numeric datatype and exactly DECIMAL(38,6)-representable, which
+    the translator's aggregates use to skip the per-row type machinery
+    (see ``_numeric_dt_stats``)."""
     return (
         quads.groupBy("p", "s")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("o_dt").alias("md"),
+            F.max("o_dt").alias("xd"),
+            F.max(F.col("o_dt").isNull().cast("int")).alias("nulldt"),
+            F.max(F.col("o_num").isNull().cast("int")).alias("nullnum"),
+            F.max(F.abs("o_num")).alias("absmax"),
+            F.min(F.when(F.col("o_num") != 0, F.abs("o_num"))).alias(
+                "absminnz"
+            ),
+        )
         .groupBy("p")
         .agg(
             F.sum("c").alias("n"),
             F.count(F.lit(1)).alias("ns"),
             F.max("c").alias("fanout"),
+            F.min("md").alias("md"),
+            F.max("xd").alias("xd"),
+            F.max("nulldt").alias("nulldt"),
+            F.max("nullnum").alias("nullnum"),
+            F.max("absmax").alias("absmax"),
+            F.min("absminnz").alias("absminnz"),
         )
         .collect()
     )
+
+
+def _numeric_dt_stats(stats_rows: list) -> dict:
+    """predicate -> its single numeric datatype, ONLY when the stats
+    prove: one non-null datatype across all values, every value parsed
+    numeric, and magnitudes inside DECIMAL(38,6)'s exact range (so the
+    slim aggregate path is bit-identical to the general exact path)."""
+    from fourstore_spark.model import NUMERIC_DATATYPES
+
+    out: dict = {}
+    for r in stats_rows:
+        if (
+            r["nulldt"] == 0
+            and r["nullnum"] == 0
+            and r["md"] is not None
+            and r["md"] == r["xd"]
+            and r["md"] in NUMERIC_DATATYPES
+            and r["absmax"] is not None
+            and r["absmax"] < 1e31
+            and (r["absminnz"] is None or r["absminnz"] >= 1e-6)
+        ):
+            out[r["p"]] = r["md"]
+    return out
 
 
 def _write_subjects(
@@ -260,11 +308,18 @@ def append_quads(
         # refresh per-predicate stats for the touched predicates only
         # (pruned read of their directories, post-append)
         touched = spark.read.parquet(path).where(F.col("p").isin(preds))
-        for r in _stats_pass(touched):
+        touched_rows = _stats_pass(touched)
+        for r in touched_rows:
             manifest.setdefault("pred_stats", {})[r["p"]] = [
                 int(r["n"]),
                 int(r["ns"]),
             ]
+        # the delta may break a predicate's datatype uniformity: recompute
+        # its slim-aggregate eligibility from the refreshed stats
+        ndt = manifest.setdefault("pred_numeric_dt", {})
+        for p in preds:
+            ndt.pop(p, None)
+        ndt.update(_numeric_dt_stats(touched_rows))
         sv = set(manifest.get("single_valued_preds") or [])
         manifest["single_valued_preds"] = sorted(sv - set(preds))
         manifest["subjects_stale"] = True
@@ -280,6 +335,7 @@ def append_quads(
         manifest["pred_stats"] = {
             r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows
         }
+        manifest["pred_numeric_dt"] = _numeric_dt_stats(stats_rows)
         manifest["subjects_stale"] = False
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)

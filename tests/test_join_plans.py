@@ -200,3 +200,41 @@ def test_star_scan_nested_schema_pruning(spark, tmp_path):
     for s in subject_scans:
         assert "g:string" not in s, s     # graph leaf pruned
         assert "lang:string" not in s, s  # unused leaves pruned
+
+
+def test_slim_aggregate_path_matches_general(spark, tmp_path):
+    """Store-proven uniform numeric datatypes switch SUM/AVG to the slim
+    fixed-datatype path — results must be bit-identical to the general
+    promotion-ladder path, across decimal/double/integer inputs,
+    DISTINCT, and empty groups."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    nt = "\n".join(
+        [f'<urn:d{i}> <urn:dec> "{i}.25"^^<{XSD}decimal> .' for i in range(8)]
+        + [f'<urn:d{i}> <urn:dbl> "{i}.5"^^<{XSD}double> .' for i in range(8)]
+        + [f'<urn:d{i}> <urn:int> "{i * 7}"^^<{XSD}integer> .' for i in range(8)]
+        + [f'<urn:d{i}> <urn:grp> "g{i % 3}" .' for i in range(8)]
+    )
+    path = str(tmp_path / "slim_store")
+    manifest = write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    assert set(manifest["pred_numeric_dt"]) == {
+        "urn:dec", "urn:dbl", "urn:int"
+    }
+    stats = SparqlEngine.from_store(spark, path)
+    plain = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    queries = [
+        """SELECT ?g (SUM(?a) AS ?sa) (AVG(?b) AS ?ab) (SUM(?c) AS ?sc)
+           (SUM(DISTINCT ?a) AS ?sda)
+           WHERE { ?d <urn:dec> ?a ; <urn:dbl> ?b ; <urn:int> ?c ;
+                      <urn:grp> ?g } GROUP BY ?g ORDER BY ?g""",
+        "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) WHERE "
+        "{ ?d <urn:nosuch> ?v }",
+        "SELECT (AVG(?c) AS ?a) WHERE { ?d <urn:int> ?c }",
+    ]
+    for q in queries:
+        assert stats.query(q).serialize("json") == plain.query(q).serialize(
+            "json"
+        ), q
