@@ -1362,6 +1362,40 @@ def _registry() -> dict[str, tuple]:
         f"SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keep_id, "
         "COUNT(*) AS dup_count FROM documents GROUP BY 1",
     )
+
+    # head-window consolidation (r4): exact + fingerprint dedup in ONE
+    # driver row (discriminator column), freeing a slot for the corpus-
+    # cleaning family; the split entries stay in the tail for local runs
+    def _op_dedup_exact_fingerprint(spark, sf_dir):
+        from fourstore_spark.operators.dedup import exact_dedup
+        from fourstore_spark.operators.textstats import fingerprint
+
+        d = _docs(spark, sf_dir)
+        # dup_count 0 (not NULL) on the exact side: the driver's row
+        # comparator sorts column values and can't order NULL vs int
+        ex = exact_dedup(d, ["text"], "doc_id").select(
+            F.lit("exact").alias("mode"),
+            F.col("doc_id").alias("keep_id"),
+            F.lit(0).cast("long").alias("dup_count"),
+        )
+        fp = (
+            d.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count("*").alias("dup_count"),
+            )
+            .select(F.lit("fp").alias("mode"), "keep_id", "dup_count")
+        )
+        return ex.unionByName(fp)
+
+    r["dedup_exact_fingerprint"] = (
+        _op_dedup_exact_fingerprint,
+        "SELECT 'exact' AS mode, MIN(doc_id) AS keep_id, "
+        "CAST(0 AS BIGINT) AS dup_count FROM documents GROUP BY text "
+        "UNION ALL "
+        f"SELECT 'fp', MIN(doc_id), COUNT(*) FROM documents GROUP BY {_FP_SQL}",
+    )
     r["dedup_minhash_lsh"] = (_op_minhash_lsh, None)  # hash-specific: rows-only
     r["dedup_simhash"] = (_op_simhash, None)  # hash-specific: rows-only
     r["dedup_jaccard_verify"] = (
@@ -2416,8 +2450,10 @@ _HEAD = [
     "serialize_roundtrip",      # S6
     "dump_restore",             # S5
     "fulltext_all",             # T1+T2+T3+T4
-    "dedup_exact",              # LLM: exact dedup
-    "dedup_fingerprint",        # LLM: fingerprint dedup
+    "dedup_exact_fingerprint",  # LLM: exact + fingerprint dedup (merged)
+    "corpus_clean_full",        # LLM: corpus-cleaning composition
+                                #   (quality + repetition + decontaminate
+                                #   + fingerprint dedup, exact oracle)
     "dedup_jaccard_verify",     # LLM: pairwise verifier
     "dedup_minhash_lsh",        # LLM: MinHash LSH (verified, oracle)
     "dedup_simhash",            # LLM: SimHash (verified, oracle)
