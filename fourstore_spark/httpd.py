@@ -46,6 +46,28 @@ _CONTENT_TYPES = {
     "ntriples": "application/n-triples",
 }
 
+# Accept-header media type -> result format (SPARQL protocol content
+# negotiation; the explicit ``output`` parameter wins when present)
+_ACCEPT_FORMATS = {
+    "application/sparql-results+json": "json",
+    "application/json": "json",
+    "application/sparql-results+xml": "xml",
+    "application/xml": "xml",
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/n-triples": "ntriples",
+}
+
+
+def _fmt_from_accept(accept: str) -> str | None:
+    """First recognized media type in the Accept header's listed order
+    (good enough vs full q-value negotiation for the formats we serve)."""
+    for part in accept.split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in _ACCEPT_FORMATS:
+            return _ACCEPT_FORMATS[mt]
+    return None
+
 # restricted mode caps per-pattern results at the reference's default
 # soft limit (params.h.in:34: 998 per segment; FS_QUERY_RESTRICTED
 # truncation query-datatypes.c:999-1015)
@@ -172,7 +194,9 @@ class SparqlHttpServer:
                 text = params.get("query")
                 if not text:
                     return self._send(400, "missing query parameter")
-                fmt = params.get("output", "json")
+                fmt = params.get("output") or _fmt_from_accept(
+                    self.headers.get("Accept", "") or ""
+                ) or "json"
                 soft = params.get("soft-limit")
                 limit = int(soft) if soft else None
                 if "restricted" in params:

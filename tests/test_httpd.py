@@ -276,3 +276,38 @@ def test_http_apikey_acl(spark):
             assert e.code == 403
     finally:
         srv.stop()
+
+
+def test_http_accept_content_negotiation(server):
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    _post(server, "/update/", {"update":
+        'INSERT DATA { <urn:cn:s> <urn:cn:p> "v" }'})
+    q = urllib.parse.quote("SELECT ?o WHERE { <urn:cn:s> <urn:cn:p> ?o }")
+    for accept, want_ct, probe in [
+        ("text/csv", "text/csv", lambda b: b.splitlines()[0] == "o"),
+        ("application/sparql-results+xml", "application/sparql-results+xml",
+         lambda b: b.startswith("<?xml")),
+        ("application/json;q=0.9", "application/sparql-results+json",
+         lambda b: _json.loads(b)["results"]["bindings"][0]["o"]["value"]
+         == "v"),
+        ("text/tab-separated-values", "text/tab-separated-values",
+         lambda b: b.splitlines()[0] == "?o"),
+    ]:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/sparql/?query={q}",
+            headers={"Accept": accept},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith(want_ct), accept
+            assert probe(r.read().decode()), accept
+    # explicit output parameter overrides Accept
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/sparql/?query={q}&output=csv",
+        headers={"Accept": "application/sparql-results+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"].startswith("text/csv")
