@@ -68,6 +68,10 @@ TERM_DDL = "struct<kind:tinyint,lex:string,dt:string,lang:string,num:double>"
 SERVICE_MAX_GET_URL = 2000
 SERVICE_MAX_BYTES = 256 * 1024 * 1024
 SERVICE_MAX_ROWS = 1_000_000
+# bind-join (FedX-style): when the local side of a SERVICE join has at
+# most this many distinct shared-variable tuples, they ship to the
+# remote endpoint as a VALUES clause so it returns only joinable rows
+SERVICE_BIND_JOIN_MAX = 1000
 
 # serializes property-path closures: the fixpoint loop toggles a session
 # conf (constraintPropagation) around its jobs, which must not interleave
@@ -244,6 +248,22 @@ class Translator:
         if isinstance(node, A.BGP):
             return self._bgp(node.triples, graph)
         if isinstance(node, A.Join):
+            # SERVICE joined with a local pattern: translate the local
+            # side first and pass it as the bind-join restriction
+            if isinstance(node.right, A.ServicePattern) and not isinstance(
+                node.left, A.ServicePattern
+            ):
+                left = self.translate(node.left, graph)
+                return self._join(
+                    left, self._service(node.right, bound=left), "inner"
+                )
+            if isinstance(node.left, A.ServicePattern) and not isinstance(
+                node.right, A.ServicePattern
+            ):
+                right = self.translate(node.right, graph)
+                return self._join(
+                    self._service(node.left, bound=right), right, "inner"
+                )
             return self._join(
                 self.translate(node.left, graph), self.translate(node.right, graph), "inner"
             )
@@ -299,7 +319,91 @@ class Translator:
     def _unit(self) -> Sol:
         return Sol(self.spark.range(1).select(), frozenset())
 
-    def _service(self, node: A.ServicePattern) -> Sol:
+    def _service_bind_clause(
+        self, node: A.ServicePattern, prologue: str, bound: Sol
+    ) -> str:
+        """FedX-style bind join: ship the local side's distinct
+        shared-variable tuples as a VALUES clause so the endpoint only
+        returns joinable rows (instead of its full group answer).
+
+        Applied ONLY when it is provably exact: every shared variable
+        must be certainly bound on the local side (a maybe-unbound or
+        bnode value would make the pushed VALUES join duplicate remote
+        rows beyond what the plain Join(Remote, Local) produces —
+        Join(D, Local) must equal Local for the associativity argument
+        to hold), and the distinct tuple count must be small. Any other
+        case returns '' and the unrestricted fetch runs."""
+        try:
+            from fourstore_spark.sparql.parser import parse_query
+
+            inner = parse_query(
+                f"{prologue}SELECT * WHERE {node.group_text}"
+            )
+        except Exception:
+            return ""
+        rvars: set = set()
+
+        def walk(x):
+            if isinstance(x, A.Var):
+                rvars.add(x.name)
+            elif isinstance(x, A.Extend):
+                rvars.add(x.var)
+                walk(x.pattern)
+                walk(x.expr)
+            elif isinstance(x, A.ValuesTable):
+                rvars.update(x.variables)
+            elif isinstance(x, (list, tuple)):
+                for y in x:
+                    walk(y)
+            elif hasattr(x, "__dataclass_fields__"):
+                for f in x.__dataclass_fields__:
+                    walk(getattr(x, f))
+
+        walk(inner.pattern)
+        shared = sorted(set(bound.df.columns) & rvars)
+        if not shared or not set(shared) <= bound.certain:
+            return ""
+        rows = (
+            bound.df.select(*shared)
+            .distinct()
+            .limit(SERVICE_BIND_JOIN_MAX + 1)
+            .collect()
+        )
+        if not rows or len(rows) > SERVICE_BIND_JOIN_MAX:
+            return ""
+        out_rows = []
+        for r in rows:
+            toks = []
+            for v in shared:
+                t = r[v]
+                if t is None or t["kind"] is None:
+                    return ""  # certainty contract violated: bail out
+                if t["kind"] == KIND_URI:
+                    toks.append(f"<{t['lex']}>")
+                elif t["kind"] == KIND_BNODE:
+                    return ""  # bnodes can't ship (and can't dedup-join)
+                else:
+                    lex = (
+                        (t["lex"] or "")
+                        .replace("\\", "\\\\")
+                        .replace('"', '\\"')
+                        .replace("\n", "\\n")
+                        .replace("\r", "\\r")
+                        .replace("\t", "\\t")
+                    )
+                    if t["lang"]:
+                        toks.append(f'"{lex}"@{t["lang"]}')
+                    elif t["dt"]:
+                        toks.append(f'"{lex}"^^<{t["dt"]}>')
+                    else:
+                        toks.append(f'"{lex}"')
+            out_rows.append("(" + " ".join(toks) + ")")
+        head = " ".join("?" + v for v in shared)
+        return f"VALUES ({head}) {{ {' '.join(out_rows)} }}"
+
+    def _service(
+        self, node: A.ServicePattern, bound: Sol | None = None
+    ) -> Sol:
         """SPARQL 1.1 Federated Query (beyond the reference): the inner
         group ships verbatim as ``SELECT *`` to the remote SPARQL-protocol
         endpoint; the results-JSON bindings land in a local DataFrame of
@@ -325,7 +429,12 @@ class Translator:
             # re-declare the query-level BASE so relative IRIs inside the
             # shipped group resolve identically at the remote endpoint
             prologue = f"BASE <{node.base}>\n" + prologue
-        q = f"{prologue}SELECT * WHERE {node.group_text}"
+        group = node.group_text
+        if bound is not None:
+            bind = self._service_bind_clause(node, prologue, bound)
+            if bind:
+                group = "{ " + group + " " + bind + " }"
+        q = f"{prologue}SELECT * WHERE {group}"
         params = urllib.parse.urlencode({"query": q, "output": "json"})
         sep = "&" if "?" in node.endpoint else "?"
         url = node.endpoint + sep + params

@@ -180,3 +180,28 @@ def test_service_prologue_redeclares_base(local, monkeypatch):
         urllib.parse.urlparse(captured["url"]).query
     )["query"][0]
     assert sent.startswith("BASE <http://ex.org/ns/>")
+
+
+def test_service_bind_join_ships_values(local, remote, monkeypatch):
+    # FedX-style bind join: the local side's distinct shared tuples ship
+    # as a VALUES clause, so the endpoint returns only joinable rows
+    sent = {}
+    real = urllib.request.urlopen
+
+    def spy(req, timeout=None):
+        sent["url"] = getattr(req, "full_url", str(req))
+        sent["data"] = getattr(req, "data", None)
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(urllib.request, "urlopen", spy)
+    q = f"""SELECT ?y ?nm WHERE {{
+        <urn:a> <urn:knows> ?y
+        SERVICE <http://127.0.0.1:{remote.port}/sparql/> {{
+            ?y <urn:name> ?nm }} }}"""
+    got = sorted(tuple(r) for r in local.select(q).collect())
+    assert got == [("urn:b", "Remote-B")]
+    shipped = urllib.parse.unquote_plus(
+        sent["url"] if sent["data"] is None else sent["data"].decode()
+    )
+    assert "VALUES (?y)" in shipped, shipped
+    assert "<urn:b>" in shipped and "<urn:x>" in shipped
