@@ -269,7 +269,13 @@ class Translator:
             )
         if isinstance(node, A.LeftJoin):
             left = self.translate(node.left, graph)
-            right = self.translate(node.right, graph)
+            if isinstance(node.right, A.ServicePattern):
+                # OPTIONAL { SERVICE ... }: same bind-join restriction as
+                # the inner-join case (unmatched left rows null-pad
+                # identically either way)
+                right = self._service(node.right, bound=left)
+            else:
+                right = self.translate(node.right, graph)
             if node.expr is not None and _expr_contains_exists(node.expr):
                 return self._leftjoin_exists(left, right, node.expr, graph)
             return self._join(left, right, "left", expr=node.expr)

@@ -205,3 +205,14 @@ def test_service_bind_join_ships_values(local, remote, monkeypatch):
     )
     assert "VALUES (?y)" in shipped, shipped
     assert "<urn:b>" in shipped and "<urn:x>" in shipped
+
+
+def test_optional_service_bind_join(local, remote):
+    # OPTIONAL { SERVICE ... }: matched rows get remote values, unmatched
+    # local rows survive unbound; the bind-join restriction applies
+    q = f"""SELECT ?y ?nm WHERE {{
+        <urn:a> <urn:knows> ?y
+        OPTIONAL {{ SERVICE <http://127.0.0.1:{remote.port}/sparql/> {{
+            ?y <urn:name> ?nm }} }} }}"""
+    got = sorted((r["y"], r["nm"]) for r in local.select(q).collect())
+    assert got == [("urn:b", "Remote-B"), ("urn:x", None)]
