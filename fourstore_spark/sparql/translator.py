@@ -304,7 +304,12 @@ class Translator:
             out = base.df.withColumn(node.var, col)
             if markers:
                 out = out.drop(*markers)
-            return Sol(out, base.certain, base.est_rows)
+            # BIND adds a derived column: scan provenance of existing
+            # vars is untouched (the new var has no predicate)
+            vp = base.var_pred
+            if vp and node.var in vp:
+                vp = {k: v for k, v in vp.items() if k != node.var} or None
+            return Sol(out, base.certain, base.est_rows, vp)
         if isinstance(node, A.GraphPattern):
             return self.translate(node.pattern, graph=node.graph)
         if isinstance(node, A.ValuesTable):
@@ -1590,7 +1595,16 @@ class Translator:
         # missing columns null-padded
         df = left.df.unionByName(right.df, allowMissingColumns=True)
         certain = frozenset(left.certain & right.certain)
-        return Sol(df, certain)
+        # provenance survives only where BOTH branches agree (a var bound
+        # from different predicates per branch loses its entry)
+        vp = None
+        if left.var_pred and right.var_pred:
+            vp = {
+                k: v
+                for k, v in left.var_pred.items()
+                if right.var_pred.get(k) == v
+            } or None
+        return Sol(df, certain, var_pred=vp)
 
     def _minus(self, left: Sol, right: Sol) -> Sol:
         """SPARQL MINUS (fs_binding_minus, query-datatypes.c:1120):
@@ -1602,6 +1616,7 @@ class Translator:
         return Sol(
             self._compat_join(left, right, "anti", require_overlap=True),
             left.certain,
+            var_pred=left.var_pred,
         )
 
     def _filter(self, node: A.Filter, graph) -> Sol:
@@ -1669,9 +1684,17 @@ class Translator:
             # blocking .count() at plan time.
             probe = inner.df.limit(1).select(F.lit(1).alias(self._fresh("ex")))
             how0 = "left_anti" if e.negated else "left_semi"
-            return Sol(base.df.join(probe, F.lit(True), how0), base.certain)
+            return Sol(
+                base.df.join(probe, F.lit(True), how0),
+                base.certain,
+                var_pred=base.var_pred,
+            )
         how = "anti" if e.negated else "semi"
-        return Sol(self._compat_join(base, inner, how, expr=expr), base.certain)
+        return Sol(
+            self._compat_join(base, inner, how, expr=expr),
+            base.certain,
+            var_pred=base.var_pred,
+        )
 
     def _leftjoin_exists(
         self, left: Sol, right: Sol, expr, graph
