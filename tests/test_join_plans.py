@@ -217,6 +217,7 @@ def test_slim_aggregate_path_matches_general(spark, tmp_path):
         + [f'<urn:d{i}> <urn:dbl> "{i}.5"^^<{XSD}double> .' for i in range(8)]
         + [f'<urn:d{i}> <urn:int> "{i * 7}"^^<{XSD}integer> .' for i in range(8)]
         + [f'<urn:d{i}> <urn:grp> "g{i % 3}" .' for i in range(8)]
+        + [f"<urn:m{i}> <urn:of> <urn:d{i}> ." for i in range(8)]
     )
     path = str(tmp_path / "slim_store")
     manifest = write_store(quads_from_nt_text(spark, nt), path, partitions=2)
@@ -233,6 +234,9 @@ def test_slim_aggregate_path_matches_general(spark, tmp_path):
         "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) WHERE "
         "{ ?d <urn:nosuch> ?v }",
         "SELECT (AVG(?c) AS ?a) WHERE { ?d <urn:int> ?c }",
+        # provenance must survive the join (the q5 shape)
+        "SELECT (SUM(?a) AS ?s) WHERE { ?m <urn:of> ?d . "
+        "?d <urn:dec> ?a }",
     ]
     for q in queries:
         assert stats.query(q).serialize("json") == plain.query(q).serialize(
