@@ -44,6 +44,7 @@ _CONTENT_TYPES = {
     "csv": "text/csv",
     "tsv": "text/tab-separated-values",
     "ntriples": "application/n-triples",
+    "rdfxml": "application/rdf+xml",
 }
 
 # Accept-header media type -> result format (SPARQL protocol content
@@ -56,6 +57,7 @@ _ACCEPT_FORMATS = {
     "text/csv": "csv",
     "text/tab-separated-values": "tsv",
     "application/n-triples": "ntriples",
+    "application/rdf+xml": "rdfxml",
 }
 
 
@@ -218,7 +220,7 @@ class SparqlHttpServer:
                         default_graph_uri=mp.get("default-graph-uri"),
                         named_graph_uri=mp.get("named-graph-uri"),
                     )
-                    if res.form in ("CONSTRUCT", "DESCRIBE"):
+                    if res.form in ("CONSTRUCT", "DESCRIBE") and fmt != "rdfxml":
                         fmt = "ntriples"
                     body = res.serialize(fmt)
                 except Exception as exc:  # noqa: BLE001 — 4xx per httpd.c

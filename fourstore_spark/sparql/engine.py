@@ -45,8 +45,12 @@ class SparqlResult:
         from fourstore_spark.sparql import results_io as R
 
         if self.form in ("CONSTRUCT", "DESCRIBE"):
+            if fmt in ("rdfxml", "rdf+xml", "rdf-xml"):
+                return R.graph_rdfxml(self.df)
             if fmt not in ("ntriples", "nt"):
-                raise ValueError(f"graph results serialize to ntriples, not {fmt}")
+                raise ValueError(
+                    f"graph results serialize to ntriples/rdfxml, not {fmt}"
+                )
             return R.graph_ntriples(self.df)
         ask = self.ask() if self.form == "ASK" else None
         if fmt == "json":

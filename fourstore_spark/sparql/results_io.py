@@ -201,3 +201,56 @@ def graph_ntriples(df) -> str:
                 o += f"^^<{row['o_dt']}>"
         lines.append(f"{s} {p} {o} .")
     return "\n".join(lines) + ("\n" if lines else "")
+
+
+def graph_rdfxml(df) -> str:
+    """Triples DataFrame (CONSTRUCT/DESCRIBE output schema) -> RDF/XML
+    (the reference serializes graphs via Raptor in multiple syntaxes;
+    results.c:1659-1898 + Raptor serializer selection). One
+    rdf:Description per subject occurrence; predicates split into
+    namespace + local name at the last #, / or : boundary."""
+    import re as _re
+
+    bn = _BnodeNamer()
+    out = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+    ]
+    split = _re.compile(r"^(.*[#/:])([A-Za-z_][\w.-]*)$")
+
+    for row in df.toLocalIterator():
+        m = split.match(row["p"])
+        if not m:
+            # predicate IRI with no splittable local name cannot be an
+            # XML element — skip (Raptor errors similarly)
+            continue
+        ns, local = m.group(1), m.group(2)
+        if row["s_kind"] == KIND_BNODE:
+            subj = f'rdf:nodeID="{xml_escape(bn(row["s"]))}"'
+        else:
+            subj = f'rdf:about="{xml_escape(row["s"])}"'
+        if row["o_kind"] == KIND_URI:
+            obj = (
+                f'<{local} xmlns="{xml_escape(ns)}" '
+                f'rdf:resource="{xml_escape(row["o_lex"])}"/>'
+            )
+        elif row["o_kind"] == KIND_BNODE:
+            obj = (
+                f'<{local} xmlns="{xml_escape(ns)}" '
+                f'rdf:nodeID="{xml_escape(bn(row["o_lex"]))}"/>'
+            )
+        else:
+            attrs = ""
+            if row["o_lang"]:
+                attrs = f' xml:lang="{xml_escape(row["o_lang"])}"'
+            elif row["o_dt"]:
+                attrs = f' rdf:datatype="{xml_escape(row["o_dt"])}"'
+            obj = (
+                f'<{local} xmlns="{xml_escape(ns)}"{attrs}>'
+                f'{xml_escape(row["o_lex"] or "")}</{local}>'
+            )
+        out.append(f'  <rdf:Description {subj}>')
+        out.append(f"    {obj}")
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out) + "\n"

