@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("store")
     q.add_argument("query", help="SPARQL text, or - for stdin")
     q.add_argument("-f", "--format", default="tsv",
-                   choices=["json", "xml", "csv", "tsv", "ntriples"])
+                   choices=["json", "xml", "csv", "tsv", "ntriples",
+                            "turtle", "rdfxml"])
     q.add_argument("--soft-limit", type=int, default=None)
 
     imp = sub.add_parser("import")
@@ -97,7 +98,9 @@ def main(argv: list[str] | None = None) -> int:
         text = sys.stdin.read() if args.query == "-" else args.query
         res = _engine(spark, args.store).query(text, soft_limit=args.soft_limit)
         fmt = args.format
-        if res.form in ("CONSTRUCT", "DESCRIBE"):
+        if res.form in ("CONSTRUCT", "DESCRIBE") and fmt not in (
+            "turtle", "rdfxml"
+        ):
             fmt = "ntriples"
         sys.stdout.write(res.serialize(fmt))
         return 0

@@ -45,6 +45,7 @@ _CONTENT_TYPES = {
     "tsv": "text/tab-separated-values",
     "ntriples": "application/n-triples",
     "rdfxml": "application/rdf+xml",
+    "turtle": "text/turtle",
 }
 
 # Accept-header media type -> result format (SPARQL protocol content
@@ -58,6 +59,7 @@ _ACCEPT_FORMATS = {
     "text/tab-separated-values": "tsv",
     "application/n-triples": "ntriples",
     "application/rdf+xml": "rdfxml",
+    "text/turtle": "turtle",
 }
 
 
@@ -220,7 +222,9 @@ class SparqlHttpServer:
                         default_graph_uri=mp.get("default-graph-uri"),
                         named_graph_uri=mp.get("named-graph-uri"),
                     )
-                    if res.form in ("CONSTRUCT", "DESCRIBE") and fmt != "rdfxml":
+                    if res.form in ("CONSTRUCT", "DESCRIBE") and fmt not in (
+                        "rdfxml", "turtle"
+                    ):
                         fmt = "ntriples"
                     body = res.serialize(fmt)
                 except Exception as exc:  # noqa: BLE001 — 4xx per httpd.c

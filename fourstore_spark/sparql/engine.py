@@ -47,9 +47,12 @@ class SparqlResult:
         if self.form in ("CONSTRUCT", "DESCRIBE"):
             if fmt in ("rdfxml", "rdf+xml", "rdf-xml"):
                 return R.graph_rdfxml(self.df)
+            if fmt in ("turtle", "ttl"):
+                return R.graph_turtle(self.df)
             if fmt not in ("ntriples", "nt"):
                 raise ValueError(
-                    f"graph results serialize to ntriples/rdfxml, not {fmt}"
+                    "graph results serialize to ntriples/turtle/rdfxml, "
+                    f"not {fmt}"
                 )
             return R.graph_ntriples(self.df)
         ask = self.ask() if self.form == "ASK" else None

@@ -254,3 +254,49 @@ def graph_rdfxml(df) -> str:
         out.append("  </rdf:Description>")
     out.append("</rdf:RDF>")
     return "\n".join(out) + "\n"
+
+
+def graph_turtle(df) -> str:
+    """Triples DataFrame -> Turtle, grouped by subject with ``;``
+    predicate lists (Raptor's turtle serializer parity). Terms use the
+    N-Triples forms (no prefix compression — correct and simple; any
+    Turtle parser accepts it)."""
+
+    def esc(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    bn = _BnodeNamer()
+    by_subject: dict = {}
+    order: list = []
+    for row in df.toLocalIterator():
+        s = (
+            "_:" + bn(row["s"])
+            if row["s_kind"] == KIND_BNODE
+            else f"<{row['s']}>"
+        )
+        p = f"<{row['p']}>"
+        if row["o_kind"] == KIND_URI:
+            o = f"<{row['o_lex']}>"
+        elif row["o_kind"] == KIND_BNODE:
+            o = "_:" + bn(row["o_lex"])
+        else:
+            o = f'"{esc(row["o_lex"])}"'
+            if row["o_lang"]:
+                o += f"@{row['o_lang']}"
+            elif row["o_dt"]:
+                o += f"^^<{row['o_dt']}>"
+        if s not in by_subject:
+            by_subject[s] = []
+            order.append(s)
+        by_subject[s].append(f"{p} {o}")
+    blocks = [
+        f"{s} " + " ;\n    ".join(pos) + " ." for s in order
+        for pos in [by_subject[s]]
+    ]
+    return "\n".join(blocks) + ("\n" if blocks else "")

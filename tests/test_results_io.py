@@ -145,3 +145,32 @@ def test_construct_rdfxml_roundtrip(spark):
     assert any(o[0] == "uri" and o[1] == "urn:s2" for o in objs) or any(
         "urn:s2" in str(o) for o in objs
     )
+
+
+def test_construct_turtle_roundtrip(spark):
+    """CONSTRUCT -> Turtle (subject-grouped ';' lists) -> our own Turtle
+    parser -> the same triples."""
+    from fourstore_spark.sources.rdfio import (
+        quads_from_nt_text,
+        quads_from_turtle,
+    )
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    nt = (
+        '<urn:s1> <urn:ns#name> "Alpha"@en .\n'
+        '<urn:s1> <urn:ns#size> '
+        '"4"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        "<urn:s1> <urn:ns#link> <urn:s2> .\n"
+        '<urn:s2> <urn:ns#name> "Beta \\"q\\"" .'
+    )
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    ttl = eng.query(
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"
+    ).serialize("turtle")
+    assert " ;\n    " in ttl  # subject grouping actually happened
+    back = quads_from_turtle(spark, ttl)
+    orig = quads_from_nt_text(spark, nt)
+    key = ["s", "s_kind", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+    assert sorted(map(tuple, back.select(*key).collect())) == sorted(
+        map(tuple, orig.select(*key).collect())
+    )
