@@ -91,8 +91,99 @@ def main(argv: list[str] | None = None) -> int:
     dmp.add_argument("store")
     dmp.add_argument("out")
 
+    inf = sub.add_parser(
+        "info", help="store layout + statistics (== 4s-info / backend-info)"
+    )
+    inf.add_argument("store")
+
+    cmp_ = sub.add_parser(
+        "compact",
+        help="rewrite fragmented predicate dirs, refresh property table",
+    )
+    cmp_.add_argument("store")
+    cmp_.add_argument("--predicate", action="append", default=None,
+                      help="force-compact this predicate (repeatable)")
+    cmp_.add_argument("--no-rebuild-subjects", action="store_true")
+
+    rid = sub.add_parser(
+        "rid", help="print the 64-bit RID of an RDF term (== 4s-rid)"
+    )
+    rid.add_argument(
+        "term",
+        help="N-Triples term: <iri>, _:label, \"lit\", \"lit\"@lang, "
+        "\"lit\"^^<dt>",
+    )
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "info":
+        # 4s-info / backend-info (src/frontend/4s-info.c,
+        # src/utilities/backend-info.c): store layout + stats straight
+        # from the manifest — no Spark session needed
+        import json as _json
+
+        from fourstore_spark.store import pred_dir_map, read_manifest
+
+        man = read_manifest(args.store)
+        if not man:
+            print(f"no store manifest at {args.store}", file=sys.stderr)
+            return 1
+        dirs = pred_dir_map(args.store)
+        out = {
+            "format": man.get("format"),
+            "rows": man.get("rows"),
+            "partitions": man.get("partitions"),
+            "predicates": len(dirs),
+            "property_table": not man.get("subjects_stale"),
+            "single_valued_preds": len(man.get("single_valued_preds") or []),
+            "pred_stats": man.get("pred_stats"),
+        }
+        print(_json.dumps(out, indent=2))
+        return 0
+
     spark = _spark()
+
+    if args.cmd == "compact":
+        import json as _json
+
+        from fourstore_spark.store import compact_store
+
+        man = compact_store(
+            spark,
+            args.store,
+            predicates=args.predicate,
+            rebuild_subjects=not args.no_rebuild_subjects,
+        )
+        print(_json.dumps(man.get("last_compaction", {})))
+        return 0
+
+    if args.cmd == "rid":
+        # 4s-rid (src/utilities/4s-rid.c): prints the RID a term hashes
+        # to; here the engine's 64-bit term key (translator.term_rid)
+        from pyspark.sql import functions as F
+
+        from fourstore_spark.model import KIND_BNODE, KIND_LITERAL, KIND_URI
+        from fourstore_spark.sources.rdfio import _TERM_RE, _unescape
+
+        m = _TERM_RE.match(args.term)
+        if not m or m.group("dot") is not None:
+            print(f"unparsable term: {args.term!r}", file=sys.stderr)
+            return 1
+        if m.group("iri") is not None:
+            kind, lex, dt, lang = KIND_URI, _unescape(m.group("iri")), None, None
+        elif m.group("bnode") is not None:
+            kind, lex, dt, lang = KIND_BNODE, m.group("bnode"), None, None
+        else:
+            kind, lex = KIND_LITERAL, _unescape(m.group("lit"))
+            dt = m.group("dt")
+            lang = m.group("lang").lower() if m.group("lang") else None
+        row = spark.range(1).select(
+            F.xxhash64(
+                F.lit(kind).cast("tinyint"), F.lit(lex), F.lit(dt), F.lit(lang)
+            ).alias("rid")
+        ).head()
+        print(row["rid"])
+        return 0
 
     if args.cmd == "query":
         text = sys.stdin.read() if args.query == "-" else args.query

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -325,18 +326,142 @@ def append_quads(
         manifest["subjects_stale"] = True
     new.unpersist()
     if rebuild_subjects and manifest.get("subjects_stale"):
-        stored = spark.read.parquet(path)
-        stats_rows = _stats_pass(stored)
-        pred_columns, single_valued = _write_subjects(
-            stored, path, partitions, stats_rows
+        _rebuild_subjects(spark, path, manifest, partitions)
+    with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def _rebuild_subjects(
+    spark: SparkSession, path: str, manifest: dict, partitions: int
+) -> None:
+    """Full property-table + stats refresh (one groupBy over the store);
+    mutates ``manifest`` in place, caller persists it."""
+    stored = spark.read.parquet(path)
+    stats_rows = _stats_pass(stored)
+    pred_columns, single_valued = _write_subjects(
+        stored, path, partitions, stats_rows
+    )
+    manifest["pred_columns"] = pred_columns
+    manifest["single_valued_preds"] = single_valued
+    manifest["pred_stats"] = {
+        r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows
+    }
+    manifest["pred_numeric_dt"] = _numeric_dt_stats(stats_rows)
+    manifest["subjects_stale"] = False
+
+
+def _parquet_file_count(d: str) -> int:
+    try:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    except FileNotFoundError:
+        return 0
+
+
+def pred_dir_map(path: str) -> dict:
+    """predicate value -> its partition directory inside the store.
+
+    Partition directory names carry Hadoop's %xx path escaping of the
+    predicate IRI; ``unquote`` inverts it (Hadoop escapes a superset of
+    URL-reserved chars, always as %-hex, so generic unquoting is exact).
+    """
+    out = {}
+    for name in os.listdir(path):
+        if name.startswith("p=") and os.path.isdir(os.path.join(path, name)):
+            out[urllib.parse.unquote(name[2:])] = os.path.join(path, name)
+    return out
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    predicates: list | None = None,
+    rebuild_subjects: bool = True,
+) -> dict:
+    """Rewrite fragmented predicate directories back into the bucketed,
+    s-sorted layout, and refresh a stale property table.
+
+    Every ``append_quads`` (or engine INSERT) adds at least one new file
+    per touched predicate directory and leaves the directory's files
+    unsorted relative to each other — at 100 TB a long-lived appending
+    store degrades into the classic small-files problem: scan task counts
+    grow with append count, not data size, and per-file s-sort row-group
+    pruning stops helping. The reference never faces this because its
+    ptree indexes are updated in place (src/backend/ptree.c); a
+    parquet-immutable layout needs periodic compaction instead.
+
+    Fragmentation is detected from the manifest's per-predicate row
+    shares: a directory whose file count exceeds its bucket target
+    (same formula as write_store) is rewritten. Only fragmented
+    directories are read or written — one pruned read, one bucketed
+    sorted write into a hidden staging dir, then an atomic per-directory
+    swap, so untouched predicates (the bulk of a 100 TB store) move zero
+    bytes. Pass ``predicates`` to force-compact a specific set.
+    """
+    import shutil
+
+    manifest = read_manifest(path)
+    if not manifest:
+        raise ValueError(f"no store manifest at {path}")
+    partitions = int(manifest.get("partitions") or 32)
+    pred_stats = manifest.get("pred_stats") or {}
+    total = sum(n for n, _ in pred_stats.values()) or 1
+    targets = {
+        p: max(1, round(n * partitions / total))
+        for p, (n, _) in pred_stats.items()
+    }
+    dirs = pred_dir_map(path)
+    if predicates is None:
+        touched = [
+            p
+            for p, d in dirs.items()
+            if _parquet_file_count(d) > targets.get(p, partitions)
+        ]
+    else:
+        touched = [p for p in predicates if p in dirs]
+    compacted = {}
+    if touched:
+        bucket_of = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for p in touched
+                    for x in (F.lit(p), F.lit(targets.get(p, partitions)))
+                ]
+            ),
+            F.col("p"),
         )
-        manifest["pred_columns"] = pred_columns
-        manifest["single_valued_preds"] = single_valued
-        manifest["pred_stats"] = {
-            r["p"]: [int(r["n"]), int(r["ns"])] for r in stats_rows
-        }
-        manifest["pred_numeric_dt"] = _numeric_dt_stats(stats_rows)
-        manifest["subjects_stale"] = False
+        slice_df = spark.read.parquet(path).where(F.col("p").isin(touched))
+        tmp = os.path.join(path, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            slice_df.repartition(
+                max(2, 2 * sum(targets.get(p, partitions) for p in touched)),
+                F.col("p"),
+                F.pmod(F.xxhash64(F.col("s")), bucket_of),
+            )
+            .sortWithinPartitions("p", "s")
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .parquet(tmp)
+        )
+        # atomic per-directory swap: readers opened after the rename see
+        # the compacted files; single-writer discipline (as everywhere in
+        # this store) is assumed during the swap itself
+        for name in os.listdir(tmp):
+            if not name.startswith("p="):
+                continue
+            before = _parquet_file_count(os.path.join(path, name))
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            os.rename(os.path.join(tmp, name), os.path.join(path, name))
+            compacted[urllib.parse.unquote(name[2:])] = [
+                before,
+                _parquet_file_count(os.path.join(path, name)),
+            ]
+        shutil.rmtree(tmp, ignore_errors=True)
+    if rebuild_subjects and manifest.get("subjects_stale"):
+        _rebuild_subjects(spark, path, manifest, partitions)
+    manifest["last_compaction"] = {p: c for p, c in sorted(compacted.items())}
     with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
     return manifest

@@ -122,3 +122,55 @@ def test_append_bnode_subject_not_deduped_against_uri(spark, tmp_path):
     # and re-appending the same bnode quad IS dropped (idempotent)
     man2 = append_quads(delta, path)
     assert man2["rows"] == 4
+
+
+def test_compact_store_defragments_and_rebuilds(spark, tmp_path):
+    from fourstore_spark.store import (
+        compact_store,
+        pred_dir_map,
+        _parquet_file_count,
+    )
+
+    path = _build(spark, tmp_path)
+    # three appends fragment <urn:p>'s directory (>=1 new file each)
+    for i in range(3):
+        append_quads(
+            quads_from_nt_text(spark, f'<urn:c{i}> <urn:p> "w{i}" .'), path
+        )
+    before = _parquet_file_count(pred_dir_map(path)["urn:p"])
+    man = compact_store(spark, path)
+    after = _parquet_file_count(pred_dir_map(path)["urn:p"])
+    assert after < before
+    assert "urn:p" in man["last_compaction"]
+    assert man["last_compaction"]["urn:p"] == [before, after]
+    # compaction rebuilt the stale property table by default
+    assert man["subjects_stale"] is False
+    eng = SparqlEngine.from_store(spark, path)
+    assert eng.subjects is not None
+    got = sorted(
+        r["o"]
+        for r in eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()
+    )
+    assert got == ["v1", "v2", "w0", "w1", "w2"]
+    # stats refreshed: fan-out is still 1 for urn:p, eligibility restored
+    assert "urn:p" in man["single_valued_preds"]
+    # idempotent: a second compaction finds nothing fragmented
+    man2 = compact_store(spark, path)
+    assert man2["last_compaction"] == {}
+
+
+def test_compact_store_untouched_predicates_keep_files(spark, tmp_path):
+    import os as _os
+
+    from fourstore_spark.store import compact_store, pred_dir_map
+
+    path = _build(spark, tmp_path)
+    q_dir = pred_dir_map(path)["urn:q"]
+    q_files = sorted(_os.listdir(q_dir))
+    for i in range(3):
+        append_quads(
+            quads_from_nt_text(spark, f'<urn:c{i}> <urn:p> "w{i}" .'), path
+        )
+    compact_store(spark, path)
+    # <urn:q> was never fragmented: its directory moved zero bytes
+    assert sorted(_os.listdir(q_dir)) == q_files
