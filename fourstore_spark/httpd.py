@@ -17,7 +17,10 @@ Mirrors the reference's httpd surface (/root/reference/src/http/httpd.c):
 - ``POST /data/`` — append body to graph given by ``graph`` param
   (httpd.c:755-810)
 - ``DELETE /data/<graph-uri>`` — drop graph
-- ``GET /status/`` and ``/status/size/`` (httpd.c:363-370)
+- ``GET /status/``, ``/status/size/``, ``/status/cache/`` — HTML status
+  reports (httpd.c:832-1002); ``GET /test/`` — HTML query form
+  (httpd.c:1070-1100); ``GET /description/`` — Turtle service
+  description (httpd.c:1003-1069, on the W3C sd vocabulary)
 
 This is a thin driver-side façade: every request builds lazy DataFrames
 and streams results; Spark does the heavy lifting exactly as in the
@@ -27,6 +30,7 @@ front of a long-lived SparkSession the same way.
 
 from __future__ import annotations
 
+import html
 import json
 import re
 import threading
@@ -112,8 +116,13 @@ class SparqlHttpServer:
         self._write_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        # queries against the live store must see updates: engine reads
-        # ue.quads at request time
+        # queries against the live store must see updates, BUT rebuilding
+        # a SparqlEngine per request throws away its compiled-plan cache
+        # (the whole point of fs_query_cache): cache ONE engine per quads
+        # snapshot — updates swap ue.quads to a new DataFrame object,
+        # which invalidates this by identity
+        self._engine_for: object | None = None
+        self._engine: SparqlEngine | None = None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -151,7 +160,12 @@ class SparqlHttpServer:
                 access control is on. Returns (engine, error_response)."""
                 acl = outer.graph_access_control
                 if acl is None:
-                    return SparqlEngine(outer.spark, outer.ue.quads), None
+                    if outer._engine_for is not outer.ue.quads:
+                        outer._engine = SparqlEngine(
+                            outer.spark, outer.ue.quads
+                        )
+                        outer._engine_for = outer.ue.quads
+                    return outer._engine, None
                 key = params.get("apikey")
                 if not key:
                     # httpd.c:1157 wording
@@ -240,14 +254,118 @@ class SparqlHttpServer:
                     )
                 self._send(200, body, _CONTENT_TYPES.get(fmt, "text/plain"))
 
+            def _page(self, title: str, body: str):
+                # the reference's status pages are minimal HTML 2.0
+                # documents (http_status_report httpd.c:832-881 etc.)
+                self._send(
+                    200,
+                    "<!DOCTYPE html>\n<html><head><title>"
+                    f"{title}</title></head>\n<body><h1>{title}</h1>\n"
+                    f"{body}</body></html>\n",
+                    "text/html",
+                )
+
             def do_GET(self):
                 url = urllib.parse.urlparse(self.path)
-                if url.path.rstrip("/") == "/sparql":
+                path = url.path.rstrip("/") or "/"
+                if path == "/sparql":
                     return self._query(self._params(), self._multi)
-                if url.path.rstrip("/") == "/status":
-                    return self._send(200, "4store-spark: running\n")
-                if url.path.rstrip("/") == "/status/size":
-                    return self._send(200, f"{outer.ue.quads.count()}\n")
+                if path == "/status":
+                    # http_status_report (httpd.c:832-881): server state +
+                    # links; no Spark job runs for a status ping
+                    return self._page(
+                        "SPARQL httpd server status",
+                        "<p>4store-spark: running</p>\n"
+                        '<p><a href="/status/size/">store size info</a></p>\n'
+                        '<p><a href="/status/cache/">cache stats</a></p>\n'
+                        '<p><a href="/test/">Execute a test query</a></p>\n',
+                    )
+                if path == "/status/size":
+                    # http_size_report (httpd.c:959-1002): per-segment
+                    # quads/models/resources; here per-predicate quads
+                    # (the store's partition unit) + totals
+                    from pyspark.sql import functions as F
+
+                    rows = (
+                        outer.ue.quads.groupBy("p")
+                        .count()
+                        .orderBy("p")
+                        .collect()
+                    )
+                    models = outer.ue.quads.select("g").distinct().count()
+                    body = [
+                        "<table><tr><th>predicate</th><th>quads</th></tr>\n"
+                    ]
+                    total = 0
+                    for r in rows:
+                        total += r["count"]
+                        body.append(
+                            f"<tr><td>{html.escape(r['p'])}</td>"
+                            f"<td>{r['count']}</td></tr>\n"
+                        )
+                    body.append(
+                        f"<tr><th>Total</th><td>{total}</td></tr></table>\n"
+                        f"<p>models: {models}</p>\n"
+                    )
+                    return self._page(
+                        "SPARQL httpd server status - size", "".join(body)
+                    )
+                if path == "/status/cache":
+                    # http_cache_report (httpd.c:882-957): RID-cache hit
+                    # stats; here the compiled-plan cache's (under ACL
+                    # mode engines are per-request, so a fresh one — all
+                    # zeros — stands in)
+                    eng = outer._engine or SparqlEngine(
+                        outer.spark, outer.ue.quads
+                    )
+                    return self._page(
+                        "SPARQL httpd server status - cache",
+                        "<table border=1 cellpadding=6>\n"
+                        f"<tr><td>cache_entries</td><td>{len(eng._plan_cache)}"
+                        "</td></tr>\n"
+                        f"<tr><td>cache_limit</td><td>{eng._plan_cache_cap}"
+                        "</td></tr>\n"
+                        f"<tr><td>cache_hits</td><td>{eng._plan_cache_hits}"
+                        "</td></tr>\n"
+                        f"<tr><td>cache_fail</td><td>{eng._plan_cache_misses}"
+                        "</td></tr>\n</table>\n",
+                    )
+                if path == "/description":
+                    # http_service_description (httpd.c:1003-1069), on the
+                    # W3C SPARQL 1.1 Service Description vocabulary
+                    fmts = "\n".join(
+                        f"  sd:resultFormat <urn:media:{mt}> ;"
+                        for mt in sorted(_CONTENT_TYPES.values())
+                    )
+                    desc = (
+                        "@prefix sd: <http://www.w3.org/ns/"
+                        "sparql-service-description#> .\n"
+                        "@prefix void: <http://rdfs.org/ns/void#> .\n"
+                        "[] a sd:Service ;\n"
+                        "  sd:supportedLanguage sd:SPARQL11Query, "
+                        "sd:SPARQL11Update ;\n"
+                        f"{fmts}\n"
+                        "  sd:endpoint </sparql/> .\n"
+                    )
+                    return self._send(200, desc, "text/turtle")
+                if path == "/test":
+                    # http_query_widget (httpd.c:1070-1100)
+                    opts = "\n".join(
+                        f"<option>{f}</option>"
+                        for f in ("json", "xml", "csv", "tsv")
+                    )
+                    return self._page(
+                        "SPARQL httpd test query",
+                        '<form action="/sparql/" method="post">\n'
+                        '<textarea name="query" cols="80" rows="18">\n'
+                        "SELECT * WHERE {\n ?s ?p ?o\n} LIMIT 10\n"
+                        "</textarea><br>\n"
+                        "<em>Soft limit</em> "
+                        '<input type="text" name="soft-limit">\n'
+                        f'<select name="output">\n{opts}\n</select>\n'
+                        '<input type="submit" value="Execute">'
+                        '<input type="reset">\n</form>\n',
+                    )
                 self._send(404, "not found")
 
             def _write_denied(self, params: dict) -> bool:

@@ -8,6 +8,8 @@ src/frontend/results.c:2598) — Spark's actions are the pull model.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,6 +170,11 @@ class SparqlEngine:
 
         self._plan_cache: "OrderedDict" = OrderedDict()
         self._plan_cache_cap = 256
+        # stats for /status/cache/ (the reference tracks cache_hits /
+        # cache_fail per bind cache, query-cache.c + httpd.c:882-957)
+        self._plan_cache_hits = 0
+        self._plan_cache_misses = 0
+        self._plan_cache_lock = threading.Lock()
 
     @classmethod
     def from_store(cls, spark: SparkSession, path: str, **kwargs) -> "SparqlEngine":
@@ -224,9 +231,14 @@ class SparqlEngine:
         # driver-side).  Keyed per (text, limit, protocol dataset);
         # invalidated only by constructing a new engine (mutation swaps
         # the quads DataFrame).
-        cached = self._plan_cache.get(key)
+        with self._plan_cache_lock:
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                self._plan_cache.move_to_end(key)
+                self._plan_cache_hits += 1
+            else:
+                self._plan_cache_misses += 1
         if cached is not None:
-            self._plan_cache.move_to_end(key)
             form, df, limited = cached
             res = SparqlResult(form, df)
             res.soft_limited = limited
@@ -264,9 +276,10 @@ class SparqlEngine:
         # lived server must re-contact the endpoint per execution. Never
         # cache plans that touched a SERVICE.
         if not tr.saw_service:
-            self._plan_cache[key] = (q.form, df, limited)
-            if len(self._plan_cache) > self._plan_cache_cap:
-                self._plan_cache.popitem(last=False)
+            with self._plan_cache_lock:
+                self._plan_cache[key] = (q.form, df, limited)
+                if len(self._plan_cache) > self._plan_cache_cap:
+                    self._plan_cache.popitem(last=False)
         res = SparqlResult(q.form, df)
         res.soft_limited = limited
         return res

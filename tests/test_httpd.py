@@ -2,6 +2,7 @@
 (insert -> query -> delete cycles over the SPARQL protocol)."""
 
 import json
+import re
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -60,9 +61,25 @@ def test_http_cycle(server):
     assert st == 200
     doc = json.loads(body)
     assert doc["results"]["bindings"][0]["o"]["value"] == "hello"
-    # status endpoints
+    # status endpoints (HTML reports, httpd.c:832-1002)
     st, body = _get(server, "/status/size/")
-    assert st == 200 and body.strip() == "1"
+    assert st == 200 and "<tr><th>Total</th><td>1</td></tr>" in body
+    st, body = _get(server, "/status/")
+    assert st == 200 and "/test/" in body and "/status/cache/" in body
+    # /test/ query widget (httpd.c:1070-1100)
+    st, body = _get(server, "/test/")
+    assert st == 200 and '<form action="/sparql/"' in body
+    # /description/ — Turtle service description (httpd.c:1003-1069)
+    st, body = _get(server, "/description/")
+    assert st == 200 and "sd:Service" in body
+    # plan cache is shared across requests on the same store snapshot:
+    # re-running the query registers a hit
+    st, _ = _get(server, f"/sparql/?query={q}&output=json")
+    assert st == 200
+    st, body = _get(server, "/status/cache/")
+    assert st == 200
+    m = re.search(r"cache_hits</td><td>(\d+)", body)
+    assert m and int(m.group(1)) >= 1
 
 
 def test_http_put_data_and_delete(server):
