@@ -512,11 +512,19 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     if name == "STRLEN":
         return F.when(_plainish(a0), make_num(F.length(a0["lex"]).cast("double"), F.lit(XSD_INTEGER))).otherwise(null_term())
     if name == "SUBSTR":
+        # fn:substring (spec 17.4.3.3): 1-based positions p with
+        # start <= p < start + length — a zero/negative start SHIFTS the
+        # window (SUBSTR("hello",0,3)="he"), unlike Spark's substring,
+        # where 0 behaves as 1 and negatives count from the end
         start = args[1]["num"].cast("int")
+        lo = F.greatest(start, F.lit(1))
         if len(args) >= 3:
-            sub = F.substring(a0["lex"], start, args[2]["num"].cast("int"))
+            n = start + args[2]["num"].cast("int") - lo
+            sub = F.when(n > 0, F.substring(a0["lex"], lo, n)).otherwise(
+                F.lit("")
+            )
         else:
-            sub = a0["lex"].substr(start, F.length(a0["lex"]))
+            sub = F.substring(a0["lex"], lo, F.length(a0["lex"]))
         return F.when(_plainish(a0), make_string(sub, a0["lang"])).otherwise(null_term())
     if name == "UCASE":
         return F.when(_plainish(a0), make_string(F.upper(a0["lex"]), a0["lang"])).otherwise(null_term())

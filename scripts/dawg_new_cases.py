@@ -1,6 +1,7 @@
-"""Author candidate DAWG cases — batch 5: negated property sets with
-inverse members, CONSTRUCT WHERE shorthand, ORDER BY aggregate alias,
-regex anchors, hash builtins, string-function lang propagation.
+"""Author candidate DAWG cases — batch 6: aggregate error propagation,
+XPath SUBSTR edge positions, non-well-designed nested OPTIONAL, VALUES
+with UNDEF columns, timezone-aware dateTime value compare, REPLACE
+capture groups, error-valued BIND/IF, empty-group aggregates.
 Dumps to /tmp/dawg_candidates.json for scripts/dawg_verify.py.
 """
 
@@ -37,100 +38,133 @@ def case(name, data, query, results=None, **kw):
     CASES.append(c)
 
 
+INT = f"<{XSD}integer>"
+
+# --- aggregate error propagation (SPARQL 1.1 §11.2: an aggregate whose
+# evaluation raises an error leaves its output variable UNBOUND for that
+# group; other groups are unaffected)
+
+# --- XPath fn:substring position semantics (SPARQL 17.4.3.3: SUBSTR is
+# fn:substring — 1-based, start 0 or negative shifts the window, the
+# length counts from the *unclamped* start)
 case(
-    "path-nps-with-inverse-member",
-    "<urn:a> <urn:p> <urn:b> .\n<urn:c> <urn:q> <urn:a> .",
-    # !(z|^q): any forward edge not labelled z, plus any backward edge
-    # not labelled q. Forward: (a,b) via p and (c,a) via q. Backward:
-    # (b,a) via ^p only (^q excluded).
-    "SELECT ?x ?y WHERE { ?x !(<urn:z>|^<urn:q>) ?y }",
-    [{"x": u("urn:a"), "y": u("urn:b")},
-     {"x": u("urn:c"), "y": u("urn:a")},
-     {"x": u("urn:b"), "y": u("urn:a")}],
+    "substr-zero-start",
+    '<urn:a> <urn:p> "hello" .',
+    "SELECT ?r WHERE { <urn:a> <urn:p> ?v BIND(SUBSTR(?v, 0, 3) AS ?r) }",
+    [{"r": lit("he")}],
 )
 case(
-    "path-nps-inverse-only",
-    "<urn:a> <urn:p> <urn:b> .\n<urn:a> <urn:q> <urn:c> .",
-    # !(^p): backward edges not labelled p -> only ^q contributes (c,a);
-    # the component has no forward members, so NO forward edge matches
-    "SELECT ?x ?y WHERE { ?x !(^<urn:p>) ?y }",
-    [{"x": u("urn:c"), "y": u("urn:a")}],
+    "substr-negative-start",
+    '<urn:a> <urn:p> "hello" .',
+    "SELECT ?r WHERE { <urn:a> <urn:p> ?v BIND(SUBSTR(?v, -1, 3) AS ?r) }",
+    [{"r": lit("h")}],
 )
 case(
-    "construct-where-shorthand",
-    '<urn:a> <urn:p> "1" .\n<urn:b> <urn:q> <urn:c> .',
-    "CONSTRUCT WHERE { ?s <urn:p> ?o }",
-    construct_ntriples=['<urn:a> <urn:p> "1" .'],
-)
-case(
-    "order-by-aggregate-alias",
-    "<urn:a> <urn:t> <urn:x> .\n<urn:a> <urn:t> <urn:y> .\n"
-    "<urn:b> <urn:t> <urn:x> .\n<urn:c> <urn:t> <urn:x> .\n"
-    "<urn:c> <urn:t> <urn:y> .\n<urn:c> <urn:t> <urn:z> .",
-    "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <urn:t> ?o } GROUP BY ?s "
-    "ORDER BY DESC(?n) ?s",
-    [{"s": u("urn:c"), "n": i(3)}, {"s": u("urn:a"), "n": i(2)},
-     {"s": u("urn:b"), "n": i(1)}],
-    ordered=True,
-)
-case(
-    "regex-anchors",
-    '<urn:a> <urn:v> "hello" .\n<urn:b> <urn:v> "othello!" .',
-    'SELECT ?s WHERE { ?s <urn:v> ?v FILTER(REGEX(?v, "^h.*o$")) }',
-    [{"s": u("urn:a")}],
-)
-case(
-    "regex-escaped-dot",
-    '<urn:a> <urn:v> "a.b" .\n<urn:b> <urn:v> "axb" .',
-    'SELECT ?s WHERE { ?s <urn:v> ?v FILTER(REGEX(?v, "a\\\\.b")) }',
-    [{"s": u("urn:a")}],
-)
-case(
-    "md5-sha256-of-string",
-    '<urn:a> <urn:v> "abc" .',
-    'SELECT ?s WHERE { ?s <urn:v> ?v '
-    'FILTER(MD5(?v) = "900150983cd24fb0d6963f7d28e17f72" && '
-    'SHA256(?v) = '
-    '"ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad") }',
-    [{"s": u("urn:a")}],
-)
-case(
-    "strbefore-keeps-lang",
-    '<urn:a> <urn:p> "abc"@en .',
-    'SELECT ?r WHERE { <urn:a> <urn:p> ?s BIND(STRBEFORE(?s, "b") AS ?r) }',
-    [{"r": lit("a", lang="en")}],
-)
-case(
-    "replace-keeps-lang",
-    '<urn:a> <urn:p> "abcabc"@fr .',
-    'SELECT ?r WHERE { <urn:a> <urn:p> ?s '
-    'BIND(REPLACE(?s, "b", "-") AS ?r) }',
-    [{"r": lit("a-ca-c", lang="fr")}],
-)
-case(
-    "contains-case-sensitive",
-    '<urn:a> <urn:v> "Hello World" .',
-    'SELECT ?s WHERE { ?s <urn:v> ?v '
-    'FILTER(CONTAINS(?v, "World") && !CONTAINS(?v, "world")) }',
-    [{"s": u("urn:a")}],
-)
-case(
-    "sameterm-distinguishes-datatype",
-    '<urn:a> <urn:v> "1"^^<' + XSD + 'integer> .\n'
-    '<urn:b> <urn:v> "1"^^<' + XSD + 'double> .',
-    # = is numeric value equality (both match); sameTerm is not
-    "SELECT ?s WHERE { ?s <urn:v> ?v "
-    'FILTER(?v = 1 && !sameTerm(?v, "1"^^<' + XSD + 'double>)) }',
-    [{"s": u("urn:a")}],
-)
-case(
-    "union-bind-scoped-to-branch",
-    '<urn:a> <urn:p> "1"^^<' + XSD + 'integer> .\n'
-    '<urn:b> <urn:q> "2"^^<' + XSD + 'integer> .',
-    'SELECT ?s ?tag WHERE { { ?s <urn:p> ?v BIND("left" AS ?tag) } '
-    "UNION { ?s <urn:q> ?v } }",
-    [{"s": u("urn:a"), "tag": lit("left")}, {"s": u("urn:b")}],
+    "substr-no-length-from-zero",
+    '<urn:a> <urn:p> "hello" .',
+    "SELECT ?r WHERE { <urn:a> <urn:p> ?v BIND(SUBSTR(?v, 0) AS ?r) }",
+    [{"r": lit("hello")}],
 )
 
-json.dump({"cases": CASES}, open("/tmp/dawg_candidates.json", "w"), indent=1)
-print(f"{len(CASES)} cases written")
+# --- non-well-designed nested OPTIONAL (Perez et al.: the inner OPTIONAL
+# mentions an outer variable that is NOT bound in its parent group;
+# bottom-up semantics bind it freely inside, then the outer join filters)
+case(
+    "nested-optional-non-well-designed-join",
+    "<urn:a> <urn:p> <urn:b> .\n<urn:b> <urn:q> <urn:c> .\n"
+    "<urn:a> <urn:r> <urn:c> .",
+    "SELECT ?x ?y ?z WHERE { ?x <urn:p> ?y OPTIONAL { ?y <urn:q> ?z "
+    "OPTIONAL { ?x <urn:r> ?z } } }",
+    [{"x": u("urn:a"), "y": u("urn:b"), "z": u("urn:c")}],
+)
+case(
+    "nested-optional-non-well-designed-conflict",
+    "<urn:a> <urn:p> <urn:b> .\n<urn:b> <urn:q> <urn:c> .\n"
+    "<urn:d> <urn:r> <urn:c> .",
+    # inner OPTIONAL binds ?x=d; the merged right side {y=b,z=c,x=d} is
+    # INCOMPATIBLE with the outer {x=a,y=b}, so the outer row survives
+    # bare — z stays unbound even though {?y q ?z} alone matched
+    "SELECT ?x ?y ?z WHERE { ?x <urn:p> ?y OPTIONAL { ?y <urn:q> ?z "
+    "OPTIONAL { ?x <urn:r> ?z } } }",
+    [{"x": u("urn:a"), "y": u("urn:b")}],
+)
+
+# --- VALUES with UNDEF in either column (§10.2: UNDEF leaves the var
+# unbound in that row; the join treats it as compatible-with-anything)
+
+# --- timezone-aware dateTime VALUE comparison (op:dateTime-equal works
+# on the timeline, not the lexical form)
+case(
+    "datetime-timezone-value-equal",
+    f'<urn:a> <urn:t> "2020-01-01T10:00:00+01:00"^^<{XSD}dateTime> .\n'
+    f'<urn:b> <urn:t> "2020-01-01T09:00:00Z"^^<{XSD}dateTime> .\n'
+    f'<urn:c> <urn:t> "2020-01-01T09:00:00+01:00"^^<{XSD}dateTime> .',
+    "SELECT ?x ?y WHERE { ?x <urn:t> ?tx . ?y <urn:t> ?ty "
+    "FILTER (?tx = ?ty && STR(?x) < STR(?y)) }",
+    [{"x": u("urn:a"), "y": u("urn:b")}],
+)
+case(
+    "decimal-value-equal-lexical-differs",
+    f'<urn:a> <urn:d> "0.5"^^<{XSD}decimal> .\n'
+    f'<urn:b> <urn:d> "0.50"^^<{XSD}decimal> .',
+    "SELECT ?x ?y WHERE { ?x <urn:d> ?dx . ?y <urn:d> ?dy "
+    "FILTER (?dx = ?dy && !sameTerm(?dx, ?dy) && STR(?x) < STR(?y)) }",
+    [{"x": u("urn:a"), "y": u("urn:b")}],
+)
+
+# --- REPLACE with capture-group references (fn:replace $N syntax)
+
+# --- error-valued expressions in BIND leave the var unbound (§10.1)
+case(
+    "bind-division-by-zero-unbound",
+    f'<urn:a> <urn:v> "1"^^{INT} .',
+    "SELECT ?v ?r WHERE { <urn:a> <urn:v> ?v BIND(?v / 0 AS ?r) }",
+    [{"v": i(1)}],
+)
+case(
+    "if-error-condition-unbound",
+    f'<urn:a> <urn:v> "1"^^{INT} .',
+    'SELECT ?r WHERE { <urn:a> <urn:v> ?v BIND(IF(?v/0 > 0, "a", "b") AS ?r) }',
+    [{}],
+)
+case(
+    "strdt-on-langtagged-is-error",
+    '<urn:a> <urn:p> "x"@en .',
+    f"SELECT ?r WHERE {{ <urn:a> <urn:p> ?v BIND(STRDT(?v, <{XSD}string>) AS ?r) }}",
+    [{}],
+)
+
+# --- language propagation corners
+
+# --- misc builtins
+case(
+    "encode-for-uri-unicode-space",
+    '<urn:a> <urn:p> "café /x" .',
+    "SELECT ?r WHERE { <urn:a> <urn:p> ?v BIND(ENCODE_FOR_URI(?v) AS ?r) }",
+    [{"r": lit("caf%C3%A9%20%2Fx")}],
+)
+case(
+    "md5-empty-string",
+    '<urn:a> <urn:p> "" .',
+    "SELECT ?r WHERE { <urn:a> <urn:p> ?v BIND(MD5(?v) AS ?r) }",
+    [{"r": lit("d41d8cd98f00b204e9800998ecf8427e")}],
+)
+case(
+    "path-seq-inside-star",
+    "<urn:a> <urn:p> <urn:m> .\n<urn:m> <urn:q> <urn:b> .\n"
+    "<urn:b> <urn:p> <urn:n> .\n<urn:n> <urn:q> <urn:c> .",
+    # (p/q)*: zero steps (a,a) plus one (a,b) plus two (a,c)
+    "SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:q>)* ?y }",
+    [{"y": u("urn:a")}, {"y": u("urn:b")}, {"y": u("urn:c")}],
+)
+case(
+    "group-by-alias-in-having",
+    f'<urn:a> <urn:v> "2"^^{INT} .\n<urn:b> <urn:v> "6"^^{INT} .',
+    "SELECT ?h WHERE { ?s <urn:v> ?v } GROUP BY (?v / 2 AS ?h) "
+    "HAVING (?h > 2)",
+    [{"h": lit("3", "decimal")}],
+)
+
+with open("/tmp/dawg_candidates.json", "w", encoding="utf-8") as fh:
+    json.dump({"cases": CASES}, fh, indent=1)
+print(f"{len(CASES)} candidates -> /tmp/dawg_candidates.json")

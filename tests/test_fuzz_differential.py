@@ -1,0 +1,268 @@
+"""Randomized differential testing of the structural query core.
+
+Hypothesis generates random BGP shapes (1-3 patterns with shared /
+repeated variables, constant objects, an optional OPTIONAL block, a
+numeric FILTER, DISTINCT) and runs each through BOTH the engine and an
+independently-written SQL translation over the same quads relation in
+DuckDB. Disagreement on the solution multiset is a bug in one of the
+two translators — this catches join/scope corners that hand-written
+cases miss (the reference gets equivalent coverage from the breadth of
+the DAWG suite; property-based generation is our substitute for its
+volume).
+
+The SQL translation here is deliberately NAIVE — one self-join per
+pattern, null-safe term-identity equalities — precisely so it shares no
+code or design with the engine's translator (property-table fast paths,
+RID keys, star grouping all get cross-checked against first principles).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from fourstore_spark.model import (
+    DEFAULT_GRAPH,
+    KIND_LITERAL,
+    KIND_URI,
+    QUADS_SCHEMA,
+)
+from fourstore_spark.sparql.engine import SparqlEngine
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+PREDS = [f"urn:p{i}" for i in range(4)]
+VARS = ["a", "b", "c"]
+
+
+def _dataset():
+    """Deterministic small quad set: IRI objects, integer literals, plain
+    literals, and chains (s -> o that is also a subject) so multi-hop
+    joins have matches."""
+    rows = []
+    for i in range(40):
+        s = f"urn:s{i}"
+        rows.append((DEFAULT_GRAPH, s, KIND_URI, PREDS[i % 4], KIND_URI,
+                     f"urn:s{(i * 7 + 3) % 40}", None, None, None))
+        rows.append((DEFAULT_GRAPH, s, KIND_URI, PREDS[(i + 1) % 4],
+                     KIND_LITERAL, str(i % 10), XSD_INT, None,
+                     float(i % 10)))
+        if i % 3 == 0:
+            rows.append((DEFAULT_GRAPH, s, KIND_URI, PREDS[(i + 2) % 4],
+                         KIND_LITERAL, f"txt{i % 5}", None, None, None))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = _dataset()
+    quads = spark.createDataFrame(rows, QUADS_SCHEMA).cache()
+    quads.count()
+    eng = SparqlEngine(spark, quads)
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "g", "s", "s_kind", "p", "o_kind", "o_lex", "o_dt", "o_lang",
+            "o_num",
+        ],
+    )
+    con.register("quads", pdf)
+    return eng, con
+
+
+# a pattern term: ('var', name) | ('iri', value) | ('int', value)
+def _obj_terms():
+    return st.one_of(
+        st.sampled_from(VARS).map(lambda v: ("var", v)),
+        st.integers(0, 10).map(lambda i: ("iri", f"urn:s{i}")),
+        st.integers(0, 9).map(lambda i: ("int", str(i))),
+    )
+
+
+patterns = st.lists(
+    st.tuples(st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()),
+    min_size=1,
+    max_size=3,
+)
+
+
+queries = st.fixed_dictionaries(
+    {
+        "required": patterns,
+        "optional": st.one_of(
+            st.none(),
+            st.tuples(
+                st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()
+            ),
+        ),
+        "filter": st.one_of(
+            st.none(),
+            st.tuples(
+                st.sampled_from(VARS),
+                st.sampled_from(["<", "<=", ">", ">=", "="]),
+                st.integers(0, 9),
+            ),
+        ),
+        "distinct": st.booleans(),
+    }
+)
+
+
+def _sparql(q) -> tuple[str, list[str]]:
+    def term(t):
+        k, v = t
+        if k == "var":
+            return f"?{v}"
+        if k == "iri":
+            return f"<{v}>"
+        return v  # bare integer literal
+
+    body = [f"?{s} <{p}> {term(o)} ." for s, p, o in q["required"]]
+    used = set()
+    for s, p, o in q["required"]:
+        used.add(s)
+        if o[0] == "var":
+            used.add(o[1])
+    if q["optional"]:
+        s, p, o = q["optional"]
+        body.append(f"OPTIONAL {{ ?{s} <{p}> {term(o)} }}")
+        used.add(s)
+        if o[0] == "var":
+            used.add(o[1])
+    if q["filter"]:
+        v, op, c = q["filter"]
+        if v in used:
+            body.append(f"FILTER (?{v} {op} {c})")
+    proj = sorted(used)
+    kw = "SELECT DISTINCT" if q["distinct"] else "SELECT"
+    text = f"{kw} {' '.join('?' + v for v in proj)} WHERE {{ "
+    text += " ".join(body) + " }"
+    return text, proj
+
+
+def _sql(q) -> tuple[str, list[str]] | None:
+    """Independent naive translation: one quads alias per pattern,
+    null-safe (kind, lex, dt, lang) term equalities for shared vars."""
+    # slot: (alias, '
+    # s'|'o') — where a variable is bound
+    binds: dict = {}
+    conds: list[str] = []
+    aliases: list[str] = []
+
+    def eq(slot_a, slot_b):
+        (ta, pa), (tb, pb) = slot_a, slot_b
+        if pa == "s" and pb == "s":
+            return f"({ta}.s = {tb}.s AND {ta}.s_kind = {tb}.s_kind)"
+        if pa == "s":  # s vs o
+            return (
+                f"({tb}.o_lex = {ta}.s AND {tb}.o_kind = {ta}.s_kind "
+                f"AND {tb}.o_dt IS NULL AND {tb}.o_lang IS NULL)"
+            )
+        if pb == "s":
+            return eq(slot_b, slot_a)
+        return (
+            f"({ta}.o_lex = {tb}.o_lex AND {ta}.o_kind = {tb}.o_kind "
+            f"AND {ta}.o_dt IS NOT DISTINCT FROM {tb}.o_dt "
+            f"AND {ta}.o_lang IS NOT DISTINCT FROM {tb}.o_lang)"
+        )
+
+    def pattern_conds(alias, s, p, o, into):
+        into.append(f"{alias}.p = '{p}'")
+        into.append(f"{alias}.g = '{DEFAULT_GRAPH}'")
+        slot_s = (alias, "s")
+        if s in binds:
+            into.append(eq(binds[s], slot_s))
+        else:
+            binds[s] = slot_s
+            into.append(f"{alias}.s_kind = {KIND_URI}")  # ?s is URI or bnode
+        k, v = o
+        if k == "iri":
+            into.append(
+                f"{alias}.o_kind = {KIND_URI} AND {alias}.o_lex = '{v}'"
+            )
+        elif k == "int":
+            into.append(
+                f"{alias}.o_kind = {KIND_LITERAL} AND {alias}.o_lex = '{v}'"
+                f" AND {alias}.o_dt = '{XSD_INT}'"
+            )
+        else:
+            slot_o = (alias, "o")
+            if v in binds:
+                into.append(eq(binds[v], slot_o))
+            else:
+                binds[v] = slot_o
+
+    for i, (s, p, o) in enumerate(q["required"]):
+        alias = f"t{i}"
+        aliases.append(alias)
+        pattern_conds(alias, s, p, o, conds)
+
+    left = None
+    if q["optional"]:
+        s, p, o = q["optional"]
+        lconds: list[str] = []
+        # vars first bound inside OPTIONAL must not leak equalities into
+        # the required WHERE: snapshot binds, restore after
+        saved = dict(binds)
+        pattern_conds("topt", s, p, o, lconds)
+        opt_binds = {v: sl for v, sl in binds.items() if v not in saved}
+        left = ("topt", lconds, opt_binds)
+        binds = saved
+        for v, sl in opt_binds.items():
+            binds.setdefault(v, sl)
+
+    sel = []
+    proj = sorted(binds)
+    for v in proj:
+        alias, pos = binds[v]
+        sel.append(f"{alias}.{'s' if pos == 's' else 'o_lex'} AS {v}")
+    sql = f"SELECT {'DISTINCT ' if q['distinct'] else ''}{', '.join(sel)} "
+    sql += "FROM " + " CROSS JOIN ".join(f"quads {a}" for a in aliases)
+    if left:
+        alias, lconds, _ = left
+        sql += f" LEFT JOIN quads {alias} ON " + " AND ".join(lconds)
+    where = list(conds)
+    if q["filter"]:
+        v, op, c = q["filter"]
+        if v in binds:
+            alias, pos = binds[v]
+            if pos == "s":
+                # an IRI subject never compares numerically: SPARQL type
+                # error drops every row
+                where.append("FALSE")
+            else:
+                where.append(f"{alias}.o_num {op} {c}")
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    return sql, proj
+
+
+@given(q=queries)
+@settings(
+    # deep-run with FUZZ_EXAMPLES=500 when hunting; CI default stays fast
+    max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "35")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_engine_matches_naive_sql(fuzz_env, q):
+    eng, con = fuzz_env
+    text, proj = _sparql(q)
+    sql, sql_proj = _sql(q)
+    assert proj == sql_proj
+    spark_rows = sorted(
+        tuple(r[v] for v in proj) for r in eng.select(text).collect()
+    )
+    duck_rows = sorted(
+        tuple(row) for row in con.execute(sql).fetchall()
+    )
+    assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
