@@ -697,6 +697,48 @@ _STORE_APPEND_SQL = (
 )
 
 
+def _op_store_compact(spark, sf_dir):
+    """Compaction after fragmenting appends (beyond reference — its ptrees
+    update in place, ptree.c; an immutable parquet layout compacts
+    instead): two appends fragment the predicate directory, compact_store
+    rewrites it bucketed + s-sorted and rebuilds the property table; the
+    query must see every row through the reopened (fast-path) engine."""
+    import shutil
+
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import compact_store, write_store, append_quads
+
+    path = f"/tmp/fourstore_compact_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+    base = _engine(spark, sf_dir).quads.where(
+        F.col("p") == "urn:col:region#r_name"
+    )
+    write_store(base, path, partitions=2)
+    for k in (98, 99):
+        append_quads(
+            quads_from_nt_text(
+                spark,
+                f'<urn:region:{k}> <urn:col:region#r_name> "NOWHERE{k}" .',
+                default_graph="urn:g:region",
+            ),
+            path,
+        )
+    man = compact_store(spark, path)
+    assert man.get("subjects_stale") is False and man["last_compaction"]
+    return SparqlEngine.from_store(spark, path).select(
+        "SELECT ?s ?name WHERE { ?s <urn:col:region#r_name> ?name }"
+    )
+
+
+_STORE_COMPACT_SQL = (
+    "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
+    "r_name AS name FROM region "
+    "UNION ALL SELECT 'urn:region:98', 'NOWHERE98' "
+    "UNION ALL SELECT 'urn:region:99', 'NOWHERE99'"
+)
+
+
 _SERVICE_SRV: dict = {}
 
 
@@ -2043,6 +2085,8 @@ def _round3_entries() -> dict[str, tuple]:
     r["multimodal_decode"] = (_op_multimodal_decode, _MULTIMODAL_DECODE_SQL)
     # incremental store append (live-import parity, set semantics)
     r["store_append"] = (_op_store_append, _STORE_APPEND_SQL)
+    # compaction after fragmenting appends (small-files maintenance)
+    r["store_compact"] = (_op_store_compact, _STORE_COMPACT_SQL)
     # federated SERVICE against a live in-process SPARQL endpoint
     r["service_federated"] = (_op_service_federated, _SERVICE_SQL)
 

@@ -55,6 +55,18 @@ def _dataset():
         if i % 3 == 0:
             rows.append((DEFAULT_GRAPH, s, KIND_URI, PREDS[(i + 2) % 4],
                          KIND_LITERAL, f"txt{i % 5}", None, None, None))
+        # urn:num: multi-valued numeric predicate for the aggregate fuzz
+        # (1-2 ints per subject; every 5th subject polluted with a
+        # non-numeric value so per-group error semantics get exercised)
+        rows.append((DEFAULT_GRAPH, s, KIND_URI, "urn:num", KIND_LITERAL,
+                     str(i % 10), XSD_INT, None, float(i % 10)))
+        if i % 2:
+            v = (i * 3 + 1) % 10
+            rows.append((DEFAULT_GRAPH, s, KIND_URI, "urn:num",
+                         KIND_LITERAL, str(v), XSD_INT, None, float(v)))
+        if i % 5 == 0:
+            rows.append((DEFAULT_GRAPH, s, KIND_URI, "urn:num",
+                         KIND_LITERAL, "n/a", None, None, None))
     return rows
 
 
@@ -149,7 +161,7 @@ def _sparql(q) -> tuple[str, list[str]]:
     return text, proj
 
 
-def _sql(q) -> tuple[str, list[str]] | None:
+def _sql(q, prefix: str = "t") -> tuple[str, list[str]] | None:
     """Independent naive translation: one quads alias per pattern,
     null-safe (kind, lex, dt, lang) term equalities for shared vars."""
     # slot: (alias, '
@@ -202,7 +214,7 @@ def _sql(q) -> tuple[str, list[str]] | None:
                 binds[v] = slot_o
 
     for i, (s, p, o) in enumerate(q["required"]):
-        alias = f"t{i}"
+        alias = f"{prefix}{i}"
         aliases.append(alias)
         pattern_conds(alias, s, p, o, conds)
 
@@ -246,14 +258,17 @@ def _sql(q) -> tuple[str, list[str]] | None:
     return sql, proj
 
 
-@given(q=queries)
-@settings(
+_SETTINGS = dict(
     # deep-run with FUZZ_EXAMPLES=500 when hunting; CI default stays fast
     max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "35")),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+
+@given(q=queries)
+@settings(**_SETTINGS)
 def test_engine_matches_naive_sql(fuzz_env, q):
     eng, con = fuzz_env
     text, proj = _sparql(q)
@@ -264,5 +279,101 @@ def test_engine_matches_naive_sql(fuzz_env, q):
     )
     duck_rows = sorted(
         tuple(row) for row in con.execute(sql).fetchall()
+    )
+    assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
+
+
+def _branch_sql(pats, prefix: str) -> tuple[str, set]:
+    """SQL for one UNION branch (plain BGP, no optional/filter)."""
+    q = {"required": pats, "optional": None, "filter": None,
+         "distinct": False}
+    inner, proj = _sql(q, prefix=prefix)
+    return inner, set(proj)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()),
+        min_size=1, max_size=2,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()),
+        min_size=1, max_size=2,
+    ),
+    distinct=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_union_matches_naive_sql(fuzz_env, left, right, distinct):
+    """UNION pads each branch's missing variables with unbound — the SQL
+    mirror is NULL-padded UNION ALL (DISTINCT dedups the padded rows)."""
+    eng, con = fuzz_env
+
+    def branch_text(pats):
+        out = []
+        for s, p, o in pats:
+            k, v = o
+            t = f"?{v}" if k == "var" else (f"<{v}>" if k == "iri" else v)
+            out.append(f"?{s} <{p}> {t} .")
+        return " ".join(out)
+
+    lsql, lvars = _branch_sql(left, "l")
+    rsql, rvars = _branch_sql(right, "r")
+    allvars = sorted(lvars | rvars)
+    pad = lambda sql, have: (  # noqa: E731
+        "SELECT "
+        + ", ".join(v if v in have else f"NULL AS {v}" for v in allvars)
+        + f" FROM ({sql})"
+    )
+    kw = "SELECT DISTINCT" if distinct else "SELECT"
+    text = (
+        f"{kw} {' '.join('?' + v for v in allvars)} WHERE "
+        f"{{ {{ {branch_text(left)} }} UNION {{ {branch_text(right)} }} }}"
+    )
+    sql = pad(lsql, lvars) + " UNION ALL " + pad(rsql, rvars)
+    if distinct:
+        sql = f"SELECT DISTINCT * FROM ({sql})"
+    spark_rows = sorted(
+        (tuple(r[v] for v in allvars) for r in eng.select(text).collect()),
+        key=repr,
+    )
+    duck_rows = sorted(
+        (tuple(row) for row in con.execute(sql).fetchall()), key=repr
+    )
+    assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
+
+
+@given(
+    pred=st.sampled_from(PREDS + ["urn:num"]),
+    agg=st.sampled_from(["COUNT", "SUM", "AVG"]),
+)
+@settings(**_SETTINGS)
+def test_groupby_aggregate_matches_sql(fuzz_env, pred, agg):
+    """GROUP BY subject with COUNT/SUM/AVG. SPARQL semantics: an
+    aggregate over a group containing a non-numeric value ERRORS and
+    leaves the variable unbound — encoded in SQL as CASE WHEN every
+    value parsed THEN agg ELSE NULL."""
+    eng, con = fuzz_env
+    text = (
+        f"SELECT ?a (%s AS ?m) WHERE {{ ?a <{pred}> ?b }} GROUP BY ?a"
+        % {"COUNT": "COUNT(?b)", "SUM": "SUM(?b)", "AVG": "AVG(?b)"}[agg]
+    )
+    if agg == "COUNT":
+        m = "CAST(COUNT(*) AS DOUBLE)"
+    else:
+        m = (
+            f"CASE WHEN COUNT(*) = COUNT(o_num) THEN {agg}(o_num) "
+            "ELSE NULL END"
+        )
+    sql = (
+        f"SELECT s AS a, {m} AS m FROM quads "
+        f"WHERE p = '{pred}' AND g = '{DEFAULT_GRAPH}' GROUP BY s"
+    )
+    spark_rows = sorted(
+        (r["a"], None if r["m"] is None else float(r["m"]))
+        for r in eng.select(text).collect()
+    )
+    duck_rows = sorted(
+        (a, None if m is None else float(m))
+        for a, m in con.execute(sql).fetchall()
     )
     assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
