@@ -114,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
         "\"lit\"^^<dt>",
     )
 
+    res = sub.add_parser(
+        "resolve",
+        help="RID -> the store term(s) hashing to it (== 4s-resolve)",
+    )
+    res.add_argument("store")
+    res.add_argument("rids", nargs="+", type=int)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "info":
@@ -184,6 +191,76 @@ def main(argv: list[str] | None = None) -> int:
         ).head()
         print(row["rid"])
         return 0
+
+    if args.cmd == "resolve":
+        # 4s-resolve (src/frontend/4s-resolve.c): the reference asks the
+        # rhash for RID -> lexical form; without a resource table we scan
+        # the store's four term positions for matching hashes (one pruned
+        # pass, distinct terms)
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from fourstore_spark.model import KIND_BNODE, KIND_URI
+        from fourstore_spark.store import read_store
+
+        q = read_store(spark, args.store)
+        n = F.lit(None).cast("string")
+
+        def part(kind, lex, dt, lang):
+            return q.select(
+                F.xxhash64(kind.cast("tinyint"), lex, dt, lang).alias("rid"),
+                kind.cast("tinyint").alias("kind"),
+                lex.alias("lex"),
+                dt.alias("dt"),
+                lang.alias("lang"),
+            )
+
+        allt = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                part(F.col("s_kind"), F.col("s"), n, n),
+                part(F.lit(KIND_URI), F.col("p"), n, n),
+                part(F.lit(KIND_URI), F.col("g"), n, n),
+                part(
+                    F.col("o_kind"), F.col("o_lex"), F.col("o_dt"),
+                    F.col("o_lang"),
+                ),
+            ],
+        )
+        hits = (
+            allt.where(F.col("rid").isin(args.rids))
+            .dropDuplicates(["rid", "kind", "lex", "dt", "lang"])
+            .collect()
+        )
+        found: dict = {}
+        for r in hits:
+            found.setdefault(r["rid"], []).append(r)
+
+        def nt(r):
+            if r["kind"] == KIND_URI:
+                return f"<{r['lex']}>"
+            if r["kind"] == KIND_BNODE:
+                return r["lex"]
+            import json as _json
+
+            s = _json.dumps(r["lex"])
+            if r["lang"]:
+                return f"{s}@{r['lang']}"
+            if r["dt"]:
+                return f"{s}^^<{r['dt']}>"
+            return s
+
+        status = 0
+        for rid_v in args.rids:
+            if rid_v in found:
+                for r in found[rid_v]:
+                    print(f"{rid_v}\t{nt(r)}")
+            else:
+                # 4s-resolve prints an error marker for unknown RIDs
+                print(f"{rid_v}\t#unknown#")
+                status = 1
+        return status
 
     if args.cmd == "query":
         text = sys.stdin.read() if args.query == "-" else args.query

@@ -75,3 +75,19 @@ def test_cli_rid_matches_engine_term_rid(spark, capsys):
 
 def test_cli_rid_bad_term(capsys):
     assert main(["rid", "not a term"]) == 1
+
+
+def test_cli_rid_resolve_roundtrip(spark, tmp_path, capsys):
+    path = _build(spark, tmp_path)
+    for nt in ["<urn:a>", '"v1"']:
+        assert main(["rid", nt]) == 0
+        rid = capsys.readouterr().out.strip()
+        assert main(["resolve", path, rid]) == 0
+        out = capsys.readouterr().out.strip()
+        assert out == f"{rid}\t{nt}", nt
+
+
+def test_cli_resolve_unknown_rid(spark, tmp_path, capsys):
+    path = _build(spark, tmp_path)
+    assert main(["resolve", path, "12345"]) == 1
+    assert "#unknown#" in capsys.readouterr().out
