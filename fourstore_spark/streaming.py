@@ -101,6 +101,51 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_ingest_store(
+    quads_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+    compact_every: int | None = None,
+):
+    """Continuous live import into a materialized v4 store — the
+    streaming analogue of the reference's import-into-a-running-KB path
+    (httpd import queue, httpd.c:755-810 + import.c:333-423).
+
+    Each micro-batch runs store.append_quads: set-semantics (duplicates
+    against the store AND within the batch are dropped), pruned to the
+    batch's predicate directories, manifest stats refreshed. foreachBatch
+    is at-least-once on retry, but the anti-join makes a replayed batch a
+    no-op — the sink is idempotent, which upgrades the pipeline to
+    effectively-once. Every ``compact_every`` batches the fragmented
+    predicate directories are compacted (appends add a file per touched
+    predicate per batch; a long-running ingest needs the small-files
+    maintenance inline). The property table is left stale during
+    streaming — engines fall back to quad scans — and is rebuilt by the
+    periodic compaction.
+    """
+    from fourstore_spark.store import append_quads, compact_store
+
+    state = {"batches": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        append_quads(batch_df, store_path)
+        state["batches"] += 1
+        if compact_every and state["batches"] % compact_every == 0:
+            compact_store(batch_df.sparkSession, store_path)
+
+    writer = (
+        quads_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP; parquet sources may surface
     TIMESTAMP_NTZ (e.g. Spark 4 reading plain micros timestamps)."""

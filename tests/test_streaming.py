@@ -195,3 +195,52 @@ def test_stream_decontaminate(spark, tmp_path):
     q.awaitTermination(120)
     ids = {r[0] for r in spark.sql("SELECT doc_id FROM decon_stream").collect()}
     assert ids == {2}
+
+
+def test_stream_ingest_store_live_import(spark, tmp_path):
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import read_manifest, write_store
+    from fourstore_spark.streaming import (
+        stream_ingest_store,
+        stream_quads_from_nt,
+    )
+
+    store = str(tmp_path / "store")
+    write_store(
+        quads_from_nt_text(spark, '<urn:s0> <urn:p> "v0" .'),
+        store,
+        partitions=2,
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    # duplicate of the stored quad + two new ones, split across files
+    (src / "a.nt").write_text('<urn:s0> <urn:p> "v0" .\n<urn:s1> <urn:p> "v1" .')
+    (src / "b.nt").write_text('<urn:s2> <urn:p> "v2" .')
+    q = stream_ingest_store(
+        stream_quads_from_nt(spark, str(src)),
+        store,
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+    man = read_manifest(store)
+    assert man["rows"] == 3  # duplicate dropped by the set-semantics sink
+    # compact_every ran: property table is fresh again
+    assert man.get("subjects_stale") is False
+    eng = SparqlEngine.from_store(spark, store)
+    got = sorted(
+        r["o"] for r in eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()
+    )
+    assert got == ["v0", "v1", "v2"]
+    # a second pass over the same files is a no-op (idempotent sink):
+    # new checkpoint -> files re-delivered -> anti-join drops everything
+    q2 = stream_ingest_store(
+        stream_quads_from_nt(spark, str(src)),
+        store,
+        str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert read_manifest(store)["rows"] == 3
