@@ -72,7 +72,23 @@ def make_bool(b: Column) -> Column:
 
 def make_num(num: Column, dt: Column) -> Column:
     is_int = dt == XSD_INTEGER
-    lex = F.when(is_int, num.cast("long").cast("string")).otherwise(num.cast("string"))
+    s = num.cast("string")
+    # double-path results can carry xsd:decimal dt (inexact-operand
+    # fallback): their lexical form must not use E-notation, which is
+    # invalid for xsd:decimal — rewrite through decimal when the plain
+    # double string would (out-of-range values keep the double string:
+    # unrepresentable either way, like the reference's 20-digit cap)
+    dec_fix = (dt == XSD_DECIMAL) & s.contains("E")
+    # XSD lexical space spells the specials INF/-INF (Java doubles print
+    # "Infinity")
+    s = F.when(s == "Infinity", F.lit("INF")).when(
+        s == "-Infinity", F.lit("-INF")
+    ).otherwise(s)
+    lex = (
+        F.when(is_int, num.cast("long").cast("string"))
+        .when(dec_fix, F.coalesce(_dec_lex(num.cast(_DEC_T)), s))
+        .otherwise(s)
+    )
     return term_struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num)
 
 
@@ -129,6 +145,20 @@ def _string_like(t: Column) -> Column:
 _EXACT_DTS = sorted(NUMERIC_DATATYPES - {XSD_DOUBLE, XSD_FLOAT})
 
 _DEC_T = "decimal(38,18)"
+# mid-precision operand window for * and /: values round-tripping through
+# (18,9) multiply exactly at (37,18) and divide at (38,20) under Spark's
+# decimal result-type rules (see the EArith ladder)
+_DEC_MID = "decimal(18,9)"
+
+
+def _let(col: Column, fn) -> Column:
+    """Bind ``col`` once and use it many times — Column expressions are
+    TREES, so referencing a compiled subexpression k times clones its
+    whole subtree k times and nested arithmetic goes exponential (depth 3
+    of the old inline EArith OOMed the analyzer). transform()'s lambda
+    variable is Catalyst's only 'let': the child appears once in the
+    array, every use inside the lambda is a variable reference."""
+    return F.transform(F.array(col), fn)[0]
 
 
 def _is_exact(t: Column) -> Column:
@@ -359,43 +389,12 @@ def compile_expr(e, ctx: ExprContext) -> Column:
             out = out | c
         return make_bool(~out if e.negated else out)
     if isinstance(e, A.EArith):
-        lt, rt = compile_expr(e.left, ctx), compile_expr(e.right, ctx)
-        ln, rn = lt["num"], rt["num"]
-        if e.op == "+":
-            num = ln + rn
-        elif e.op == "-":
-            num = ln - rn
-        elif e.op == "*":
-            num = ln * rn
-        else:
-            num = F.when(rn != 0.0, ln / rn)  # div-by-zero -> error
-        dt = _promoted_dt(lt["dt"], rt["dt"], e.op == "/")
-        # exact path: integer/decimal operands compute in DECIMAL(38,18)
-        # (fn_numeric_add's decimal branch -> fs_decimal ops, decimal.c);
-        # the result's lexical form keeps the full precision a double
-        # would destroy. Falls back to the double path on overflow (NULL
-        # from the decimal op) — documented 38-digit delta vs 20+20.
-        # try_* ops: decimal overflow degrades to NULL (-> double path),
-        # never an ANSI runtime error aborting the whole query
-        ld, rd = _dec(lt), _dec(rt)
-        if e.op == "+":
-            dnum = F.try_add(ld, rd)
-        elif e.op == "-":
-            dnum = F.try_subtract(ld, rd)
-        elif e.op == "*":
-            dnum = F.try_multiply(ld, rd)
-        else:
-            dnum = F.when(rd != 0, F.try_divide(ld, rd))
-        both_exact = (
-            _is_exact(lt) & _is_exact(rt) & ld.isNotNull() & rd.isNotNull()
-        )
-        return (
-            F.when(both_exact & dnum.isNotNull(), make_num_dec(dnum, dt))
-            # gate on the RESULT, not the operands: division by zero has
-            # both operands bound but a null result, and must surface as a
-            # proper unbound (null struct), never a literal with null num
-            .when(num.isNotNull(), make_num(num, dt))
-            .otherwise(null_term())
+        return _let(
+            compile_expr(e.left, ctx),
+            lambda lt: _let(
+                compile_expr(e.right, ctx),
+                lambda rt: _arith_body(e, lt, rt),
+            ),
         )
     if isinstance(e, A.EUnary):
         if e.op == "!":
@@ -414,6 +413,96 @@ def compile_expr(e, ctx: ExprContext) -> Column:
             "EXISTS is handled by the translator's filter rewrite"
         )
     raise TypeError(f"cannot compile expression {e!r}")
+
+
+def _arith_body(e, lt: Column, rt: Column) -> Column:
+    """EArith result from let-bound operand term structs (see _let)."""
+    ln, rn = lt["num"], rt["num"]
+    if e.op == "+":
+        num = ln + rn
+    elif e.op == "-":
+        num = ln - rn
+    elif e.op == "*":
+        num = ln * rn
+    else:
+        num = F.when(rn != 0.0, ln / rn)  # div-by-zero -> error
+    dt = _promoted_dt(lt["dt"], rt["dt"], e.op == "/")
+    # exact path: integer/decimal operands compute in DECIMAL(38,18)
+    # (fn_numeric_add's decimal branch -> fs_decimal ops, decimal.c);
+    # the result's lexical form keeps the full precision a double
+    # would destroy. Falls back to the double path on overflow (NULL
+    # from the decimal op) — documented 38-digit delta vs 20+20.
+    # try_* ops: decimal overflow degrades to NULL (-> double path),
+    # never an ANSI runtime error aborting the whole query
+    ld, rd = _dec(lt), _dec(rt)
+    both_exact = (
+        _is_exact(lt) & _is_exact(rt) & ld.isNotNull() & rd.isNotNull()
+    )
+    if e.op in ("+", "-"):
+        # (38,18) ± (38,18) keeps scale 17-18 — effectively exact
+        dnum = (F.try_add if e.op == "+" else F.try_subtract)(ld, rd)
+        return (
+            F.when(both_exact & dnum.isNotNull(), make_num_dec(dnum, dt))
+            .when(num.isNotNull(), make_num(num, dt))
+            .otherwise(null_term())
+        )
+    # Multiplication and division at maxed operand precision collapse
+    # Spark's result scale to 6 (decimal(38,18) ops → decimal(38,6)):
+    # 0.0000001*0.0000001 would become 0 and 1/3 would become
+    # 0.333333. Ladder instead:
+    #  1. operands that round-trip through DECIMAL(18,9) — virtually
+    #     all real data — multiply exactly at (37,18) and divide at
+    #     (38,20): a 20-fraction-digit fixed-point quotient, the same
+    #     truncation point as the reference's 20+20 fs_decimal
+    #     (decimal.h:6-18);
+    #  2. otherwise the (38,18) computation, accepted only when
+    #     provably exact (integral product / quotient that multiplies
+    #     back to the dividend);
+    #  3. otherwise the double path (~16 significant digits beat a
+    #     6-fraction-digit fixed point).
+    lm, rm = lt["lex"].try_cast(_DEC_MID), rt["lex"].try_cast(_DEC_MID)
+    mid_ok = (
+        lm.isNotNull()
+        & rm.isNotNull()
+        & (lm.cast(_DEC_T) == ld)
+        & (rm.cast(_DEC_T) == rd)
+    )
+    if e.op == "*":
+        mnum = F.try_multiply(lm, rm)
+        dnum = F.try_multiply(ld, rd)
+
+        def fits(d, k):
+            # value has <= k fraction digits (try_cast rounds, so the
+            # round-trip only survives when nothing was cut)
+            return d == d.try_cast(f"decimal(38,{k})").cast(_DEC_T)
+
+        # the (38,6)-scale product is exact iff the operands' fraction
+        # digits sum to <= 6; cover that with the three cheap windows
+        # 3+3, 0+6 and 6+0 (big-integer x money-scale cases — operands
+        # too wide for the mid window but still exact at scale 6)
+        frac_ok = (
+            (fits(ld, 3) & fits(rd, 3))
+            | (fits(ld, 0) & fits(rd, 6))
+            | (fits(ld, 6) & fits(rd, 0))
+        )
+        hi_ok = both_exact & frac_ok & dnum.isNotNull()
+    else:
+        mnum = F.when(rm != 0, F.try_divide(lm, rm))
+        dnum = F.when(rd != 0, F.try_divide(ld, rd))
+        hi_ok = (
+            both_exact
+            & dnum.isNotNull()
+            & (F.try_multiply(dnum, rd) == ld)
+        )
+    return (
+        F.when(both_exact & mid_ok & mnum.isNotNull(), make_num_dec(mnum, dt))
+        .when(hi_ok, make_num_dec(dnum, dt))
+        # gate on the RESULT, not the operands: division by zero has
+        # both operands bound but a null result, and must surface as a
+        # proper unbound (null struct), never a literal with null num
+        .when(num.isNotNull(), make_num(num, dt))
+        .otherwise(null_term())
+    )
 
 
 def _numeric_fn(t: Column, f) -> Column:

@@ -377,3 +377,115 @@ def test_groupby_aggregate_matches_sql(fuzz_env, pred, agg):
         for a, m in con.execute(sql).fetchall()
     )
     assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Property 4: scalar expression semantics vs an independent exact
+# interpreter.  Random arithmetic/IF/COALESCE trees over integer literals
+# and an always-unbound variable, evaluated (a) by the engine through
+# SELECT (expr AS ?r) WHERE {} and (b) by a tiny Python reference
+# interpreter implementing the spec's numeric semantics directly
+# (errors propagate; ?u is an error; x/0 is an error; integer division
+# yields exact rationals per op:numeric-divide on decimals; IF's
+# condition error poisons the IF; COALESCE takes the first non-error).
+
+from fractions import Fraction
+
+
+def _expr_strategy():
+    atoms = st.one_of(
+        st.integers(-3, 10).map(lambda n: ("lit", n)),
+        st.just(("unbound",)),
+    )
+
+    def compound(children):
+        binop = st.tuples(
+            st.sampled_from(["+", "-", "*", "/"]), children, children
+        ).map(lambda t: ("bin", *t))
+        neg = children.map(lambda c: ("neg", c))
+        absn = children.map(lambda c: ("abs", c))
+        iff = st.tuples(
+            st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+            children, children, children, children,
+        ).map(lambda t: ("if", *t))
+        coal = st.tuples(children, children).map(lambda t: ("coalesce", *t))
+        return st.one_of(binop, neg, absn, iff, coal)
+
+    return st.recursive(atoms, compound, max_leaves=8)
+
+
+def _expr_text(e) -> str:
+    k = e[0]
+    if k == "lit":
+        return str(e[1])
+    if k == "unbound":
+        return "?u"
+    if k == "bin":
+        return f"({_expr_text(e[2])} {e[1]} {_expr_text(e[3])})"
+    if k == "neg":
+        return f"(- {_expr_text(e[1])})"
+    if k == "abs":
+        return f"ABS({_expr_text(e[1])})"
+    if k == "if":
+        return (
+            f"IF({_expr_text(e[2])} {e[1]} {_expr_text(e[3])}, "
+            f"{_expr_text(e[4])}, {_expr_text(e[5])})"
+        )
+    return f"COALESCE({_expr_text(e[1])}, {_expr_text(e[2])})"
+
+
+def _expr_eval(e):
+    """None == SPARQL error."""
+    k = e[0]
+    if k == "lit":
+        return Fraction(e[1])
+    if k == "unbound":
+        return None
+    if k == "bin":
+        a, b = _expr_eval(e[2]), _expr_eval(e[3])
+        if a is None or b is None:
+            return None
+        if e[1] == "+":
+            return a + b
+        if e[1] == "-":
+            return a - b
+        if e[1] == "*":
+            return a * b
+        return None if b == 0 else a / b
+    if k == "neg":
+        a = _expr_eval(e[1])
+        return None if a is None else -a
+    if k == "abs":
+        a = _expr_eval(e[1])
+        return None if a is None else abs(a)
+    if k == "if":
+        a, b = _expr_eval(e[2]), _expr_eval(e[3])
+        if a is None or b is None:
+            return None
+        ok = {
+            "<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b,
+            "=": a == b, "!=": a != b,
+        }[e[1]]
+        return _expr_eval(e[4] if ok else e[5])
+    # COALESCE: first argument that evaluates without error
+    a = _expr_eval(e[1])
+    return a if a is not None else _expr_eval(e[2])
+
+
+@given(e=_expr_strategy())
+@settings(**_SETTINGS)
+def test_scalar_expression_matches_reference_eval(fuzz_env, e):
+    eng, _ = fuzz_env
+    text = f"SELECT ({_expr_text(e)} AS ?r) WHERE {{}}"
+    rows = eng.select(text).collect()
+    assert len(rows) == 1, text
+    got = rows[0]["r"]
+    want = _expr_eval(e)
+    if want is None:
+        assert got is None, f"{text}: engine={got!r}, want error/unbound"
+    else:
+        assert got is not None, f"{text}: engine unbound, want {want}"
+        gf, wf = float(got), float(want)
+        assert abs(gf - wf) <= 1e-9 * max(1.0, abs(wf)), (
+            f"{text}: engine={got} want={want}"
+        )
