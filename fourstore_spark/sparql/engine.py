@@ -137,6 +137,14 @@ class SparqlEngine:
         pred_numeric_dt: dict | None = None,
     ):
         self.spark = spark
+        # deeply nested SPARQL expressions compile to nested lambda
+        # bindings (expr._let); each lambda level costs an analyzer
+        # Resolution iteration and the default cap is 100 — raise it so
+        # machine-generated expression towers resolve instead of erroring
+        try:
+            spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+        except Exception:  # noqa: BLE001 — conf may be restricted
+            pass
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
         # fs_mark_discard_rows): a per-session visibility filter injected
         # ahead of every scan — Catalyst pushes it into the parquet read

@@ -161,6 +161,23 @@ def _let(col: Column, fn) -> Column:
     return F.transform(F.array(col), fn)[0]
 
 
+def _bind(node, col: Column, fn) -> Column:
+    """_let, but only for COMPOUND algebra nodes. A plain variable or
+    constant is a tiny compiled tree, so inlining keeps the compiled
+    shape Catalyst already optimizes (filter pushdown, constant
+    folding). Everything else gets the let-binding: the arithmetic /
+    comparison / call bodies reference their operands ~6-10x, so even
+    one inlined compound level multiplies compiled size by that factor
+    and nesting compounds it exponentially (a size-threshold variant was
+    tried and still blew up — the growth is in COMPILED size, not
+    algebra size). Nested lambdas cost analyzer Resolution iterations;
+    SparqlEngine raises spark.sql.analyzer.maxIterations to cover deep
+    towers."""
+    if isinstance(node, (A.EVar, A.EConst)):
+        return fn(col)
+    return _let(col, fn)
+
+
 def _is_exact(t: Column) -> Column:
     return _is_lit(t) & t["dt"].isin(_EXACT_DTS)
 
@@ -349,7 +366,17 @@ def compile_bool(e, ctx: ExprContext) -> Column:
     if isinstance(e, A.EUnary) and e.op == "!":
         return ~compile_bool(e.arg, ctx)
     if isinstance(e, A.ECompare):
-        return _compare(e.op, compile_expr(e.left, ctx), compile_expr(e.right, ctx))
+        # _compare references each side ~6x: let-bind computed operands
+        # (simple var/const sides stay inline for filter pushdown)
+        return _bind(
+            e.left,
+            compile_expr(e.left, ctx),
+            lambda lt: _bind(
+                e.right,
+                compile_expr(e.right, ctx),
+                lambda rt: _compare(e.op, lt, rt),
+            ),
+        )
     if isinstance(e, A.EIn):
         t = compile_expr(e.expr, ctx)
         out = F.lit(False)
@@ -378,20 +405,27 @@ def compile_expr(e, ctx: ExprContext) -> Column:
         # construction before this reuse.
         return make_bool(compile_bool(e, ctx))
     if isinstance(e, A.ECompare):
-        return make_bool(
-            _compare(e.op, compile_expr(e.left, ctx), compile_expr(e.right, ctx))
-        )
+        # same operand let-binding as compile_bool's ECompare branch
+        return make_bool(compile_bool(e, ctx))
     if isinstance(e, A.EIn):
-        t = compile_expr(e.expr, ctx)
-        conds = [_compare("=", t, compile_expr(o, ctx)) for o in e.options]
-        out = conds[0] if conds else F.lit(False)
-        for c in conds[1:]:
-            out = out | c
-        return make_bool(~out if e.negated else out)
+        def _in_body(t):
+            # t is let-bound: the tested expression would otherwise be
+            # cloned once per IN option (see _let)
+            conds = [
+                _compare("=", t, compile_expr(o, ctx)) for o in e.options
+            ]
+            out = conds[0] if conds else F.lit(False)
+            for c in conds[1:]:
+                out = out | c
+            return make_bool(~out if e.negated else out)
+
+        return _bind(e.expr, compile_expr(e.expr, ctx), _in_body)
     if isinstance(e, A.EArith):
-        return _let(
+        return _bind(
+            e.left,
             compile_expr(e.left, ctx),
-            lambda lt: _let(
+            lambda lt: _bind(
+                e.right,
                 compile_expr(e.right, ctx),
                 lambda rt: _arith_body(e, lt, rt),
             ),
@@ -518,14 +552,36 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
         # compile_bool (EBV semantics, error -> NULL -> else-is-skipped
         # branch below) instead of the struct round-trip, which doubles a
         # potentially huge condition tree (see EAnd/EOr in compile_expr)
-        cond = compile_bool(e.args[0], ctx)
         thenv = compile_expr(e.args[1], ctx)
         elsev = compile_expr(e.args[2], ctx)
-        return (
-            F.when(cond, thenv).when(~cond, elsev).otherwise(null_term())
+        # bind the condition: when(cond).when(~cond) references it
+        # twice, which doubles the tree per IF nesting level (see _bind)
+        return _bind(
+            e.args[0],
+            compile_bool(e.args[0], ctx),
+            lambda c: F.when(c, thenv).when(~c, elsev).otherwise(null_term()),
         )
-    args = [compile_expr(a, ctx) for a in e.args]
+    # let-bind each COMPLEX argument once (simple vars/constants stay
+    # inline so filter shapes and pushdown are unchanged): every branch
+    # below references its args several times, which otherwise clones
+    # the argument subtree per use and nests exponentially (see _let)
+    cols = [compile_expr(a, ctx) for a in e.args]
 
+    def _go(i, acc):
+        if i == len(cols):
+            return _call_body(name, acc)
+
+        # single-parameter closure: transform() passes (element, index)
+        # to two-parameter lambdas, which would clobber a default-arg i
+        def step(c):
+            return _go(i + 1, acc + [c])
+
+        return _bind(e.args[i], cols[i], step)
+
+    return _go(0, [])
+
+
+def _call_body(name: str, args: list) -> Column:
     # -- casts: xsd:TYPE(expr) arrives with the full datatype IRI as name
     # (fn_cast, src/frontend/filter.c:1335)
     if name.startswith(XSD):
