@@ -689,19 +689,32 @@ def _call_body(name: str, args: list) -> Column:
         return make_bool(a0["lex"].startswith(args[1]["lex"]))
     if name == "STRENDS":
         return make_bool(a0["lex"].endswith(args[1]["lex"]))
-    if name == "STRBEFORE":
+    if name in ("STRBEFORE", "STRAFTER"):
+        # argument compatibility (spec 17.4.3.7): both string-ish, and
+        # arg2 either lang-less or same lang as arg1 — else ERROR (the
+        # old code returned "" for unbound/non-string args); the result
+        # keeps arg1's lang only when a match occurred (STRBEFORE
+        # ("abc"@en,"z") is plain "", but ("abc"@en,"") is ""@en)
+        compat = (
+            _plainish(a0)
+            & _plainish(args[1])
+            & (args[1]["lang"].isNull() | (args[1]["lang"] == a0["lang"]))
+        )
         pos = F.instr(a0["lex"], args[1]["lex"])
-        out = F.when(pos > 0, F.substring(a0["lex"], F.lit(1), pos - 1)).otherwise("")
-        return make_string(out, a0["lang"])
-    if name == "STRAFTER":
-        pos = F.instr(a0["lex"], args[1]["lex"])
-        out = F.when(
-            pos > 0,
-            F.substring(
-                a0["lex"], pos + F.length(args[1]["lex"]), F.length(a0["lex"])
-            ),
-        ).otherwise("")
-        return make_string(out, a0["lang"])
+        if name == "STRBEFORE":
+            out = F.when(
+                pos > 0, F.substring(a0["lex"], F.lit(1), pos - 1)
+            ).otherwise("")
+        else:
+            out = F.when(
+                pos > 0,
+                F.substring(
+                    a0["lex"], pos + F.length(args[1]["lex"]),
+                    F.length(a0["lex"]),
+                ),
+            ).otherwise("")
+        lang = F.when(pos > 0, a0["lang"]).otherwise(_NULL_S())
+        return F.when(compat, make_string(out, lang)).otherwise(null_term())
     if name == "ENCODE_FOR_URI":
         # fn_encode_for_uri (filter.c:1452); url_encode is form-encoding, so
         # fix the space convention ('+' -> '%20')

@@ -271,6 +271,7 @@ _SETTINGS = dict(
 @settings(**_SETTINGS)
 def test_engine_matches_naive_sql(fuzz_env, q):
     eng, con = fuzz_env
+    eng._plan_cache.clear()  # deep runs: don't pin hundreds of plans
     text, proj = _sparql(q)
     sql, sql_proj = _sql(q)
     assert proj == sql_proj
@@ -307,6 +308,7 @@ def test_union_matches_naive_sql(fuzz_env, left, right, distinct):
     """UNION pads each branch's missing variables with unbound — the SQL
     mirror is NULL-padded UNION ALL (DISTINCT dedups the padded rows)."""
     eng, con = fuzz_env
+    eng._plan_cache.clear()
 
     def branch_text(pats):
         out = []
@@ -353,6 +355,7 @@ def test_groupby_aggregate_matches_sql(fuzz_env, pred, agg):
     leaves the variable unbound — encoded in SQL as CASE WHEN every
     value parsed THEN agg ELSE NULL."""
     eng, con = fuzz_env
+    eng._plan_cache.clear()
     text = (
         f"SELECT ?a (%s AS ?m) WHERE {{ ?a <{pred}> ?b }} GROUP BY ?a"
         % {"COUNT": "COUNT(?b)", "SUM": "SUM(?b)", "AVG": "AVG(?b)"}[agg]
@@ -476,6 +479,9 @@ def _expr_eval(e):
 @settings(**_SETTINGS)
 def test_scalar_expression_matches_reference_eval(fuzz_env, e):
     eng, _ = fuzz_env
+    # hundreds of generated towers would otherwise accumulate in the
+    # 256-entry compiled-plan LRU and exhaust the test driver's heap
+    eng._plan_cache.clear()
     text = f"SELECT ({_expr_text(e)} AS ?r) WHERE {{}}"
     rows = eng.select(text).collect()
     assert len(rows) == 1, text
@@ -489,3 +495,118 @@ def test_scalar_expression_matches_reference_eval(fuzz_env, e):
         assert abs(gf - wf) <= 1e-9 * max(1.0, abs(wf)), (
             f"{text}: engine={got} want={want}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Property 5: string-function semantics vs an independent reference
+# interpreter.  Random CONCAT/UCASE/LCASE/SUBSTR/STRLEN/STRBEFORE/
+# STRAFTER trees over plain literals and an unbound variable; typed
+# values are ('str', s) | ('int', n) | None (error).  Type mismatches
+# (an int where a string literal is required) are errors per spec.
+
+_STR_POOL = ["", "a", "ab", "héllo", "aba b", "xyx"]
+
+
+def _str_expr_strategy():
+    atoms = st.one_of(
+        st.sampled_from(_STR_POOL).map(lambda s: ("lit", s)),
+        st.just(("unbound",)),
+    )
+
+    def compound(children):
+        pos = st.integers(-2, 6)
+        return st.one_of(
+            st.tuples(children, children).map(lambda t: ("concat", *t)),
+            children.map(lambda c: ("ucase", c)),
+            children.map(lambda c: ("lcase", c)),
+            children.map(lambda c: ("strlen", c)),
+            st.tuples(children, pos).map(lambda t: ("substr2", *t)),
+            st.tuples(children, pos, pos).map(lambda t: ("substr3", *t)),
+            st.tuples(children, children).map(lambda t: ("strbefore", *t)),
+            st.tuples(children, children).map(lambda t: ("strafter", *t)),
+        )
+
+    return st.recursive(atoms, compound, max_leaves=6)
+
+
+def _str_text(e) -> str:
+    k = e[0]
+    if k == "lit":
+        return '"' + e[1].replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if k == "unbound":
+        return "?u"
+    if k == "concat":
+        return f"CONCAT({_str_text(e[1])}, {_str_text(e[2])})"
+    if k in ("ucase", "lcase", "strlen"):
+        return f"{k.upper()}({_str_text(e[1])})"
+    if k == "substr2":
+        return f"SUBSTR({_str_text(e[1])}, {e[2]})"
+    if k == "substr3":
+        return f"SUBSTR({_str_text(e[1])}, {e[2]}, {e[3]})"
+    return f"{k.upper()}({_str_text(e[1])}, {_str_text(e[2])})"
+
+
+def _str_eval(e):
+    k = e[0]
+    if k == "lit":
+        return ("str", e[1])
+    if k == "unbound":
+        return None
+
+    def s(x):
+        v = _str_eval(x)
+        return v[1] if v is not None and v[0] == "str" else None
+
+    if k == "concat":
+        a, b = s(e[1]), s(e[2])
+        return None if a is None or b is None else ("str", a + b)
+    if k == "ucase":
+        a = s(e[1])
+        return None if a is None else ("str", a.upper())
+    if k == "lcase":
+        a = s(e[1])
+        return None if a is None else ("str", a.lower())
+    if k == "strlen":
+        a = s(e[1])
+        return None if a is None else ("int", len(a))
+    if k in ("substr2", "substr3"):
+        a = s(e[1])
+        if a is None:
+            return None
+        start = e[2]
+        # fn:substring: 1-based positions p with start <= p < start+len
+        lo = max(start, 1)
+        hi = (start + e[3]) if k == "substr3" else (len(a) + 1)
+        return ("str", a[lo - 1 : max(hi - 1, lo - 1)])
+    if k == "strbefore":
+        a, b = s(e[1]), s(e[2])
+        if a is None or b is None:
+            return None
+        if b == "":
+            return ("str", "")
+        i = a.find(b)
+        return ("str", a[:i] if i >= 0 else "")
+    # strafter
+    a, b = s(e[1]), s(e[2])
+    if a is None or b is None:
+        return None
+    if b == "":
+        return ("str", a)
+    i = a.find(b)
+    return ("str", a[i + len(b):] if i >= 0 else "")
+
+
+@given(e=_str_expr_strategy())
+@settings(**_SETTINGS)
+def test_string_functions_match_reference_eval(fuzz_env, e):
+    eng, _ = fuzz_env
+    eng._plan_cache.clear()  # see the scalar property
+    text = f"SELECT ({_str_text(e)} AS ?r) WHERE {{}}"
+    rows = eng.select(text).collect()
+    assert len(rows) == 1, text
+    got = rows[0]["r"]
+    want = _str_eval(e)
+    if want is None:
+        assert got is None, f"{text}: engine={got!r}, want error"
+    else:
+        assert got == str(want[1]), f"{text}: engine={got!r} want={want[1]!r}"
