@@ -160,13 +160,26 @@ def quads_from_nt(
     path: str,
     default_graph: str = DEFAULT_GRAPH,
     namespace_bnodes: bool = True,
+    on_error: str = "skip",
 ) -> DataFrame:
-    """Distributed N-Triples/N-Quads load: text splits parse in parallel."""
+    """Distributed N-Triples/N-Quads load: text splits parse in parallel.
+
+    ``on_error="skip"`` (default) drops malformed lines — the reference's
+    importer likewise reports parser errors and keeps going (4s-import
+    over raptor, import.c:352+), and at 100 TB one corrupt line must not
+    fail the whole ingest after N task retries. ``on_error="strict"``
+    raises on the first malformed line (fail-fast validation runs)."""
     lines = spark.read.text(path)
+    strict = on_error == "strict"
 
     def parse_partition(rows):
         for row in rows:
-            q = parse_nt_line(row[0], default_graph)
+            try:
+                q = parse_nt_line(row[0], default_graph)
+            except ValueError:
+                if strict:
+                    raise
+                continue
             if q is not None:
                 yield q
 
@@ -183,13 +196,23 @@ def quads_from_nt_text(
     text: str,
     default_graph: str = DEFAULT_GRAPH,
     namespace_bnodes: bool = True,
+    on_error: str = "strict",
 ) -> DataFrame:
-    """Parse an in-memory N-Triples/N-Quads string (driver-side)."""
-    rows = [
-        q
-        for line in text.splitlines()
-        if (q := parse_nt_line(line, default_graph)) is not None
-    ]
+    """Parse an in-memory N-Triples/N-Quads string (driver-side).
+
+    Strict by default — an in-memory literal is authored, not ingested,
+    so a typo should surface; pass ``on_error="skip"`` for file-like
+    leniency."""
+    rows = []
+    for line in text.splitlines():
+        try:
+            q = parse_nt_line(line, default_graph)
+        except ValueError:
+            if on_error == "strict":
+                raise
+            continue
+        if q is not None:
+            rows.append(q)
     return _bnode_namespace(
         spark.createDataFrame(rows, QUADS_SCHEMA), namespace_bnodes
     )

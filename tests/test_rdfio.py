@@ -213,3 +213,22 @@ GRAPH ex:g2 { ex:c ex:p "two" }
     assert ("http://example.org/g1", "http://example.org/a", "one") in got
     assert ("http://example.org/g2", "http://example.org/c", "two") in got
     assert q.count() == 4
+
+
+def test_nt_import_skips_malformed_lines_by_default(spark, tmp_path):
+    # one corrupt line must not fail a distributed ingest (the reference
+    # importer reports raptor errors and continues, import.c:352+)
+    from fourstore_spark.sources.rdfio import quads_from_nt
+
+    f = tmp_path / "mixed.nt"
+    f.write_text(
+        '<urn:a> <urn:p> "ok" .\n'
+        "THIS IS NOT NTRIPLES\n"
+        '<urn:b> <urn:p> "ok2" .\n'
+    )
+    df = quads_from_nt(spark, str(f))
+    assert df.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        quads_from_nt(spark, str(f), on_error="strict").count()
