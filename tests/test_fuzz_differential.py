@@ -116,6 +116,12 @@ queries = st.fixed_dictionaries(
                 st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()
             ),
         ),
+        "minus": st.one_of(
+            st.none(),
+            st.tuples(
+                st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()
+            ),
+        ),
         "filter": st.one_of(
             st.none(),
             st.tuples(
@@ -144,6 +150,10 @@ def _sparql(q) -> tuple[str, list[str]]:
         used.add(s)
         if o[0] == "var":
             used.add(o[1])
+    if q.get("minus"):
+        s, p, o = q["minus"]
+        body.append(f"MINUS {{ ?{s} <{p}> {term(o)} }}")
+        # MINUS binds nothing outward: its vars do NOT join ``used``
     if q["optional"]:
         s, p, o = q["optional"]
         body.append(f"OPTIONAL {{ ?{s} <{p}> {term(o)} }}")
@@ -218,6 +228,24 @@ def _sql(q, prefix: str = "t") -> tuple[str, list[str]] | None:
         aliases.append(alias)
         pattern_conds(alias, s, p, o, conds)
 
+    not_exists = None
+    if q.get("minus"):
+        # MINUS semantics with certain-bound BGP branches: remove a left
+        # row iff a right row agrees on the SHARED vars; no shared vars
+        # -> MINUS is a no-op (the dom-overlap rule)
+        s, p, o = q["minus"]
+        saved = dict(binds)
+        mconds: list[str] = []
+        pattern_conds("m0", s, p, o, mconds)
+        mvars = {s} | ({o[1]} if o[0] == "var" else set())
+        binds = saved  # MINUS binds nothing outward
+        if mvars & set(saved):
+            not_exists = (
+                "NOT EXISTS (SELECT 1 FROM quads m0 WHERE "
+                + " AND ".join(mconds)
+                + ")"
+            )
+
     left = None
     if q["optional"]:
         s, p, o = q["optional"]
@@ -243,6 +271,8 @@ def _sql(q, prefix: str = "t") -> tuple[str, list[str]] | None:
         alias, lconds, _ = left
         sql += f" LEFT JOIN quads {alias} ON " + " AND ".join(lconds)
     where = list(conds)
+    if not_exists:
+        where.append(not_exists)
     if q["filter"]:
         v, op, c = q["filter"]
         if v in binds:
@@ -276,10 +306,11 @@ def test_engine_matches_naive_sql(fuzz_env, q):
     sql, sql_proj = _sql(q)
     assert proj == sql_proj
     spark_rows = sorted(
-        tuple(r[v] for v in proj) for r in eng.select(text).collect()
+        (tuple(r[v] for v in proj) for r in eng.select(text).collect()),
+        key=repr,  # rows may mix None (unbound) and str
     )
     duck_rows = sorted(
-        tuple(row) for row in con.execute(sql).fetchall()
+        (tuple(row) for row in con.execute(sql).fetchall()), key=repr
     )
     assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
 
