@@ -124,6 +124,25 @@ def _q_describe(spark, sf_dir):
     return res.df.select("s", "p", "o_lex")
 
 
+def _q_graph_forms(spark, sf_dir):
+    """Q3 CONSTRUCT + Q4 DESCRIBE in one tagged union (head-slot merge)."""
+    eng = _engine(spark, sf_dir)
+    c = (
+        eng.query(
+            "CONSTRUCT { ?c <urn:rel:inSegment> ?seg } "
+            "WHERE { ?c <urn:col:customer#c_mktsegment> ?seg }"
+        )
+        .df.select("s", "p", "o_lex")
+        .withColumn("form", F.lit("construct"))
+    )
+    d = (
+        eng.query("DESCRIBE <urn:nation:7>")
+        .df.select("s", "p", "o_lex")
+        .withColumn("form", F.lit("describe"))
+    )
+    return c.unionByName(d)
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators
 def _op_dedup_exact(spark, sf_dir):
@@ -1196,6 +1215,21 @@ def _registry() -> dict[str, tuple]:
         "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
         "WHERE n_nationkey = 7",
     )
+    # Q3+Q4 merged (head-slot consolidation, VERDICT r4 #3): both
+    # graph-result query forms in one tagged union — frees a window slot
+    # for f_rand_now_bounds while keeping a driver row for each form
+    r["q3_q4_graph_forms"] = (
+        _q_graph_forms,
+        "SELECT DISTINCT 'construct' AS form, "
+        "'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
+        "'urn:rel:inSegment' AS p, c_mktsegment AS o_lex "
+        "FROM customer UNION ALL "
+        "SELECT 'describe', 'urn:nation:7', 'urn:col:nation#n_name', "
+        "n_name FROM nation WHERE n_nationkey = 7 UNION ALL "
+        "SELECT 'describe', 'urn:nation:7', 'urn:col:nation#n_regionkey', "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+        "WHERE n_nationkey = 7",
+    )
 
     # ---- graph slot (GRAPH / named graphs) ------------------------------
     r["graph_named"] = (
@@ -1930,10 +1964,14 @@ def _round3_entries() -> dict[str, tuple]:
                          BIND(?price - 1000 AS ?x)
                          BIND("12345678901234567890.123456"^^xsd:decimal
                               AS ?a) }}""",
-            ax="num",
-            cx="num",
-            fx="num",
-            rx="num",
+            # num0: CEIL/FLOOR/ROUND keep XPath's -0.0 in the engine
+            # (expr.py), but the contract canonicalizes signed zero on
+            # BOTH sides — cross-version DuckDB float rendering of -0.0
+            # is not part of what this entry tests (exact decimals are)
+            ax="num0",
+            cx="num0",
+            fx="num0",
+            rx="num0",
             ip="int",
             ds="num",
             net="num",
@@ -1942,12 +1980,16 @@ def _round3_entries() -> dict[str, tuple]:
             dcmp="bool",
         ),
         "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
-        "ABS(p_retailprice - 1000) AS ax, CEIL(p_retailprice - 1000) AS cx, "
-        "FLOOR(p_retailprice - 1000) AS fx, "
-        # XPath fn:round: ties toward +inf, -0.0 preserved (engine matches)
-        "CASE WHEN p_retailprice < 1000 THEN "
+        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 (matches the entry's num0
+        # flattening; see the SPARQL-side comment)
+        "ABS(p_retailprice - 1000) + 0.0 AS ax, "
+        "CEIL(p_retailprice - 1000) + 0.0 AS cx, "
+        "FLOOR(p_retailprice - 1000) + 0.0 AS fx, "
+        # XPath fn:round: ties toward +inf (engine matches)
+        "(CASE WHEN p_retailprice < 1000 THEN "
         "-abs(floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5)) "
-        "ELSE floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5) END AS rx, "
+        "ELSE floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5) END) + 0.0 "
+        "AS rx, "
         "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
         "CAST(p_size AS VARCHAR) AS ss, CAST(p_size AS DOUBLE) AS ds, "
         "p_retailprice * (1 - 0.05) AS net, "
@@ -2471,8 +2513,8 @@ _HEAD = [
     "a7_groupby_multi",         # A7 flagship
     "o1_u1_order_union",        # O1+O2+U1+O4 (merged)
     "q2_q5_ask_explain",        # Q2+Q5 (merged)
-    "q3_construct",             # Q3
-    "q4_describe",              # Q4
+    "q3_q4_graph_forms",        # Q3+Q4 (merged; singles past window)
+    "f_rand_now_bounds",        # F-rand+F-now bounded checks (promoted)
     "graph_from_dataset",       # GRAPH slot + dataset clause (merged)
     "b1_bind",                  # B1
     "path_seq",                 # property paths: sequence (beyond ref)

@@ -100,6 +100,12 @@ class SparqlResult:
                 cols.append(c["lex"].alias(var))
             elif t == "num":
                 cols.append(c["num"].alias(var))
+            elif t == "num0":
+                # like 'num' but canonicalizes IEEE signed zero (-0.0 ->
+                # +0.0): for contract entries whose oracle runs on engines
+                # that render/hash the two zeros differently across
+                # versions. x + 0.0 == +0.0 for both zeros.
+                cols.append((c["num"] + F.lit(0.0)).alias(var))
             elif t == "int":
                 cols.append(c["num"].cast("long").alias(var))
             elif t == "dec":

@@ -86,7 +86,7 @@ def make_num(num: Column, dt: Column) -> Column:
     ).otherwise(s)
     lex = (
         F.when(is_int, num.cast("long").cast("string"))
-        .when(dec_fix, F.coalesce(_dec_lex(num.cast(_DEC_T)), s))
+        .when(dec_fix, F.coalesce(_dec_lex(num.try_cast(_DEC_T)), s))
         .otherwise(s)
     )
     return term_struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num)

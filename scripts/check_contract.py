@@ -9,8 +9,10 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,10 +27,31 @@ TABLES = [
 
 
 def norm(v):
+    """Representation-sensitive normalization (VERDICT r4 #2).
+
+    The driver's hash distinguishes -0.0 from 0.0 and compares decimals by
+    their rendered form, but Python's == treats -0.0 == 0.0 and
+    Decimal('1.0') == Decimal('1.00') as equal — so a plain-== local gate
+    is structurally blind to exactly the failure class that kept
+    f_numeric_cast red for two rounds. Compare floats by IEEE bit pattern
+    and decimals by (sign, digits, exponent) so local red predicts driver
+    red.
+    """
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f64", struct.pack(">d", v))
+    if isinstance(v, Decimal):
+        return ("dec", v.as_tuple())
+    return v
+
+
+def denorm(v):
+    """Inverse of norm for diagnostics (float-noise closeness check)."""
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "f64":
+        return struct.unpack(">d", v[1])[0]
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "dec":
+        return Decimal(v[1])
     return v
 
 
@@ -36,7 +59,24 @@ def row_key(row):
     return tuple(norm(v) for v in row)
 
 
+def selftest() -> int:
+    """Planted fixtures: the gate must distinguish what the driver's
+    representation hash distinguishes."""
+    assert norm(-0.0) != norm(0.0), "signed zero must be visible"
+    assert norm(Decimal("1.0")) != norm(Decimal("1.00")), "decimal scale"
+    assert norm(1.0) == norm(1.0) and norm(Decimal("1.00")) == norm(
+        Decimal("1.00")
+    )
+    assert norm(float("nan")) == norm(float("nan")), "NaN equals NaN"
+    assert denorm(norm(-0.0)) == 0.0 and math.copysign(1, denorm(norm(-0.0))) < 0
+    print("selftest: ok")
+    return 0
+
+
 def main() -> int:
+    if "--selftest" in sys.argv:
+        return selftest()
+
     import __spark_entry__ as entry_mod
 
     spark = (
@@ -102,19 +142,21 @@ def main() -> int:
             # is it float-noise or a real mismatch?
             close = True
             for a, b in zip(srows, drows):
-                for x, y in zip(a, b):
-                    if x == y:
+                for xn, yn in zip(a, b):
+                    if xn == yn:
                         continue
+                    x, y = denorm(xn), denorm(yn)
                     if isinstance(x, float) and isinstance(y, float):
-                        if x != y and not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                        if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
                             close = False
                     else:
                         close = False
             kind = "FLOAT-NOISE" if close else "VALUES"
+            show = lambda r: tuple(repr(denorm(v)) for v in r)  # noqa: E731
             status.append(
                 f"{kind} mismatch at sorted-row {diff_i}: "
-                f"spark={srows[diff_i] if diff_i is not None else '?'} "
-                f"duck={drows[diff_i] if diff_i is not None else '?'}"
+                f"spark={show(srows[diff_i]) if diff_i is not None else '?'} "
+                f"duck={show(drows[diff_i]) if diff_i is not None else '?'}"
             )
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")

@@ -247,3 +247,21 @@ def test_sum_avg_double_inputs_not_decimal_clipped(engine, spark):
     ).collect()[0]
     assert row["s"] == pytest.approx(1.0e33)
     assert row["av"] == pytest.approx(0.5e33)
+
+
+def test_decimal_overflow_falls_back_to_double_string(engine):
+    # ADVICE r4: a decimal multiply that overflows DECIMAL(38,18) routes
+    # through the double fallback but keeps xsd:decimal dt; rendering that
+    # value must not crash under ANSI mode (try_cast, not cast) — the
+    # unrepresentable value keeps the double's string form
+    df = engine.select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?x WHERE {
+             ?r <urn:col:region#r_name> "ASIA"
+             BIND("99999999999999999999.9"^^xsd:decimal
+                  * "99999999999999999999.9"^^xsd:decimal AS ?x)
+           }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] == "1.0E40"
