@@ -279,15 +279,23 @@ def main(argv: list[str] | None = None) -> int:
         from fourstore_spark.sparql.update import UpdateEngine, quads_add
         from fourstore_spark.store import read_manifest, read_store, write_store
 
+        from fourstore_spark.sources.rdfio import report_skips
+
         if args.append:
             from fourstore_spark.store import append_quads
 
             for f in args.files:
+                df = load_rdf(spark, f, args.graph or DEFAULT_GRAPH)
                 append_quads(
-                    load_rdf(spark, f, args.graph or DEFAULT_GRAPH),
+                    df,
                     args.store,
                     rebuild_subjects=args.rebuild_subjects,
                 )
+                # the append's write consumed df: the malformed-line
+                # accumulator is populated now (ADVICE r4: skips are
+                # reported, never silent — reference import.c keeps
+                # going but prints each parser error)
+                report_skips(df, f)
             print(f"appended {len(args.files)} file(s)", file=sys.stderr)
             return 0
         if read_manifest(args.store):
@@ -296,11 +304,14 @@ def main(argv: list[str] | None = None) -> int:
             from fourstore_spark.sparql.update import empty_quads
 
             quads = empty_quads(spark)
+        loaded = []
         for f in args.files:
-            quads = quads_add(
-                quads, load_rdf(spark, f, args.graph or DEFAULT_GRAPH)
-            )
+            df = load_rdf(spark, f, args.graph or DEFAULT_GRAPH)
+            loaded.append((f, df))
+            quads = quads_add(quads, df)
         _swap_store(spark, quads, args.store)
+        for f, df in loaded:
+            report_skips(df, f)
         print(f"imported {len(args.files)} file(s)", file=sys.stderr)
         return 0
 

@@ -283,16 +283,29 @@ class SparqlHttpServer:
                 if path == "/status/size":
                     # http_size_report (httpd.c:959-1002): per-segment
                     # quads/models/resources; here per-predicate quads
-                    # (the store's partition unit) + totals
+                    # (the store's partition unit) + totals.
+                    # ADVICE r4: under graph access control this page must
+                    # not leak predicate IRIs/counts to unauthenticated
+                    # clients (nor offer them a free full-store scan) —
+                    # require a KNOWN apikey and scope the scan to that
+                    # key's allowed graphs
                     from pyspark.sql import functions as F
 
-                    rows = (
-                        outer.ue.quads.groupBy("p")
-                        .count()
-                        .orderBy("p")
-                        .collect()
-                    )
-                    models = outer.ue.quads.select("g").distinct().count()
+                    quads = outer.ue.quads
+                    acl = outer.graph_access_control
+                    if acl is not None:
+                        key = self._params().get("apikey")
+                        if key not in acl:
+                            return self._send(
+                                403,
+                                "403 forbidden - valid apikey parameter "
+                                "has to be included in request.",
+                            )
+                        quads = quads.where(
+                            F.col("g").isin(list(acl[key]))
+                        )
+                    rows = quads.groupBy("p").count().orderBy("p").collect()
+                    models = quads.select("g").distinct().count()
                     body = [
                         "<table><tr><th>predicate</th><th>quads</th></tr>\n"
                     ]
@@ -314,7 +327,17 @@ class SparqlHttpServer:
                     # http_cache_report (httpd.c:882-957): RID-cache hit
                     # stats; here the compiled-plan cache's (under ACL
                     # mode engines are per-request, so a fresh one — all
-                    # zeros — stands in)
+                    # zeros — stands in). Same apikey gate as /status/size
+                    # (ADVICE r4).
+                    acl = outer.graph_access_control
+                    if acl is not None and self._params().get(
+                        "apikey"
+                    ) not in acl:
+                        return self._send(
+                            403,
+                            "403 forbidden - valid apikey parameter "
+                            "has to be included in request.",
+                        )
                     eng = outer._engine or SparqlEngine(
                         outer.spark, outer.ue.quads
                     )

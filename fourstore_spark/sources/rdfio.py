@@ -23,10 +23,14 @@ expression, written with ``df.write.text`` — fully distributed.
 
 from __future__ import annotations
 
+import logging
 import re
+import sys
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("fourstore_spark.rdfio")
 
 from fourstore_spark.model import (
     DEFAULT_GRAPH,
@@ -168,27 +172,60 @@ def quads_from_nt(
     importer likewise reports parser errors and keeps going (4s-import
     over raptor, import.c:352+), and at 100 TB one corrupt line must not
     fail the whole ingest after N task retries. ``on_error="strict"``
-    raises on the first malformed line (fail-fast validation runs)."""
+    raises on the first malformed line (fail-fast validation runs).
+
+    Skips are never silent (ADVICE r4): a Spark accumulator counts
+    dropped lines; the returned DataFrame exposes it as
+    ``df.skipped_lines`` (read it AFTER an action has consumed the
+    frame), and each executor logs the first few offending lines to
+    stderr. ``report_skips(df)`` logs the total — append/import call
+    sites invoke it after their action."""
     lines = spark.read.text(path)
     strict = on_error == "strict"
+    acc = spark.sparkContext.accumulator(0)
 
     def parse_partition(rows):
+        shown = 0
         for row in rows:
             try:
                 q = parse_nt_line(row[0], default_graph)
-            except ValueError:
+            except ValueError as exc:
                 if strict:
                     raise
+                acc.add(1)
+                if shown < 3:  # first few per task, not a log flood
+                    shown += 1
+                    print(
+                        f"rdfio: skipping malformed line: {exc}",
+                        file=sys.stderr,
+                    )
                 continue
             if q is not None:
                 yield q
 
-    return _bnode_namespace(
+    df = _bnode_namespace(
         spark.createDataFrame(
             lines.rdd.mapPartitions(parse_partition), QUADS_SCHEMA
         ),
         namespace_bnodes,
     )
+    df.skipped_lines = acc
+    return df
+
+
+def report_skips(df: DataFrame, source: str = "") -> int:
+    """Log and return the malformed-line count accumulated by a
+    ``quads_from_nt`` load. Call after an action has consumed ``df``
+    (accumulators only populate when tasks run)."""
+    acc = getattr(df, "skipped_lines", None)
+    n = acc.value if acc is not None else 0
+    if n:
+        _LOG.warning(
+            "rdfio: %d malformed line(s) skipped%s",
+            n,
+            f" importing {source}" if source else "",
+        )
+    return n
 
 
 def quads_from_nt_text(

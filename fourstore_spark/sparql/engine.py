@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from fourstore_spark.sparql.parser import parse_query
 from fourstore_spark.sparql.translator import Translator
 
+# serializes the scoped analyzer-conf save/restore in SparqlEngine.query
+_ANALYZER_CONF_LOCK = threading.Lock()
+
 
 class SparqlResult:
     def __init__(self, form: str, df: DataFrame):
@@ -143,14 +146,6 @@ class SparqlEngine:
         pred_numeric_dt: dict | None = None,
     ):
         self.spark = spark
-        # deeply nested SPARQL expressions compile to nested lambda
-        # bindings (expr._let); each lambda level costs an analyzer
-        # Resolution iteration and the default cap is 100 — raise it so
-        # machine-generated expression towers resolve instead of erroring
-        try:
-            spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
-        except Exception:  # noqa: BLE001 — conf may be restricted
-            pass
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
         # fs_mark_discard_rows): a per-session visibility filter injected
         # ahead of every scan — Catalyst pushes it into the parquet read
@@ -273,7 +268,32 @@ class SparqlEngine:
             subjects_cols=self.subjects_cols,
             pred_numeric_dt=self.pred_numeric_dt,
         )
-        df = tr.translate_query(q)
+        # deeply nested SPARQL expressions compile to nested lambda
+        # bindings (expr._let); each lambda level costs an analyzer
+        # Resolution iteration and the default cap is 100 — raise it for
+        # the duration of THIS compile only (PySpark DataFrame creation
+        # analyzes eagerly, so the analyzer runs inside translate_query),
+        # then restore: a session-wide override would mask genuinely
+        # non-converging plans in co-tenant workloads (ADVICE r4). The
+        # lock keeps concurrent compiles (threaded httpd) from tearing
+        # the save/restore pair.
+        with _ANALYZER_CONF_LOCK:
+            conf_key = "spark.sql.analyzer.maxIterations"
+            try:
+                saved = self.spark.conf.get(conf_key, None)
+                self.spark.conf.set(conf_key, "1000")
+            except Exception:  # noqa: BLE001 — conf may be restricted
+                saved = None
+            try:
+                df = tr.translate_query(q)
+            finally:
+                try:
+                    if saved is None:
+                        self.spark.conf.unset(conf_key)
+                    else:
+                        self.spark.conf.set(conf_key, saved)
+                except Exception:  # noqa: BLE001
+                    pass
         # truncation warning: deferred count over the capped patterns'
         # pre-limit frames — evaluated only if soft_limited is read
         capped = list(tr.capped)

@@ -445,18 +445,31 @@ def compact_store(
             .partitionBy("p")
             .parquet(tmp)
         )
-        # atomic per-directory swap: readers opened after the rename see
-        # the compacted files; single-writer discipline (as everywhere in
-        # this store) is assumed during the swap itself
+        # crash-safe per-directory swap (ADVICE r4): rename the live dir
+        # ASIDE first, then rename the compacted dir IN, then delete the
+        # old one — a crash between any two steps leaves either the live
+        # or the aside copy intact and recoverable (never rmtree before
+        # the replacement is in place; both renames are same-filesystem
+        # since the staging dir lives inside the store). Single-writer
+        # discipline (as everywhere in this store) is assumed.
         for name in os.listdir(tmp):
             if not name.startswith("p="):
                 continue
-            before = _parquet_file_count(os.path.join(path, name))
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            os.rename(os.path.join(tmp, name), os.path.join(path, name))
+            live = os.path.join(path, name)
+            # "_"-prefixed so Spark's partition discovery and
+            # pred_dir_map both ignore a crash-leftover aside dir; "="
+            # must not appear in the name (Spark's hidden-path filter
+            # exempts "_..=.." as a potential partition value)
+            aside = os.path.join(path, "_old_" + name.replace("=", "~"))
+            before = _parquet_file_count(live)
+            shutil.rmtree(aside, ignore_errors=True)  # stale crash leftover
+            if os.path.exists(live):
+                os.rename(live, aside)
+            os.rename(os.path.join(tmp, name), live)
+            shutil.rmtree(aside, ignore_errors=True)
             compacted[urllib.parse.unquote(name[2:])] = [
                 before,
-                _parquet_file_count(os.path.join(path, name)),
+                _parquet_file_count(live),
             ]
         shutil.rmtree(tmp, ignore_errors=True)
     if rebuild_subjects and manifest.get("subjects_stale"):

@@ -328,3 +328,49 @@ def test_http_accept_content_negotiation(server):
     )
     with urllib.request.urlopen(req) as r:
         assert r.headers["Content-Type"].startswith("text/csv")
+
+
+def test_http_status_pages_gated_under_acl(spark):
+    # ADVICE r4: /status/size and /status/cache must not leak store
+    # shape (predicate IRIs, counts) or run full-store scans for
+    # unauthenticated clients when graph access control is enabled —
+    # and the size report must be scoped to the key's graphs
+    from fourstore_spark.httpd import SparqlHttpServer
+
+    srv = SparqlHttpServer(
+        spark,
+        port=0,
+        graph_access_control={
+            "alice-key": ["urn:g:open"],
+            "admin-key": ["urn:g:open", "urn:g:secret"],
+        },
+    )
+    srv.start()
+    try:
+        _post(
+            srv,
+            "/update/",
+            {
+                "update": "INSERT DATA { "
+                'GRAPH <urn:g:open> { <urn:d> <urn:v> "pub" } '
+                'GRAPH <urn:g:secret> { <urn:d> <urn:w> "sec" } }',
+                "apikey": "admin-key",
+            },
+        )
+        for page in ("/status/size/", "/status/cache/"):
+            try:
+                _get(srv, page)
+                raise AssertionError(f"expected 403 for {page}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403 and "apikey" in e.read().decode()
+        # alice's size report shows only her graph's predicates
+        st, body = _get(srv, "/status/size/?apikey=alice-key")
+        assert st == 200 and "urn:v" in body and "urn:w" not in body
+        assert "models: 1" in body
+        # admin sees both
+        st, body = _get(srv, "/status/size/?apikey=admin-key")
+        assert "urn:v" in body and "urn:w" in body and "models: 2" in body
+        st, body = _get(srv, "/status/cache/?apikey=alice-key")
+        assert st == 200 and "cache_entries" in body
+    finally:
+        srv.stop()

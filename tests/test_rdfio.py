@@ -228,6 +228,12 @@ def test_nt_import_skips_malformed_lines_by_default(spark, tmp_path):
     )
     df = quads_from_nt(spark, str(f))
     assert df.count() == 2
+    # ADVICE r4: skips are counted, not silent — the accumulator is
+    # populated once an action has consumed the frame
+    from fourstore_spark.sources.rdfio import report_skips
+
+    assert df.skipped_lines.value == 1
+    assert report_skips(df, str(f)) == 1
     import pytest as _pytest
 
     with _pytest.raises(Exception):

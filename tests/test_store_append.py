@@ -174,3 +174,41 @@ def test_compact_store_untouched_predicates_keep_files(spark, tmp_path):
     compact_store(spark, path)
     # <urn:q> was never fragmented: its directory moved zero bytes
     assert sorted(_os.listdir(q_dir)) == q_files
+
+
+def test_compact_store_recovers_from_crashed_swap(spark, tmp_path):
+    # ADVICE r4: the per-directory swap renames the live dir aside
+    # BEFORE deleting anything; a stale "_old_p=..." leftover from a
+    # crashed prior swap must be ignored by readers (Spark skips
+    # "_"-prefixed dirs) and cleaned up by the next compaction
+    import os as _os
+    import shutil as _shutil
+
+    from fourstore_spark.store import compact_store, pred_dir_map
+
+    path = _build(spark, tmp_path)
+    for i in range(3):
+        append_quads(
+            quads_from_nt_text(spark, f'<urn:c{i}> <urn:p> "w{i}" .'), path
+        )
+    # plant a crash leftover: a full aside copy of the live dir
+    live = pred_dir_map(path)["urn:p"]
+    aside = _os.path.join(
+        path, "_old_" + _os.path.basename(live).replace("=", "~")
+    )
+    _shutil.copytree(live, aside)
+    # readers ignore it (no duplicated rows)
+    eng = SparqlEngine.from_store(spark, path)
+    got = sorted(
+        r["o"]
+        for r in eng.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()
+    )
+    assert got == ["v1", "v2", "w0", "w1", "w2"]
+    compact_store(spark, path)
+    assert not _os.path.exists(aside)
+    eng2 = SparqlEngine.from_store(spark, path)
+    got2 = sorted(
+        r["o"]
+        for r in eng2.select("SELECT ?o WHERE { ?s <urn:p> ?o }").collect()
+    )
+    assert got2 == got
