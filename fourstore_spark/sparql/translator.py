@@ -657,6 +657,12 @@ class Translator:
         if isinstance(tp.p, A.Iri):
             if tp.p.value in self.pred_stats:
                 est = self.pred_stats[tp.p.value][0]  # quad count upper bound
+            elif self.pred_stats:
+                # stats cover every predicate in the store (write_store /
+                # append_quads maintain them) — an absent predicate is a
+                # provably-empty scan: est 0 short-circuits join planning
+                # (broadcasts trivially, never anchors an SMJ)
+                est = 0
             if isinstance(tp.o, A.Var):
                 vp = {tp.o.name: tp.p.value}
         return Sol(out, frozenset(proj), est_rows=est, var_pred=vp)
@@ -1383,7 +1389,7 @@ class Translator:
         for tp, oname in patterns:
             stats = self.pred_stats.get(tp.p.value)
             if stats is None:
-                return None
+                return 0  # absent predicate: the star matches nothing
             if oname is not None and tp.p.value not in self.single_valued_preds:
                 return None
             est = stats[1] if est is None else min(est, stats[1])

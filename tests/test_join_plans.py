@@ -242,3 +242,37 @@ def test_slim_aggregate_path_matches_general(spark, tmp_path):
         assert stats.query(q).serialize("json") == plain.query(q).serialize(
             "json"
         ), q
+
+
+def test_unknown_predicate_short_circuits_to_broadcast(spark, tmp_path):
+    """VERDICT r4 #6: a predicate absent from the manifest's pred_stats
+    can only produce an empty scan — its leaf estimate is 0, so the
+    branch broadcasts trivially and never anchors a SortMergeJoin."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    nt = "\n".join(
+        f'<urn:item:{i}> <urn:dim> <urn:d{i % 3}> .' for i in range(50)
+    )
+    path = str(tmp_path / "store")
+    write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    eng = SparqlEngine.from_store(spark, path)
+    # chain (not a shared-subject star, which would fold into one
+    # grouped scan): the absent-predicate leaf must broadcast
+    q = """SELECT ?i ?x WHERE {
+             ?i <urn:dim> ?d . ?d <urn:no_such_predicate> ?x }"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE off and a tiny threshold: only the est=0 manifest hint can
+        # produce the broadcast in the static plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = eng.query(q).explain("simple")
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert eng.select(q).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
