@@ -87,6 +87,29 @@ def run_cases(cases, name_filter=None):
         if name_filter and name_filter not in case["name"]:
             continue
         try:
+            if "update" in case:
+                from fourstore_spark.sources.rdfio import quads_to_nq_lines
+                from fourstore_spark.sparql.update import UpdateEngine
+
+                ue = UpdateEngine(
+                    spark,
+                    quads_from_nt_text(spark, case["data"])
+                    if case["data"]
+                    else None,
+                )
+                ue.update(case["update"])
+                got_q = {
+                    r["value"] for r in quads_to_nq_lines(ue.quads).collect()
+                }
+                ok = got_q == set(case["expect_nquads"])
+                detail = f"got={sorted(got_q)!r}"
+                if ok:
+                    n_pass += 1
+                    print(f"PASS {case['name']}")
+                else:
+                    n_fail += 1
+                    print(f"FAIL {case['name']}\n     {detail[:1600]}")
+                continue
             eng = SparqlEngine(spark, quads_from_nt_text(spark, case["data"]))
             res = eng.query(case["query"])
             if "ask" in case:

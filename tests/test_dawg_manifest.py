@@ -46,6 +46,22 @@ def test_dawg_case(spark, case):
         pytest.xfail(_EXCUSES[case["name"]])
     from fourstore_spark.sources.rdfio import quads_from_nt_text
 
+    if "update" in case:
+        # update-form case: run the update against the initial store and
+        # compare the resulting quad set as N-Quads lines (default-graph
+        # lines carry no graph term)
+        from fourstore_spark.sources.rdfio import quads_to_nq_lines
+        from fourstore_spark.sparql.update import UpdateEngine
+
+        ue = UpdateEngine(
+            spark,
+            quads_from_nt_text(spark, case["data"]) if case["data"] else None,
+        )
+        ue.update(case["update"])
+        got = {r["value"] for r in quads_to_nq_lines(ue.quads).collect()}
+        assert got == set(case["expect_nquads"]), sorted(got)
+        return
+
     eng = SparqlEngine(spark, quads_from_nt_text(spark, case["data"]))
     res = eng.query(case["query"])
 

@@ -1,0 +1,368 @@
+"""Property-based differential tests for the two query surfaces the r4
+fuzzers didn't reach (VERDICT r4 #7):
+
+1. ORDER BY total term order over mixed-kind rows — the engine's sort
+   (model.term_order_key: unbound < bnode < IRI < literal, numeric
+   literals before non-numeric at equal rank, then num/lex/dt/lang;
+   DESC is the exact reversal, so unbound sorts last) is compared
+   against an INDEPENDENT pure-Python comparator implementing the same
+   published order (reference src/frontend/order.c:66-126) from first
+   principles.
+
+2. CONSTRUCT / DESCRIBE — template instantiation and resource
+   description are compared against a naive Python BGP evaluator over
+   the raw quad rows (nested-loop joins, no shared code with the
+   translator), with bnode-star isomorphism via neighborhood
+   signatures.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import Counter
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from fourstore_spark.model import (
+    DEFAULT_GRAPH,
+    KIND_BNODE,
+    KIND_LITERAL,
+    KIND_URI,
+    QUADS_SCHEMA,
+)
+from fourstore_spark.sparql.engine import SparqlEngine
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DBL = "http://www.w3.org/2001/XMLSchema#double"
+
+_SETTINGS = dict(
+    max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "35")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- ORDER BY
+# one term per subject, deliberately covering every rank and tiebreak:
+# IRIs, bnodes, plain/lang/typed literals, numeric ints and doubles with
+# num ties resolved by lex/dt, plus full duplicates (tie broken by ?idx)
+_MIX_TERMS = [
+    (KIND_URI, "urn:z9", None, None, None),
+    (KIND_URI, "urn:z10", None, None, None),
+    (KIND_URI, "urn:a", None, None, None),
+    (KIND_BNODE, "_:b1", None, None, None),
+    (KIND_BNODE, "_:b02", None, None, None),
+    (KIND_LITERAL, "aa", None, None, None),
+    (KIND_LITERAL, "ab", None, None, None),
+    (KIND_LITERAL, "aa", None, "en", None),
+    (KIND_LITERAL, "aa", None, "fr", None),
+    (KIND_LITERAL, "aa", "urn:dt1", None, None),
+    (KIND_LITERAL, "aa", "urn:dt2", None, None),
+    (KIND_LITERAL, "3", XSD_INT, None, 3.0),
+    (KIND_LITERAL, "3.0", XSD_DBL, None, 3.0),  # num tie -> lex tiebreak
+    (KIND_LITERAL, "-2", XSD_INT, None, -2.0),
+    (KIND_LITERAL, "10", XSD_INT, None, 10.0),
+    (KIND_LITERAL, "2.5", XSD_DBL, None, 2.5),
+    (KIND_LITERAL, "0", XSD_INT, None, 0.0),
+    # full duplicates (ties broken only by the ?idx key)
+    (KIND_URI, "urn:a", None, None, None),
+    (KIND_LITERAL, "aa", None, None, None),
+    (KIND_LITERAL, "3", XSD_INT, None, 3.0),
+]
+_N_SUBJ = 26  # subjects past len(_MIX_TERMS) have NO urn:mix -> unbound
+
+
+@pytest.fixture(scope="module")
+def order_eng(spark):
+    rows = []
+    for i in range(_N_SUBJ):
+        s = f"urn:m{i:02d}"
+        rows.append(
+            (DEFAULT_GRAPH, s, KIND_URI, "urn:idx", KIND_LITERAL,
+             str(i), XSD_INT, None, float(i))
+        )
+        if i < len(_MIX_TERMS):
+            k, lex, dt, lang, num = _MIX_TERMS[i]
+            rows.append(
+                (DEFAULT_GRAPH, s, KIND_URI, "urn:mix", k, lex, dt, lang,
+                 num)
+            )
+    quads = spark.createDataFrame(rows, QUADS_SCHEMA).cache()
+    quads.count()
+    return SparqlEngine(spark, quads)
+
+
+def _pykey(t):
+    """Independent mirror of the published term order: rank (unbound 0,
+    bnode 1, IRI 2, literal 3), numeric-literals-first, then num, lex,
+    dt, lang with SQL null-first field semantics."""
+    if t is None or t["kind"] is None:
+        rank, num, lex, dt, lang = 0, None, None, None, None
+    else:
+        kind = t["kind"]
+        rank = 1 if kind == KIND_BNODE else 2 if kind == KIND_URI else 3
+        num = t["num"] if kind == KIND_LITERAL else None
+        lex, dt, lang = t["lex"], t["dt"], t["lang"]
+    nonnum = 0 if num is not None else 1
+
+    def f(v, zero):
+        return (0, zero) if v is None else (1, v)
+
+    return (rank, nonnum, f(num, 0.0), f(lex, ""), f(dt, ""), f(lang, ""))
+
+
+@given(
+    primary=st.sampled_from(["v", "i"]),
+    asc1=st.booleans(),
+    asc2=st.booleans(),
+    limit=st.one_of(st.none(), st.integers(0, _N_SUBJ + 5)),
+    offset=st.integers(0, 6),
+)
+@settings(**_SETTINGS)
+def test_order_by_matches_independent_comparator(
+    order_eng, primary, asc1, asc2, limit, offset
+):
+    order_eng._plan_cache.clear()
+    keys = [(primary, asc1)]
+    if primary != "i":
+        keys.append(("i", asc2))  # unique final key -> total, stable order
+    order = " ".join(
+        (f"?{k}" if a else f"DESC(?{k})") for k, a in keys
+    )
+    text = (
+        "SELECT ?i ?v WHERE { ?s <urn:idx> ?i "
+        "OPTIONAL { ?s <urn:mix> ?v } } "
+        f"ORDER BY {order}"
+    )
+    if limit is not None:
+        text += f" LIMIT {limit}"
+    if offset:
+        text += f" OFFSET {offset}"
+    got = [
+        int(r["i"]["lex"])
+        for r in order_eng.query(text).df.collect()
+    ]
+
+    # expected: python-side sort of the known dataset
+    rows = []
+    for i in range(_N_SUBJ):
+        if i < len(_MIX_TERMS):
+            k, lex, dt, lang, num = _MIX_TERMS[i]
+            v = {"kind": k, "lex": lex, "dt": dt, "lang": lang, "num": num}
+        else:
+            v = None
+        rows.append(
+            {"i": {"kind": KIND_LITERAL, "lex": str(i), "dt": XSD_INT,
+                   "lang": None, "num": float(i)}, "v": v}
+        )
+
+    def cmp(a, b):
+        for k, asc in keys:
+            ka, kb = _pykey(a[k]), _pykey(b[k])
+            if ka != kb:
+                lt = -1 if asc else 1
+                return lt if ka < kb else -lt
+        return 0
+
+    rows.sort(key=functools.cmp_to_key(cmp))
+    want = [int(r["i"]["lex"]) for r in rows]
+    if offset:
+        want = want[offset:]
+    if limit is not None:
+        want = want[:limit]
+    assert got == want, f"\nquery: {text}\ngot:  {got}\nwant: {want}"
+
+
+# ------------------------------------------------- CONSTRUCT / DESCRIBE
+# reuse the structural fuzzer's dataset and pattern strategy so both
+# evaluators see the same mixed quads (IRI chains + int literals + text)
+from test_fuzz_differential import (  # noqa: E402
+    PREDS,
+    VARS,
+    _dataset,
+)
+
+patterns = st.lists(
+    st.tuples(
+        st.sampled_from(VARS),
+        st.sampled_from(PREDS),
+        st.one_of(
+            st.sampled_from(VARS).map(lambda v: ("var", v)),
+            st.integers(0, 10).map(lambda i: ("iri", f"urn:s{i}")),
+            st.integers(0, 9).map(lambda i: ("int", str(i))),
+        ),
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+@pytest.fixture(scope="module")
+def graph_env(spark):
+    rows = _dataset()
+    quads = spark.createDataFrame(rows, QUADS_SCHEMA).cache()
+    quads.count()
+    return SparqlEngine(spark, quads), rows
+
+
+def _naive_solve(pats, rows):
+    """Nested-loop BGP evaluation over raw rows; bindings map var ->
+    term 4-tuple (kind, lex, dt, lang) — term identity, no engine code."""
+    sols = [dict()]
+    for s, p, o in pats:
+        nxt = []
+        for b in sols:
+            for r in rows:
+                if r[3] != p or r[0] != DEFAULT_GRAPH:
+                    continue
+                subj = (r[2], r[1], None, None)
+                obj = (r[4], r[5], r[6], r[7])
+                b2 = dict(b)
+                if b2.get(s, subj) != subj:
+                    continue
+                b2[s] = subj
+                k, v = o
+                if k == "iri":
+                    if obj != (KIND_URI, v, None, None):
+                        continue
+                elif k == "int":
+                    if obj != (KIND_LITERAL, v, XSD_INT, None):
+                        continue
+                else:
+                    if b2.get(v, obj) != obj:
+                        continue
+                    b2[v] = obj
+                nxt.append(b2)
+        sols = nxt
+    return sols
+
+
+def _canon(triples):
+    """Split into (ground-triple set, Counter of bnode-star signatures):
+    graphs are equal iff both parts match — bnode labels themselves are
+    irrelevant (isomorphism for subject-only bnode templates)."""
+    ground = set()
+    stars: dict = {}
+    for s_kind, s, p, obj in triples:
+        if s_kind == KIND_BNODE:
+            stars.setdefault(s, set()).add((p, obj))
+        else:
+            ground.add((s_kind, s, p, obj))
+    return ground, Counter(frozenset(v) for v in stars.values())
+
+
+@given(
+    where=patterns,
+    tmpl=st.lists(
+        st.tuples(
+            st.one_of(
+                st.sampled_from(VARS).map(lambda v: ("var", v)),
+                st.just(("bnode", "b0")),
+            ),
+            st.sampled_from(PREDS),
+            st.one_of(
+                st.sampled_from(VARS).map(lambda v: ("var", v)),
+                st.integers(0, 9).map(lambda i: ("int", str(i))),
+                st.integers(0, 10).map(lambda i: ("iri", f"urn:s{i}")),
+            ),
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+@settings(**_SETTINGS)
+def test_construct_matches_naive_instantiation(graph_env, where, tmpl):
+    eng, rows = graph_env
+    eng._plan_cache.clear()
+
+    def t_text(t):
+        k, v = t
+        if k == "var":
+            return f"?{v}"
+        if k == "iri":
+            return f"<{v}>"
+        if k == "bnode":
+            return f"_:{v}"
+        return v
+
+    tmpl_text = " . ".join(
+        f"{t_text(s)} <{p}> {t_text(o)}" for s, p, o in tmpl
+    )
+    body = " . ".join(
+        f"?{s} <{p}> {t_text(o)}" for s, p, o in where
+    )
+    text = f"CONSTRUCT {{ {tmpl_text} }} WHERE {{ {body} }}"
+    res = eng.query(text)
+    got = _canon(
+        (r["s_kind"], r["s"], r["p"],
+         (r["o_kind"], r["o_lex"], r["o_dt"], r["o_lang"]))
+        for r in res.df.collect()
+    )
+
+    # naive: instantiate per solution, fresh bnode per row, drop invalid
+    sols = _naive_solve(where, rows)
+    ground = set()
+    stars = []
+    for n, b in enumerate(sols):
+        star = set()
+        for s, p, o in tmpl:
+            def val(t):
+                k, v = t
+                if k == "var":
+                    return b.get(v)
+                if k == "iri":
+                    return (KIND_URI, v, None, None)
+                if k == "int":
+                    return (KIND_LITERAL, v, XSD_INT, None)
+                return (KIND_BNODE, f"row{n}", None, None)
+
+            sv, ov = val(s), val(o)
+            if sv is None or ov is None or sv[0] == KIND_LITERAL:
+                continue
+            if sv[0] == KIND_BNODE:
+                star.add((p, ov))
+            else:
+                ground.add((sv[0], sv[1], p, ov))
+        if star:
+            stars.append(frozenset(star))
+    want = (ground, Counter(stars))
+    assert got == want, f"\nquery: {text}"
+
+
+@given(where=patterns, dvar=st.sampled_from(VARS))
+@settings(**_SETTINGS)
+def test_describe_matches_naive(graph_env, where, dvar):
+    eng, rows = graph_env
+    eng._plan_cache.clear()
+    body = " . ".join(
+        f"?{s} <{p}> "
+        + (f"?{o[1]}" if o[0] == "var"
+           else f"<{o[1]}>" if o[0] == "iri" else o[1])
+        for s, p, o in where
+    )
+    text = f"DESCRIBE ?{dvar} WHERE {{ {body} }}"
+    res = eng.query(text)
+    got = {
+        (r["s"], r["s_kind"], r["p"], r["o_kind"], r["o_lex"], r["o_dt"],
+         r["o_lang"])
+        for r in res.df.collect()
+    }
+
+    subjects = set()
+    for b in _naive_solve(where, rows):
+        t = b.get(dvar)
+        if t is not None and t[0] != KIND_LITERAL:
+            subjects.add(t[1])
+    want = {
+        (r[1], r[2], r[3], r[4], r[5], r[6], r[7])
+        for r in rows
+        if r[1] in subjects
+    }
+    assert got == want, f"\nquery: {text}"
