@@ -6,8 +6,9 @@
     python -m fourstore_spark.cli serve  STORE [--port N]
     python -m fourstore_spark.cli dump   STORE OUT.nq
 
-query  == 4s-query  (/root/reference/src/frontend/4s-query.c:459,
-                     formats -f text|sparql|json|testcase -> tsv|xml|json)
+query  == 4s-query  (/root/reference/src/frontend/4s-query.c:459;
+                     -f text|sparql|json|testcase -> tsv|xml|json|testcase,
+                     testcase = DAWG result-set Turtle, results.c:2397)
 import == 4s-import (src/frontend/import.c:333)
 dump   == 4s-dump/4s-backup (src/frontend/dump.c)
 serve  == 4s-httpd  (src/http/httpd.c)
@@ -64,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query", help="SPARQL text, or - for stdin")
     q.add_argument("-f", "--format", default="tsv",
                    choices=["json", "xml", "csv", "tsv", "ntriples",
-                            "turtle", "rdfxml"])
+                            "turtle", "rdfxml", "testcase"])
     q.add_argument("--soft-limit", type=int, default=None)
 
     imp = sub.add_parser("import")
@@ -267,7 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         res = _engine(spark, args.store).query(text, soft_limit=args.soft_limit)
         fmt = args.format
         if res.form in ("CONSTRUCT", "DESCRIBE") and fmt not in (
-            "turtle", "rdfxml"
+            "turtle", "rdfxml", "testcase"
         ):
             fmt = "ntriples"
         sys.stdout.write(res.serialize(fmt))

@@ -52,7 +52,9 @@ class SparqlResult:
         if self.form in ("CONSTRUCT", "DESCRIBE"):
             if fmt in ("rdfxml", "rdf+xml", "rdf-xml"):
                 return R.graph_rdfxml(self.df)
-            if fmt in ("turtle", "ttl"):
+            if fmt in ("turtle", "ttl", "testcase"):
+                # the reference's -f testcase emits Turtle for graph
+                # results (output_testcase, results.c:2413-2421)
                 return R.graph_turtle(self.df)
             if fmt not in ("ntriples", "nt"):
                 raise ValueError(
@@ -65,6 +67,8 @@ class SparqlResult:
             return R.select_json(self.df, ask=ask)
         if fmt == "xml":
             return R.select_xml(self.df, ask=ask)
+        if fmt == "testcase":
+            return R.select_testcase(self.df, ask=ask)
         if self.form == "ASK":
             raise ValueError(f"ASK results serialize to json/xml, not {fmt}")
         if fmt == "csv":

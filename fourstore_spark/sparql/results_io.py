@@ -166,6 +166,66 @@ def select_tsv(df, variables=None) -> str:
     return "\n".join(lines) + "\n"
 
 
+# ------------------------------------------------------------- testcase
+def select_testcase(df, variables=None, ask: bool | None = None) -> str:
+    """The reference's ``-f testcase`` format (output_testcase,
+    /root/reference/src/frontend/results.c:2397-2496): the W3C DAWG
+    result-set vocabulary in Turtle — rs:ResultSet with one rs:solution
+    bnode per row, rs:binding [ rs:variable / rs:value ] per bound var;
+    ASK renders rs:boolean. CONSTRUCT/DESCRIBE route to Turtle upstream
+    (the reference does the same)."""
+
+    def esc(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    out = [
+        "@prefix rs: "
+        "<http://www.w3.org/2001/sw/DataAccess/tests/result-set#> .",
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+        "",
+    ]
+    if ask is not None:
+        out.append("[] rdf:type rs:ResultSet ;")
+        out.append(
+            f'   rs:boolean "{"true" if ask else "false"}"^^xsd:boolean .'
+        )
+        return "\n".join(out) + "\n"
+    variables = variables or df.columns
+    head = "\n".join(out) + "\n[] rdf:type rs:ResultSet ;\n   rs:resultVariable "
+    head += ", ".join(f'"{v}"' for v in variables)
+    bn = _BnodeNamer()
+    sols = []
+    for row in df.toLocalIterator():
+        binds = []
+        for v in variables:
+            t = row[v]
+            if t is None or t["kind"] is None:
+                continue
+            if t["kind"] == KIND_URI:
+                val = f"<{t['lex']}>"
+            elif t["kind"] == KIND_BNODE:
+                val = "_:" + bn(t["lex"])
+            else:
+                val = f'"{esc(t["lex"])}"'
+                if t["lang"]:
+                    val += f"@{t['lang']}"
+                elif t["dt"]:
+                    val += f"^^<{t['dt']}>"
+            binds.append(
+                f'      rs:binding [ rs:variable "{v}" ;\n'
+                f"                   rs:value {val} ]"
+            )
+        sols.append("   rs:solution [\n" + " ;\n".join(binds) + "\n   ]")
+    return head + ("".join(" ;\n" + s for s in sols)) + " .\n"
+
+
 # --------------------------------------------- CONSTRUCT/DESCRIBE graphs
 def graph_ntriples(df) -> str:
     """Triples DataFrame (CONSTRUCT/DESCRIBE output schema) -> N-Triples

@@ -174,3 +174,41 @@ def test_construct_turtle_roundtrip(spark):
     assert sorted(map(tuple, back.select(*key).collect())) == sorted(
         map(tuple, orig.select(*key).collect())
     )
+
+
+def test_select_testcase_format(engine):
+    # -f testcase (output_testcase, reference results.c:2397): DAWG
+    # result-set vocabulary in Turtle; must be parseable by our own
+    # Turtle reader and carry every binding
+    res = engine.query(
+        "SELECT ?n ?r WHERE { ?r <urn:col:region#r_name> ?n } LIMIT 2"
+    )
+    text = res.serialize("testcase")
+    assert text.startswith(
+        "@prefix rs: <http://www.w3.org/2001/sw/DataAccess/tests/"
+        "result-set#> ."
+    )
+    assert 'rs:resultVariable "n", "r"' in text
+    assert text.count("rs:solution [") == 2
+    assert text.count('rs:binding [ rs:variable') == 4
+    # well-formed Turtle: our parser must accept it
+    from fourstore_spark.sources.rdfio import parse_turtle
+
+    triples = parse_turtle(text)
+    assert len(triples) >= 2 + 2 * 2 * 3  # type+vars + bindings
+
+
+def test_ask_testcase_format(engine):
+    res = engine.query(
+        'ASK { ?r <urn:col:region#r_name> "ASIA" }'
+    )
+    text = res.serialize("testcase")
+    assert 'rs:boolean "true"^^xsd:boolean .' in text
+
+
+def test_construct_testcase_is_turtle(engine):
+    res = engine.query(
+        "CONSTRUCT { ?r <urn:x> ?n } WHERE "
+        "{ ?r <urn:col:region#r_name> ?n }"
+    )
+    assert res.serialize("testcase") == res.serialize("turtle")
