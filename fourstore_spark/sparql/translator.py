@@ -539,21 +539,37 @@ class Translator:
         return ctx
 
     # ------------------------------------------------------------- BGP
+    def _has_dataset(self) -> bool:
+        """True when the query carries a dataset description (FROM /
+        FROM NAMED, or the protocol's default/named-graph-uri params):
+        per SPARQL §13.2 the description then defines the RDF dataset
+        EXACTLY — FROM alone means NO named graphs, FROM NAMED alone
+        means an EMPTY default graph."""
+        return bool(self.from_graphs or self.from_named)
+
+    @staticmethod
+    def _in_or_false(col: Column, vals) -> Column:
+        return col.isin(list(vals)) if vals else F.lit(False)
+
     def _graph_filter(self, df: DataFrame, graph) -> DataFrame:
         """Apply the graph-slot scoping shared by quad scans, path
         closures and zero-length-path node sets."""
         if graph is None:
-            if self.from_graphs:
-                df = df.where(F.col("g").isin(self.from_graphs))
+            if self._has_dataset():
+                df = df.where(self._in_or_false(F.col("g"), self.from_graphs))
             elif not self.union_default_graph:
                 df = df.where(F.col("g") == "default:")
         elif isinstance(graph, A.Iri):
             df = df.where(F.col("g") == graph.value)
+            if self._has_dataset() and graph.value not in (
+                self.from_named or []
+            ):
+                df = df.where(F.lit(False))  # graph outside the dataset
         elif isinstance(graph, A.Var):
             # GRAPH ?g ranges over *named* graphs only — never default:
             df = df.where(F.col("g") != DEFAULT_GRAPH)
-            if self.from_named:
-                df = df.where(F.col("g").isin(self.from_named))
+            if self._has_dataset():
+                df = df.where(self._in_or_false(F.col("g"), self.from_named))
         return df
 
     def _pattern_df(self, tp: A.TriplePattern, graph) -> Sol:
@@ -1143,18 +1159,7 @@ class Translator:
             and all(tp.p.value in self.subjects_cols for tp, _ in patterns)
         ):
             return self._star_scan_pt(sname, patterns, graph)
-        df = self.quads
-        if graph is None:
-            if self.from_graphs:
-                df = df.where(F.col("g").isin(self.from_graphs))
-            elif not self.union_default_graph:
-                df = df.where(F.col("g") == DEFAULT_GRAPH)
-        elif isinstance(graph, A.Iri):
-            df = df.where(F.col("g") == graph.value)
-        else:  # graph variable
-            df = df.where(F.col("g") != DEFAULT_GRAPH)
-            if self.from_named:
-                df = df.where(F.col("g").isin(self.from_named))
+        df = self._graph_filter(self.quads, graph)
 
         df = df.where(F.col("p").isin([tp.p.value for tp, _ in patterns]))
         o_term = F.struct(
@@ -1259,10 +1264,18 @@ class Translator:
 
         def graph_vals(vals: Column) -> Column:
             if isinstance(graph, A.Iri):
+                if self._has_dataset() and graph.value not in (
+                    self.from_named or []
+                ):
+                    return F.filter(vals, lambda x: F.lit(False))
                 return F.filter(vals, lambda x: x["g"] == graph.value)
-            if self.from_graphs:
-                gs = list(self.from_graphs)
-                return F.filter(vals, lambda x: x["g"].isin(gs))
+            if self._has_dataset():
+                gs = list(self.from_graphs or [])
+                return F.filter(
+                    vals,
+                    (lambda x: x["g"].isin(gs)) if gs
+                    else (lambda x: F.lit(False)),
+                )
             if not self.union_default_graph:
                 return F.filter(vals, lambda x: x["g"] == DEFAULT_GRAPH)
             return vals
@@ -1281,9 +1294,13 @@ class Translator:
             # proved single-valued is ONE (g, o) struct, so graph scoping
             # is a plain condition, not an array filter
             if isinstance(graph, A.Iri):
+                if self._has_dataset() and graph.value not in (
+                    self.from_named or []
+                ):
+                    return F.lit(False)
                 return x["g"] == graph.value
-            if self.from_graphs:
-                return x["g"].isin(list(self.from_graphs))
+            if self._has_dataset():
+                return self._in_or_false(x["g"], self.from_graphs)
             if not self.union_default_graph:
                 return x["g"] == DEFAULT_GRAPH
             return None
