@@ -374,3 +374,52 @@ def stream_decontaminate(
     return joined.where(
         ~F.arrays_overlap(word_ngrams(F.col(text_col), n), F.col("__gs"))
     ).drop("__gs")
+
+
+def stream_corpus_clean(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    n: int = 8,
+    max_dup_word_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.4,
+    max_top_word_frac: float = 0.2,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming end-to-end corpus hygiene — the continuous form of
+    operators.cleaning.corpus_clean for ingest-time filtering: quality
+    floor -> Gopher repetition filters -> (optional) benchmark
+    decontamination -> exact-fingerprint dedup.
+
+    Shape at scale: every stage except the dedup is STATELESS (pure
+    column expressions / a broadcast one-row gram set), so micro-batches
+    stay append-only with no shuffle; the only state is dropDuplicates
+    keyed on the fingerprint, bounded by the watermark. Batch semantics
+    differ only in the dedup tiebreak: batch keeps the lowest id per
+    fingerprint, a stream necessarily keeps the FIRST ARRIVAL."""
+    from fourstore_spark.operators.cleaning import repetition_filter
+    from fourstore_spark.operators.textstats import (
+        fingerprint,
+        quality_score,
+    )
+
+    d = docs.where(quality_score(F.col(text_col)) >= min_quality)
+    d = repetition_filter(
+        d,
+        text_col,
+        max_dup_word_frac=max_dup_word_frac,
+        max_dup_2gram_frac=max_dup_2gram_frac,
+        max_top_word_frac=max_top_word_frac,
+    )
+    if eval_df is not None:
+        d = stream_decontaminate(d, eval_df, n=n, text_col=text_col)
+    keyed = _watermarkable(d, ts_col).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicates(["__fp"])
+        .drop("__fp")
+    )

@@ -244,3 +244,50 @@ def test_stream_ingest_store_live_import(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_manifest(store)["rows"] == 3
+
+
+def test_stream_corpus_clean(spark, tmp_path):
+    # end-to-end streaming hygiene: quality floor + repetition filter +
+    # decontamination + fingerprint dedup in one stateless-except-dedup
+    # composition
+    from fourstore_spark.streaming import stream_corpus_clean
+
+    src = tmp_path / "ccdocs"
+    src.mkdir()
+    good = (
+        "a healthy document with plenty of varied words covering many "
+        "different topics and enough length to pass the quality floor "
+        "easily while repeating nothing in particular at all"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", good),
+            # exact duplicate (later arrival) -> dropped by dedup
+            (2, "2024-01-01 00:01:00", good),
+            # pathological repetition -> dropped by the Gopher filters
+            (3, "2024-01-01 00:02:00", "spam spam spam spam spam spam "
+                                       "spam spam spam spam spam spam"),
+            # contaminated: shares an 8-gram with the eval set
+            (4, "2024-01-01 00:03:00",
+             "the quick brown fox jumps over the lazy dog in a long "
+             "enough sentence with varied vocabulary to pass quality"),
+        ],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    docs.write.parquet(str(src / "p"))
+    ev = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog today",)], "text string"
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "p"))
+    clean = stream_corpus_clean(stream, ev, min_quality=0.1)
+    q = (
+        clean.writeStream.format("memory")
+        .queryName("cclean_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r[0] for r in spark.sql(
+        "SELECT doc_id FROM cclean_stream").collect()}
+    assert ids == {1} or ids == {2}  # one survivor of the dup pair
