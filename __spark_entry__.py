@@ -478,6 +478,71 @@ def _op_transaction(spark, sf_dir):
     )
 
 
+def _op_update_ops_txn(spark, sf_dir):
+    """W4-W8 graph management + W9 transactions in one tagged union."""
+    gops = _op_update_graph_ops(spark, sf_dir).select(
+        F.lit("gops").alias("part"),
+        F.col("g").alias("a"),
+        F.col("n").alias("b"),
+    )
+    txn = _op_transaction(spark, sf_dir).select(
+        F.lit("txn").alias("part"),
+        F.col("s").alias("a"),
+        F.col("v").alias("b"),
+    )
+    return gops.unionByName(txn)
+
+
+def _op_http_acl_query(spark, sf_dir):
+    """S7 HTTP endpoint + X1 graph ACLs, end to end (httpd.c:1156-1159):
+    start an in-process server over the store with apikey access
+    control, run the SPARQL protocol over real HTTP, parse the JSON
+    results. A key scoped to the region graph sees region rows only; an
+    unknown key is deny-all; a missing key is 403."""
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from fourstore_spark.httpd import SparqlHttpServer
+    from fourstore_spark.sparql.update import UpdateEngine
+
+    ue = UpdateEngine(spark, _engine(spark, sf_dir).quads)
+    srv = SparqlHttpServer(
+        spark,
+        update_engine=ue,
+        port=0,
+        graph_access_control={"k1": ["urn:g:region"]},
+    )
+    srv.start()
+    try:
+        q = urllib.parse.quote(
+            "SELECT ?s ?n WHERE { ?s <urn:col:region#r_name> ?n }"
+        )
+        rows = []
+        for who in ("k1", "mallory"):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/sparql/?query={q}"
+                f"&output=json&apikey={who}"
+            ) as resp:
+                doc = _json.loads(resp.read().decode())
+            for b in doc["results"]["bindings"]:
+                rows.append((who, b["s"]["value"], b["n"]["value"]))
+        # no apikey at all -> 403 (any non-403 answer would add a row
+        # and fail the oracle comparison)
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/sparql/?query={q}"
+            )
+            rows.append(("nokey", "unexpected-200", ""))
+        except urllib.error.HTTPError as e:
+            if e.code != 403:
+                rows.append(("nokey", f"unexpected-{e.code}", ""))
+    finally:
+        srv.stop()
+    return spark.createDataFrame(rows, "who string, s string, n string")
+
+
 def _op_explain(spark, sf_dir):
     """Q5 EXPLAIN (FS_QUERY_EXPLAIN, query.c:800-829): physical-plan
     operator inventory of a join+aggregate query — asserts the shape
@@ -1654,6 +1719,22 @@ def _registry() -> dict[str, tuple]:
         _op_transaction,
         "SELECT 'urn:x1' AS s, 'kept' AS v",
     )
+    # W4-W9 merged (head-slot consolidation: frees a window slot for the
+    # HTTP/ACL round-trip entry; the singles stay past the window)
+    r["update_ops_txn"] = (
+        _op_update_ops_txn,
+        "SELECT 'gops' AS part, 'urn:t:c' AS a, r_name AS b FROM region "
+        "UNION ALL SELECT 'gops', 'urn:t:c', 'XANADU' "
+        "UNION ALL SELECT 'txn', 'urn:x1', 'kept'",
+    )
+    # S7+X1: the full HTTP protocol round trip under apikey graph ACLs,
+    # driver-graded — an in-process endpoint serves the store; a scoped
+    # key reads only its allowed graph; an unknown key is deny-all
+    r["http_acl_query"] = (
+        _op_http_acl_query,
+        "SELECT 'k1' AS who, 'urn:region:' || CAST(r_regionkey AS VARCHAR)"
+        " AS s, r_name AS n FROM region",
+    )
     r["q5_explain"] = (
         # plan shape booleans: hash aggregate present, no nested-loop join
         _op_explain,
@@ -2530,8 +2611,8 @@ _HEAD = [
     "f_date_hash",              # F-date/hash/uuid
     "events_hour_window",       # F-unix + window rollup (batch shape)
     "update_insert_delete_where",  # W1+W2
-    "update_graph_ops",         # W4-W8
-    "update_transaction",       # W9
+    "update_ops_txn",           # W4-W9 (merged; singles past window)
+    "http_acl_query",           # S7 HTTP protocol + X1 graph ACLs
     "rdf_import_nt",            # S3
     "serialize_roundtrip",      # S6
     "dump_restore",             # S5
