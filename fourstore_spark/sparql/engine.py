@@ -242,6 +242,16 @@ class SparqlEngine:
         self._plan_cache_misses = 0
         self._plan_cache_lock = threading.Lock()
 
+    def clear_plan_cache(self) -> None:
+        """Drop every cached compiled plan (query-form AND flattened):
+        each entry pins a JVM plan tree, so long sessions issuing many
+        UNIQUE query texts (fuzzers, ad-hoc analytics) call this to
+        release driver heap. Normal repeated-query workloads never
+        need it — both caches are LRU-bounded."""
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
+            self._flat_cache.clear()
+
     @classmethod
     def from_store(cls, spark: SparkSession, path: str, **kwargs) -> "SparqlEngine":
         """Open a materialized quad store (store.write_store), picking up

@@ -301,7 +301,7 @@ _SETTINGS = dict(
 @settings(**_SETTINGS)
 def test_engine_matches_naive_sql(fuzz_env, q):
     eng, con = fuzz_env
-    eng._plan_cache.clear()  # deep runs: don't pin hundreds of plans
+    eng.clear_plan_cache()  # deep runs: don't pin hundreds of plans
     text, proj = _sparql(q)
     sql, sql_proj = _sql(q)
     assert proj == sql_proj
@@ -339,7 +339,7 @@ def test_union_matches_naive_sql(fuzz_env, left, right, distinct):
     """UNION pads each branch's missing variables with unbound — the SQL
     mirror is NULL-padded UNION ALL (DISTINCT dedups the padded rows)."""
     eng, con = fuzz_env
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
 
     def branch_text(pats):
         out = []
@@ -386,7 +386,7 @@ def test_groupby_aggregate_matches_sql(fuzz_env, pred, agg):
     leaves the variable unbound — encoded in SQL as CASE WHEN every
     value parsed THEN agg ELSE NULL."""
     eng, con = fuzz_env
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
     text = (
         f"SELECT ?a (%s AS ?m) WHERE {{ ?a <{pred}> ?b }} GROUP BY ?a"
         % {"COUNT": "COUNT(?b)", "SUM": "SUM(?b)", "AVG": "AVG(?b)"}[agg]
@@ -512,7 +512,7 @@ def test_scalar_expression_matches_reference_eval(fuzz_env, e):
     eng, _ = fuzz_env
     # hundreds of generated towers would otherwise accumulate in the
     # 256-entry compiled-plan LRU and exhaust the test driver's heap
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
     text = f"SELECT ({_expr_text(e)} AS ?r) WHERE {{}}"
     rows = eng.select(text).collect()
     assert len(rows) == 1, text
@@ -631,7 +631,7 @@ def _str_eval(e):
 @settings(**_SETTINGS)
 def test_string_functions_match_reference_eval(fuzz_env, e):
     eng, _ = fuzz_env
-    eng._plan_cache.clear()  # see the scalar property
+    eng.clear_plan_cache()  # see the scalar property
     text = f"SELECT ({_str_text(e)} AS ?r) WHERE {{}}"
     rows = eng.select(text).collect()
     assert len(rows) == 1, text

@@ -129,7 +129,7 @@ def _pykey(t):
 def test_order_by_matches_independent_comparator(
     order_eng, primary, asc1, asc2, limit, offset
 ):
-    order_eng._plan_cache.clear()
+    order_eng.clear_plan_cache()
     keys = [(primary, asc1)]
     if primary != "i":
         keys.append(("i", asc2))  # unique final key -> total, stable order
@@ -280,7 +280,7 @@ def _canon(triples):
 @settings(**_SETTINGS)
 def test_construct_matches_naive_instantiation(graph_env, where, tmpl):
     eng, rows = graph_env
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
 
     def t_text(t):
         k, v = t
@@ -340,7 +340,7 @@ def test_construct_matches_naive_instantiation(graph_env, where, tmpl):
 @settings(**_SETTINGS)
 def test_describe_matches_naive(graph_env, where, dvar):
     eng, rows = graph_env
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
     body = " . ".join(
         f"?{s} <{p}> "
         + (f"?{o[1]}" if o[0] == "var"

@@ -135,7 +135,7 @@ def _path_eval(p) -> set:
 )
 def test_path_pairs_match_reference_eval(path_env, p):
     eng = path_env
-    eng._plan_cache.clear()
+    eng.clear_plan_cache()
     text = f"SELECT DISTINCT ?x ?y WHERE {{ ?x {_path_text(p)} ?y }}"
     got = {(r["x"], r["y"]) for r in eng.select(text).collect()}
     want = _path_eval(p)
