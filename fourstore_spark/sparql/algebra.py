@@ -327,3 +327,4 @@ class Query:
     describe_terms: list = field(default_factory=list)
     from_graphs: list = field(default_factory=list)
     from_named: list = field(default_factory=list)
+    base: str = ""  # prologue BASE; IRI(expr) resolves against it

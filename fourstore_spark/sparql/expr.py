@@ -332,6 +332,7 @@ class ExprContext:
         self._resolve = resolve_var or (lambda name: F.col(name))
         self.agg_map = agg_map or {}
         self.columns: set[str] | None = None  # known vars, None = unknown
+        self.base = ""  # prologue BASE for IRI(expr) resolution
 
     def var(self, name: str) -> Column:
         if self.columns is not None and name not in self.columns:
@@ -569,7 +570,7 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
 
     def _go(i, acc):
         if i == len(cols):
-            return _call_body(name, acc)
+            return _call_body(name, acc, ctx.base)
 
         # single-parameter closure: transform() passes (element, index)
         # to two-parameter lambdas, which would clobber a default-arg i
@@ -581,7 +582,39 @@ def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     return _go(0, [])
 
 
-def _call_body(name: str, args: list) -> Column:
+def _resolve_iri_col(lex: Column, base: str) -> Column:
+    """Resolve a per-row (possibly relative) IRI reference against the
+    query's constant BASE — RFC 3986 reference targets, with the base
+    split driver-side (no UDF): scheme-carrying refs pass through;
+    //authority, /absolute-path, #fragment and relative-path refs take
+    the corresponding base prefix. Dot-segment normalization ("../") is
+    not applied (matches common engine practice for IRI())."""
+    if not base:
+        return lex
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/?#]*)?", base)
+    scheme = (m.group(1) + ":") if m else ""
+    authority = (m.group(2) or "") if m else ""
+    path = base[len(scheme) + len(authority):]
+    cut = path.rfind("/")
+    dir_ = (
+        base[: len(scheme) + len(authority) + cut + 1]
+        if cut >= 0
+        else base + "/"
+    )
+    no_frag = base.split("#", 1)[0]
+    has_scheme = lex.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
+    return (
+        F.when(has_scheme, lex)
+        .when(lex.startswith("//"), F.concat(F.lit(scheme), lex))
+        .when(lex.startswith("/"), F.concat(F.lit(scheme + authority), lex))
+        .when(lex.startswith("#"), F.concat(F.lit(no_frag), lex))
+        .otherwise(F.concat(F.lit(dir_), lex))
+    )
+
+
+def _call_body(name: str, args: list, base: str = "") -> Column:
     # -- casts: xsd:TYPE(expr) arrives with the full datatype IRI as name
     # (fn_cast, src/frontend/filter.c:1335)
     if name.startswith(XSD):
@@ -594,8 +627,10 @@ def _call_body(name: str, args: list) -> Column:
             a0.isNotNull() & (a0["kind"] != KIND_BNODE), make_string(a0["lex"])
         ).otherwise(null_term())
     if name in ("IRI", "URI"):
-        return F.when(
-            (a0["kind"] == KIND_URI) | _string_like(a0), make_uri(a0["lex"])
+        # spec 17.4.2.6: a string argument resolves against the base IRI;
+        # an IRI argument passes through unchanged
+        return F.when(a0["kind"] == KIND_URI, make_uri(a0["lex"])).when(
+            _string_like(a0), make_uri(_resolve_iri_col(a0["lex"], base))
         ).otherwise(null_term())
     if name == "BNODE":
         if args:

@@ -125,7 +125,13 @@ class Parser:
     # ------------------------------------------------------------ terms
     def resolve_iri(self, raw: str) -> str:
         iri = raw[1:-1]
-        return iri  # BASE resolution: queries in scope use absolute IRIs
+        # BASE resolution (RFC 3986 via urljoin) for relative refs; an
+        # IRI carrying a scheme is already absolute
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
+        return iri
 
     def resolve_pname(self, raw: str) -> str:
         pfx, _, local = raw.partition(":")
@@ -661,6 +667,7 @@ class Parser:
             q.values = self.parse_inline_data()
         if self.peek().type != "EOF":
             self.err("unexpected trailing input")
+        q.base = self.base  # IRI(expr) resolves row values against it
         return q
 
     def parse_prologue(self):

@@ -228,6 +228,7 @@ class Translator:
     def translate_query(self, q: A.Query):
         self.from_graphs = q.from_graphs
         self.from_named = q.from_named
+        self.query_base = getattr(q, "base", "")
         sol = self.translate(q.pattern, graph=None) if q.pattern else self._unit()
         if q.values is not None:
             sol = self._join(sol, self._values(q.values), "inner")
@@ -536,6 +537,7 @@ class Translator:
     def _ctx(self, sol: Sol, agg_map: dict | None = None) -> ExprContext:
         ctx = ExprContext(agg_map=agg_map)
         ctx.columns = set(sol.df.columns)
+        ctx.base = getattr(self, "query_base", "")
         return ctx
 
     # ------------------------------------------------------------- BGP
@@ -1504,6 +1506,7 @@ class Translator:
                         else (rb[v] if v in rcols else null_term()),
                     )
                 )
+                ctx.base = getattr(self, "query_base", "")
                 conds.append(compile_bool(expr, ctx))
             if not conds:
                 return F.lit(True)
@@ -1859,6 +1862,7 @@ class Translator:
         if grouped:
             df, agg_map, group_names = self._aggregate(q, sol, aggs)
             ctx = ExprContext(agg_map=agg_map)
+            ctx.base = getattr(self, "query_base", "")
             ctx.columns = set(df.columns) | set(agg_map)
         else:
             agg_map = {}
@@ -1919,6 +1923,7 @@ class Translator:
                 # distinct loses ordering; reapply on projected columns
                 sort_cols = []
                 ctx2 = ExprContext()
+                ctx2.base = getattr(self, "query_base", "")
                 ctx2.columns = set(df.columns)
                 for expr, asc in q.order_by:
                     try:
