@@ -130,6 +130,20 @@ queries = st.fixed_dictionaries(
                 st.integers(0, 9),
             ),
         ),
+        # FILTER [NOT] EXISTS with one inner pattern: correlates on vars
+        # shared with the outer group; unshared inner vars stay free;
+        # vars UNBOUND in a row (OPTIONAL) are free too — the inner
+        # pattern sees only the row's bound substitutions (spec 8.1.4)
+        "exists": st.one_of(
+            st.none(),
+            st.tuples(
+                st.booleans(),  # True = EXISTS, False = NOT EXISTS
+                st.tuples(
+                    st.sampled_from(VARS), st.sampled_from(PREDS),
+                    _obj_terms(),
+                ),
+            ),
+        ),
         "distinct": st.booleans(),
     }
 )
@@ -164,6 +178,11 @@ def _sparql(q) -> tuple[str, list[str]]:
         v, op, c = q["filter"]
         if v in used:
             body.append(f"FILTER (?{v} {op} {c})")
+    if q.get("exists"):
+        pos, (es, ep, eo) = q["exists"]
+        kw = "EXISTS" if pos else "NOT EXISTS"
+        body.append(f"FILTER {kw} {{ ?{es} <{ep}> {term(eo)} }}")
+        # EXISTS binds nothing outward
     proj = sorted(used)
     kw = "SELECT DISTINCT" if q["distinct"] else "SELECT"
     text = f"{kw} {' '.join('?' + v for v in proj)} WHERE {{ "
@@ -273,6 +292,44 @@ def _sql(q, prefix: str = "t") -> tuple[str, list[str]] | None:
     where = list(conds)
     if not_exists:
         where.append(not_exists)
+    if q.get("exists"):
+        # correlated [NOT] EXISTS: substitute the row's BOUND vars into
+        # the inner pattern; an UNBOUND (optional) or unshared var is
+        # free — null-safe correlation (outer IS NULL OR eq)
+        pos, (es, ep, eo) = q["exists"]
+        ec = [f"e0.p = '{ep}'", f"e0.g = '{DEFAULT_GRAPH}'"]
+
+        def corr(v, slot_inner):
+            sl = binds.get(v)
+            if sl is None:
+                return None
+            alias, p_ = sl
+            outer = f"{alias}.{'s' if p_ == 's' else 'o_lex'}"
+            return f"({outer} IS NULL OR {eq(sl, slot_inner)})"
+
+        c = corr(es, ("e0", "s"))
+        if c:
+            ec.append(c)
+        k, v = eo
+        if k == "iri":
+            ec.append(f"e0.o_kind = {KIND_URI} AND e0.o_lex = '{v}'")
+        elif k == "int":
+            ec.append(
+                f"e0.o_kind = {KIND_LITERAL} AND e0.o_lex = '{v}' "
+                f"AND e0.o_dt = '{XSD_INT}'"
+            )
+        else:
+            if v == es and es not in binds:
+                # repeated FREE var inside the exists pattern
+                ec.append(eq(("e0", "s"), ("e0", "o")))
+            else:
+                c = corr(v, ("e0", "o"))
+                if c:
+                    ec.append(c)
+        where.append(
+            f"{'EXISTS' if pos else 'NOT EXISTS'} "
+            f"(SELECT 1 FROM quads e0 WHERE {' AND '.join(ec)})"
+        )
     if q["filter"]:
         v, op, c = q["filter"]
         if v in binds:
