@@ -122,6 +122,41 @@ def main(argv: list[str] | None = None) -> int:
     res.add_argument("store")
     res.add_argument("rids", nargs="+", type=int)
 
+    dm = sub.add_parser(
+        "delete-model",
+        help="drop graphs from a store (== 4s-delete-model)",
+    )
+    dm.add_argument("store")
+    dm.add_argument("models", nargs="*", help="graph URIs to drop")
+    dm.add_argument("--all", action="store_true",
+                    help="drop every graph (CLEAR ALL)")
+
+    rst = sub.add_parser(
+        "restore",
+        help="rebuild a store from N-Quads dump file(s) (== 4s-restore)",
+    )
+    rst.add_argument("store")
+    rst.add_argument("dumps", nargs="+")
+
+    bnd = sub.add_parser(
+        "bind",
+        help="low-level quad-pattern scan, prints N-Quads (== 4s-bind)",
+    )
+    bnd.add_argument("store")
+    bnd.add_argument("-s", default=None, help="subject IRI/bnode")
+    bnd.add_argument("-p", default=None, help="predicate IRI")
+    bnd.add_argument("-o", default=None, help="object N-Triples term")
+    bnd.add_argument("-g", default=None, help="graph IRI")
+    bnd.add_argument("--limit", type=int, default=0, help="0 = all")
+
+    txn = sub.add_parser(
+        "transaction",
+        help="apply SPARQL Update file(s) atomically "
+        "(== 4s-transaction begin..commit; any failure rolls back all)",
+    )
+    txn.add_argument("store")
+    txn.add_argument("files", nargs="+")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "info":
@@ -324,6 +359,101 @@ def main(argv: list[str] | None = None) -> int:
         text = sys.stdin.read() if args.update == "-" else args.update
         ue.update(text)
         _swap_store(spark, ue.quads, args.store)
+        return 0
+
+    if args.cmd == "delete-model":
+        # 4s-delete-model (src/frontend/delete-model.c:41): drop the
+        # named graphs (or everything with --all)
+        from fourstore_spark.sparql.update import UpdateEngine
+
+        if not args.all and not args.models:
+            print("delete-model: need --all or at least one model URI",
+                  file=sys.stderr)
+            return 1
+        ue = UpdateEngine.restore(spark, args.store)
+        if args.all:
+            ue.update("CLEAR ALL")
+        else:
+            for m in args.models:
+                ue.update(f"DROP SILENT GRAPH <{m}>")
+        _swap_store(spark, ue.quads, args.store)
+        print(f"deleted {'ALL' if args.all else len(args.models)} model(s)",
+              file=sys.stderr)
+        return 0
+
+    if args.cmd == "restore":
+        # 4s-restore (src/utilities/4s-restore): rebuild a store from
+        # N-Quads dump files (graph terms preserved)
+        from fourstore_spark.sources.rdfio import quads_from_nt, report_skips
+        from fourstore_spark.sparql.update import empty_quads, quads_add
+
+        quads = empty_quads(spark)
+        loaded = []
+        for f in args.dumps:
+            df = quads_from_nt(spark, f)
+            loaded.append((f, df))
+            quads = quads_add(quads, df)
+        _swap_store(spark, quads, args.store)
+        for f, df in loaded:
+            report_skips(df, f)
+        print(f"restored from {len(args.dumps)} dump(s)", file=sys.stderr)
+        return 0
+
+    if args.cmd == "bind":
+        # 4s-bind (src/frontend/4s-bind.c): the raw quad-pattern scan,
+        # constant slots pushed down to the parquet scan
+        from pyspark.sql import functions as F
+
+        from fourstore_spark.sources.rdfio import (
+            _TERM_RE,
+            parse_nt_line,
+        )
+        from fourstore_spark.sources.rdfio import quads_to_nq_lines
+        from fourstore_spark.store import read_store
+
+        df = read_store(spark, args.store)
+        if args.g is not None:
+            df = df.where(F.col("g") == args.g)
+        if args.s is not None:
+            s = args.s[1:-1] if args.s.startswith("<") else args.s
+            df = df.where(F.col("s") == s)
+        if args.p is not None:
+            p = args.p[1:-1] if args.p.startswith("<") else args.p
+            df = df.where(F.col("p") == p)
+        if args.o is not None:
+            # reuse the N-Triples term grammar for the object constant
+            q = parse_nt_line(f"<urn:x> <urn:x> {args.o} .")
+            df = df.where(
+                (F.col("o_kind") == q[4])
+                & (F.col("o_lex") == q[5])
+                & (F.col("o_dt").eqNullSafe(F.lit(q[6])))
+                & (F.col("o_lang").eqNullSafe(F.lit(q[7])))
+            )
+        lines = quads_to_nq_lines(df)
+        if args.limit:
+            lines = lines.limit(args.limit)
+        for r in lines.toLocalIterator():
+            print(r["value"])
+        return 0
+
+    if args.cmd == "transaction":
+        # 4s-transaction begin..commit (src/frontend/4s-transaction.c:41)
+        # collapsed to one atomic CLI call: every file's updates apply in
+        # ONE transaction; any failure rolls the whole batch back and
+        # leaves the on-disk store untouched
+        from fourstore_spark.sparql.update import UpdateEngine
+
+        ue = UpdateEngine.restore(spark, args.store)
+        try:
+            with ue.transaction():
+                for f in args.files:
+                    with open(f, encoding="utf-8") as fh:
+                        ue.update(fh.read())
+        except Exception as exc:  # noqa: BLE001
+            print(f"transaction rolled back: {exc}", file=sys.stderr)
+            return 1
+        _swap_store(spark, ue.quads, args.store)
+        print(f"committed {len(args.files)} file(s)", file=sys.stderr)
         return 0
 
     if args.cmd == "serve":

@@ -100,7 +100,14 @@ def write_store(
         .parquet(path)
     )
     quads.unpersist()
-    stored = spark.read.parquet(path)
+    if counts:
+        stored = spark.read.parquet(path)
+    else:
+        # empty store (e.g. CLEAR ALL): the write produced no parquet
+        # files, so schema inference would fail — keep the quads schema
+        from fourstore_spark.model import QUADS_SCHEMA
+
+        stored = spark.createDataFrame([], QUADS_SCHEMA)
     n = int(total) if counts else 0
     # property table: the quads pre-grouped by subject, ONE PHYSICAL
     # PARQUET COLUMN PER PREDICATE (array<struct<g, kind, lex, dt, lang,
@@ -212,6 +219,8 @@ def _write_subjects(
     physical column per predicate — FLAT struct for fan-out-1 predicates,
     array<struct> otherwise."""
     preds = sorted(r["p"] for r in stats_rows)
+    if not preds:  # empty store: nothing to pivot, no property table
+        return {}, []
     pred_columns = {p: f"p{i}" for i, p in enumerate(preds)}
     # fan-out 1 across ALL graphs (safe for every graph scoping a star
     # scan can group under) -> flat struct column; else array<struct>
@@ -481,6 +490,13 @@ def compact_store(
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
+    # an empty store (e.g. after CLEAR ALL) has a manifest but no
+    # predicate dirs: parquet schema inference would fail — hand back an
+    # empty frame on the quads schema instead
+    if not pred_dir_map(path) and read_manifest(path) is not None:
+        from fourstore_spark.model import QUADS_SCHEMA
+
+        return spark.createDataFrame([], QUADS_SCHEMA)
     return spark.read.parquet(path)
 
 

@@ -91,3 +91,83 @@ def test_cli_resolve_unknown_rid(spark, tmp_path, capsys):
     path = _build(spark, tmp_path)
     assert main(["resolve", path, "12345"]) == 1
     assert "#unknown#" in capsys.readouterr().out
+
+
+def _read_dump(path):
+    import os as _os
+    if _os.path.isdir(path):
+        return "".join(
+            open(_os.path.join(path, f), encoding="utf-8").read()
+            for f in sorted(_os.listdir(path))
+            if f.startswith("part-")
+        )
+    return open(path, encoding="utf-8").read()
+
+
+def test_cli_delete_model_and_restore(spark, tmp_path, capsys):
+    from fourstore_spark.cli import main
+
+    store = str(tmp_path / "dmstore")
+    nt = tmp_path / "d.nq"
+    nt.write_text(
+        '<urn:a> <urn:p> "keep" .\n'
+        '<urn:b> <urn:p> "g1" <urn:g1> .\n'
+        '<urn:c> <urn:p> "g2" <urn:g2> .\n'
+    )
+    assert main(["restore", store, str(nt)]) == 0
+    assert main(["delete-model", store, "urn:g1"]) == 0
+    out = tmp_path / "out.nq"
+    assert main(["dump", store, str(out)]) == 0
+    dumped = _read_dump(str(out))
+    assert "keep" in dumped and "g2" in dumped and "g1" not in dumped
+    # --all clears everything
+    assert main(["delete-model", store, "--all"]) == 0
+    assert main(["dump", store, str(out)]) == 0
+    assert _read_dump(str(out)).strip() == ""
+    # missing args is an error
+    assert main(["delete-model", store]) == 1
+
+
+def test_cli_bind_pattern_scan(spark, tmp_path, capsys):
+    from fourstore_spark.cli import main
+
+    store = str(tmp_path / "bindstore")
+    nt = tmp_path / "b.nq"
+    nt.write_text(
+        '<urn:a> <urn:p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<urn:a> <urn:q> "x" .\n'
+        '<urn:b> <urn:p> "y" <urn:g1> .\n'
+    )
+    assert main(["restore", store, str(nt)]) == 0
+    capsys.readouterr()
+    assert main(["bind", store, "-s", "<urn:a>", "-p", "<urn:p>"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [
+        '<urn:a> <urn:p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+    ]
+    # object-term filter with graph wildcard
+    assert main(["bind", store, "-o", '"y"']) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ['<urn:b> <urn:p> "y" <urn:g1> .']
+
+
+def test_cli_transaction_atomic(spark, tmp_path, capsys):
+    from fourstore_spark.cli import main
+
+    store = str(tmp_path / "txstore")
+    nt = tmp_path / "t.nq"
+    nt.write_text('<urn:a> <urn:p> "base" .\n')
+    assert main(["restore", store, str(nt)]) == 0
+    good = tmp_path / "good.ru"
+    good.write_text('INSERT DATA { <urn:b> <urn:p> "added" }')
+    bad = tmp_path / "bad.ru"
+    bad.write_text("THIS IS NOT SPARQL")
+    # failure in the second file rolls back the first file's insert
+    assert main(["transaction", store, str(good), str(bad)]) == 1
+    out = tmp_path / "out.nq"
+    assert main(["dump", store, str(out)]) == 0
+    assert "added" not in _read_dump(str(out))
+    # clean batch commits
+    assert main(["transaction", store, str(good)]) == 0
+    assert main(["dump", store, str(out)]) == 0
+    assert "added" in _read_dump(str(out))
