@@ -698,3 +698,223 @@ def test_string_functions_match_reference_eval(fuzz_env, e):
         assert got is None, f"{text}: engine={got!r}, want error"
     else:
         assert got == str(want[1]), f"{text}: engine={got!r} want={want[1]!r}"
+
+
+# ---------------------------------------------------------- subqueries
+# { SELECT [DISTINCT] ?x WHERE { inner } } outer — projection hiding
+# (non-projected inner vars are FRESH outside), bag-vs-set multiplicity
+# of the subselect, and the join of the projected var against outer
+# patterns, vs an independently-written SQL subquery translation.
+_sub_inner = st.lists(
+    st.tuples(st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()),
+    min_size=1,
+    max_size=2,
+)
+_sub_outer = st.lists(
+    st.tuples(st.sampled_from(VARS), st.sampled_from(PREDS), _obj_terms()),
+    min_size=1,
+    max_size=2,
+)
+
+
+def _sub_sql(inner, proj_var, distinct, outer):
+    """Naive translation: the subselect projects (lex, kind, dt, lang) of
+    its var; the outer BGP joins it on full term identity."""
+    # inner: one quads alias per pattern, shared-var equalities
+    binds: dict = {}
+    conds: list[str] = []
+    aliases: list[str] = []
+
+    def eq(slot_a, slot_b):
+        (ta, pa), (tb, pb) = slot_a, slot_b
+        if pa == "s" and pb == "s":
+            return f"({ta}.s = {tb}.s AND {ta}.s_kind = {tb}.s_kind)"
+        if pa == "s":
+            return (
+                f"({tb}.o_lex = {ta}.s AND {tb}.o_kind = {ta}.s_kind "
+                f"AND {tb}.o_dt IS NULL AND {tb}.o_lang IS NULL)"
+            )
+        if pb == "s":
+            return eq(slot_b, slot_a)
+        return (
+            f"({ta}.o_lex = {tb}.o_lex AND {ta}.o_kind = {tb}.o_kind "
+            f"AND {ta}.o_dt IS NOT DISTINCT FROM {tb}.o_dt "
+            f"AND {ta}.o_lang IS NOT DISTINCT FROM {tb}.o_lang)"
+        )
+
+    def pattern(alias, s, p, o):
+        aliases.append(alias)
+        conds.append(f"{alias}.p = '{p}'")
+        conds.append(f"{alias}.g = '{DEFAULT_GRAPH}'")
+        slot_s = (alias, "s")
+        if s in binds:
+            conds.append(eq(binds[s], slot_s))
+        else:
+            binds[s] = slot_s
+            conds.append(f"{alias}.s_kind = {KIND_URI}")
+        k, v = o
+        if k == "iri":
+            conds.append(
+                f"{alias}.o_kind = {KIND_URI} AND {alias}.o_lex = '{v}'"
+            )
+        elif k == "int":
+            conds.append(
+                f"{alias}.o_kind = {KIND_LITERAL} AND "
+                f"{alias}.o_lex = '{v}' AND {alias}.o_dt = '{XSD_INT}'"
+            )
+        else:
+            slot_o = (alias, "o")
+            if v in binds:
+                conds.append(eq(binds[v], slot_o))
+            else:
+                binds[v] = slot_o
+
+    for i, (s, p, o) in enumerate(inner):
+        pattern(f"i{i}", s, p, o)
+    alias, pos = binds[proj_var]
+    if pos == "s":
+        sel = (
+            f"{alias}.s AS x_lex, {alias}.s_kind AS x_kind, "
+            "CAST(NULL AS VARCHAR) AS x_dt, CAST(NULL AS VARCHAR) AS x_lang"
+        )
+    else:
+        sel = (
+            f"{alias}.o_lex AS x_lex, {alias}.o_kind AS x_kind, "
+            f"{alias}.o_dt AS x_dt, {alias}.o_lang AS x_lang"
+        )
+    sub = (
+        f"SELECT {'DISTINCT ' if distinct else ''}{sel} FROM "
+        + " CROSS JOIN ".join(f"quads {a}" for a in aliases)
+        + " WHERE "
+        + " AND ".join(conds)
+    )
+
+    # outer: fresh bind environment seeded with the projected var
+    binds2: dict = {"__sub": None}
+    conds2: list[str] = []
+    aliases2: list[str] = []
+    ob: dict = {}
+
+    def pattern2(alias, s, p, o):
+        aliases2.append(alias)
+        conds2.append(f"{alias}.p = '{p}'")
+        conds2.append(f"{alias}.g = '{DEFAULT_GRAPH}'")
+        if s == proj_var:
+            conds2.append(
+                f"(sub.x_lex = {alias}.s AND sub.x_kind = {alias}.s_kind "
+                "AND sub.x_dt IS NULL AND sub.x_lang IS NULL)"
+            )
+        elif s in ob:
+            conds2.append(eq(ob[s], (alias, "s")))
+        else:
+            ob[s] = (alias, "s")
+            conds2.append(f"{alias}.s_kind = {KIND_URI}")
+        k, v = o
+        if k == "iri":
+            conds2.append(
+                f"{alias}.o_kind = {KIND_URI} AND {alias}.o_lex = '{v}'"
+            )
+        elif k == "int":
+            conds2.append(
+                f"{alias}.o_kind = {KIND_LITERAL} AND "
+                f"{alias}.o_lex = '{v}' AND {alias}.o_dt = '{XSD_INT}'"
+            )
+        else:
+            if v == proj_var:
+                conds2.append(
+                    f"(sub.x_lex = {alias}.o_lex AND "
+                    f"sub.x_kind = {alias}.o_kind AND "
+                    f"sub.x_dt IS NOT DISTINCT FROM {alias}.o_dt AND "
+                    f"sub.x_lang IS NOT DISTINCT FROM {alias}.o_lang)"
+                )
+            elif v in ob:
+                conds2.append(eq(ob[v], (alias, "o")))
+            else:
+                ob[v] = (alias, "o")
+
+    for i, (s, p, o) in enumerate(outer):
+        pattern2(f"t{i}", s, p, o)
+
+    # project: x_lex + outer-bound vars' lexes (sorted names)
+    outs = {"x": "sub.x_lex"}
+    for v, (alias, pos) in sorted(ob.items()):
+        outs[v] = f"{alias}.{'s' if pos == 's' else 'o_lex'}"
+    sel2 = ", ".join(f"{e} AS {v}" for v, e in sorted(outs.items()))
+    sql = (
+        f"SELECT {sel2} FROM ({sub}) sub CROSS JOIN "
+        + " CROSS JOIN ".join(f"quads {a}" for a in aliases2)
+        + " WHERE "
+        + " AND ".join(conds2)
+    )
+    return sql, sorted(outs)
+
+
+@given(
+    inner=_sub_inner,
+    outer=_sub_outer,
+    distinct=st.booleans(),
+    pick=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_subquery_matches_naive_sql(fuzz_env, inner, outer, distinct, pick):
+    eng, con = fuzz_env
+    eng.clear_plan_cache()
+    inner_vars = sorted(
+        {s for s, _, _ in inner}
+        | {o[1] for _, _, o in inner if o[0] == "var"}
+    )
+    proj_var = inner_vars[pick % len(inner_vars)]
+    # rename every OUTER var so only the projected var is shared (the
+    # property under test is projection hiding + the shared-var join)
+    ren = {v: f"o{v}" for v in VARS}
+    outer_q = [
+        (
+            proj_var if s == proj_var else ren[s],
+            p,
+            o if o[0] != "var" else (
+                ("var", proj_var) if o[1] == proj_var else ("var", ren[o[1]])
+            ),
+        )
+        for s, p, o in outer
+    ]
+    outer_used = sorted(
+        {s for s, _, _ in outer_q}
+        | {o[1] for _, _, o in outer_q if o[0] == "var"}
+    )
+    proj = sorted(set(outer_used) | {proj_var})
+    kw = "SELECT DISTINCT" if distinct else "SELECT"
+    text = (
+        f"SELECT {' '.join('?' + v for v in proj)} WHERE {{ "
+        f"{{ {kw} ?{proj_var} WHERE {{ "
+        + " ".join(
+            f"?{s} <{p}> "
+            + (f"?{o[1]}" if o[0] == "var"
+               else f"<{o[1]}>" if o[0] == "iri" else o[1])
+            + " ."
+            for s, p, o in inner
+        )
+        + " } } "
+        + " ".join(
+            f"?{s} <{p}> "
+            + (f"?{o[1]}" if o[0] == "var"
+               else f"<{o[1]}>" if o[0] == "iri" else o[1])
+            + " ."
+            for s, p, o in outer_q
+        )
+        + " }"
+    )
+    sql, sql_proj = _sub_sql(inner, proj_var, distinct, outer_q)
+    # align naming: naive SQL calls the projected var "x"
+    spark_rows = sorted(
+        (
+            tuple(
+                r[proj_var if c == "x" else c] for c in sql_proj
+            )
+            for r in eng.select(text).collect()
+        ),
+        key=repr,
+    )
+    duck_rows = sorted(
+        (tuple(row) for row in con.execute(sql).fetchall()), key=repr
+    )
+    assert spark_rows == duck_rows, f"\nSPARQL: {text}\nSQL: {sql}"
