@@ -2633,6 +2633,50 @@ _HEAD = [
     "multimodal_decode",        # LLM: real WAV/BMP decode (exact oracle)
 ]
 
+def _op_dedup_components(spark, sf_dir):
+    """Connected components over a synthetic multi-hop edge graph built
+    from the documents table (doc_id -> (doc_id*7+3) % 500 for every
+    third doc): the duplicate-CLUSTER resolution step after pairwise
+    LSH (operators/components.py, hash-to-min label propagation)."""
+    from fourstore_spark.operators.components import connected_components
+
+    d = _docs(spark, sf_dir)
+    n = 500
+    edges = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+        )
+    )
+    return connected_components(edges).select("node", "component")
+
+
+def _round5_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    # duplicate-cluster resolution: component labels must equal the
+    # min-reachable-id fixpoint — oracle is a DuckDB recursive CTE over
+    # the identical edge definition (undirected reachability)
+    r["dedup_components"] = (
+        _op_dedup_components,
+        """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+  FROM documents WHERE doc_id % 3 = 0
+), sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+""",
+    )
+    return r
+
+
 _REG = None
 
 
@@ -2642,6 +2686,7 @@ def _reg() -> dict[str, tuple]:
         full = _registry()
         full.update(_round3_entries())
         full.update(_round4_entries())
+        full.update(_round5_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

@@ -100,3 +100,45 @@ def test_corpus_clean_composition(spark):
     # 2 deduped against 1 (same fingerprint, lowest id wins), 3 dropped by
     # repetition, 4 decontaminated (shares an 8-gram with the eval set)
     assert kept == {1, 5}
+
+
+def test_connected_components_chains_and_cycles(spark):
+    from fourstore_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain -> component 1
+            (10, 11), (11, 10),              # cycle -> component 10
+            (20, 21), (22, 21), (23, 22),    # star-ish chain -> 20
+        ],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_resolve_duplicate_clusters_transitive(spark):
+    from fourstore_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(7)], "doc_id long, text string"
+    )
+    # A~B, B~C: transitivity must drop BOTH 2 and 3 (pairwise "keep one
+    # per pair" would leave 3 alive); 5~6 separately
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5]
