@@ -2652,8 +2652,36 @@ def _op_dedup_components(spark, sf_dir):
     return connected_components(edges).select("node", "component")
 
 
+def _op_corpus_report(spark, sf_dir):
+    """Per-(source, lang) mix/quality report — the sampling-weight
+    dashboard over the documents table (operators/reports.py)."""
+    from fourstore_spark.operators.reports import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def _round5_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    r["corpus_report"] = (
+        _op_corpus_report,
+        f"""
+WITH lq AS ({_lang_quality_sql()}),
+stats AS (
+  SELECT d.source, lq.lang_guess, {_NTOK_SQL} AS ntok,
+         {_FP_SQL} AS fp, lq.quality
+  FROM documents d JOIN lq ON d.doc_id = lq.doc_id
+)
+SELECT source, lang_guess,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*),
+        6) AS avg_quality,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+  ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS dup_frac
+FROM stats GROUP BY source, lang_guess
+""",
+    )
     # duplicate-cluster resolution: component labels must equal the
     # min-reachable-id fixpoint — oracle is a DuckDB recursive CTE over
     # the identical edge definition (undirected reachability)

@@ -142,3 +142,28 @@ def test_resolve_duplicate_clusters_transitive(spark):
         for r in resolve_duplicate_clusters(docs, pairs).collect()
     )
     assert kept == [0, 1, 4, 5]
+
+
+def test_corpus_report_shape_and_dup_frac(spark):
+    from fourstore_spark.operators.reports import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "src1", "the quick brown fox jumps over the lazy dog"),
+            (2, "src1", "THE QUICK  brown fox jumps over the lazy dog"),
+            (3, "src1", "this is a different text and it has other words"),
+            (4, "src2", "le chat est sur la table dans la maison"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source"], r["lang_guess"]): r
+        for r in corpus_report(docs).collect()
+    }
+    en = rows[("src1", "en")]
+    # docs 1 and 2 share a normalization fingerprint -> dup_frac 1/3
+    assert en["n_docs"] == 3 and en["n_distinct"] == 2
+    assert abs(en["dup_frac"] - round(1 - 2 / 3, 6)) < 1e-9
+    assert en["total_tokens"] == 9 + 9 + 10
+    fr = rows[("src2", "fr")]
+    assert fr["n_docs"] == 1 and fr["dup_frac"] == 0.0
