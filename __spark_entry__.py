@@ -2660,8 +2660,37 @@ def _op_corpus_report(spark, sf_dir):
     return corpus_report(_docs(spark, sf_dir))
 
 
+def _op_split_by_hash(spark, sf_dir):
+    """Deterministic hash splits: every doc lands in the same named
+    split on any engine/run (operators/sampling.py)."""
+    from fourstore_spark.operators.sampling import split_by_hash
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return split_by_hash(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
 def _round5_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # reproducible splits: the oracle computes the IDENTICAL md5-bucket
+    # assignment, so the comparison is exact row-for-row
+    r["split_by_hash"] = (
+        _op_split_by_hash,
+        """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 1000000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            WHEN bucket < 1000000 THEN 'test' END AS split
+FROM b
+""",
+    )
     r["corpus_report"] = (
         _op_corpus_report,
         f"""

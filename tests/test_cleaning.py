@@ -167,3 +167,32 @@ def test_corpus_report_shape_and_dup_frac(spark):
     assert en["total_tokens"] == 9 + 9 + 10
     fr = rows[("src2", "fr")]
     assert fr["n_docs"] == 1 and fr["dup_frac"] == 0.0
+
+
+def test_hash_sampling_deterministic_and_partitioned(spark):
+    from fourstore_spark.operators.sampling import (
+        sample_by_hash,
+        split_by_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    s1 = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in sample_by_hash(
+        docs.repartition(7), "doc_id", 0.2).collect()}
+    assert s1 == s2  # identical across partitionings/runs
+    assert 0.1 < len(s1) / 2000 < 0.3
+    sp = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.2})
+    counts = {r["split"]: r["count"] for r in sp.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val"}
+    assert counts["train"] + counts["val"] == 2000
+    assert counts["train"] > counts["val"]
+    # remainder split -> None bucket
+    sp2 = split_by_hash(docs, "doc_id", {"train": 0.5})
+    n_none = sp2.where(F.col("split").isNull()).count()
+    assert 0 < n_none < 2000
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"a": 0.9, "b": 0.2})
