@@ -2671,8 +2671,44 @@ def _op_split_by_hash(spark, sf_dir):
     )
 
 
+def _op_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing at budget 256 over token counts — single
+    chunk at this scale, so the DuckDB recursive-CTE greedy walks the
+    identical id order (operators/packing.py)."""
+    from fourstore_spark.operators.packing import pack_sequences
+    from fourstore_spark.operators.textstats import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("ntok")
+    )
+    return pack_sequences(d, "doc_id", "ntok", budget=256, chunk=1_000_000)
+
+
 def _round5_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # greedy packing is sequential within a chunk: the oracle replays
+    # the same walk as a linear recursive CTE
+    r["pack_sequences"] = (
+        _op_pack_sequences,
+        f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS ntok,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+), g(rn, acc, pack) AS (
+  SELECT 1, (SELECT ntok FROM d WHERE rn = 1), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT d.rn,
+         CASE WHEN g.acc > 0 AND g.acc + d.ntok > 256
+              THEN d.ntok ELSE g.acc + d.ntok END,
+         CASE WHEN g.acc > 0 AND g.acc + d.ntok > 256
+              THEN g.pack + 1 ELSE g.pack END
+  FROM g JOIN d ON d.rn = g.rn + 1
+)
+SELECT d.doc_id, d.ntok, g.pack AS pack_id
+FROM d JOIN g ON d.rn = g.rn
+""",
+    )
     # reproducible splits: the oracle computes the IDENTICAL md5-bucket
     # assignment, so the comparison is exact row-for-row
     r["split_by_hash"] = (

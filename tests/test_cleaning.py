@@ -196,3 +196,34 @@ def test_hash_sampling_deterministic_and_partitioned(spark):
 
     with _p.raises(ValueError):
         split_by_hash(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_pack_sequences_greedy_and_chunked(spark):
+    from fourstore_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 60), (1, 50), (2, 30), (3, 100), (4, 120), (5, 10)],
+        "doc_id long, ntok long",
+    )
+    packed = pack_sequences(docs, "doc_id", "ntok", budget=100, chunk=1000)
+    got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    # greedy in id order at budget 100: [60] [50+30] [100] [120] [10]
+    assert got[0] != got[1]
+    assert got[1] == got[2]
+    assert got[3] not in (got[2], got[4])
+    assert got[4] != got[5]  # 120 oversized packs alone
+    st = packing_stats(packed, "ntok", 100).collect()[0]
+    assert st["n_packs"] == 5 and st["total_tokens"] == 370
+    assert st["over_budget_multi"] == 0
+    # chunk boundaries: chunk=3 -> ids 0-2 and 3-5 pack independently
+    packed2 = pack_sequences(docs, "doc_id", "ntok", budget=100, chunk=3)
+    g2 = {r["doc_id"]: r["pack_id"] for r in packed2.collect()}
+    assert (g2[2] >> 32) == 0 and (g2[3] >> 32) == 1
+    # determinism across partitionings
+    packed3 = pack_sequences(
+        docs.repartition(5), "doc_id", "ntok", budget=100, chunk=1000
+    )
+    assert {r["doc_id"]: r["pack_id"] for r in packed3.collect()} == got
