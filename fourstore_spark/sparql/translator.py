@@ -292,6 +292,16 @@ class Translator:
             return self._filter(node, graph)
         if isinstance(node, A.Extend):
             base = self.translate(node.pattern, graph)
+            if node.var in base.df.columns:
+                # grammar note: the BIND target must NOT already be
+                # in-scope in the group up to the BIND (spec 10.1 /
+                # grammar rule [60] constraint) — a query error, like
+                # the reference's Rasqal raises
+                from fourstore_spark.sparql.parser import SparqlSyntaxError
+
+                raise SparqlSyntaxError(
+                    f"BIND: variable ?{node.var} is already in scope"
+                )
             expr = node.expr
             markers: list[str] = []
             if _expr_contains_exists(expr):
@@ -1880,7 +1890,28 @@ class Translator:
             df = df.where(compile_bool(h, ctx))
             ctx.columns = set(df.columns) | set(agg_map)
 
-        # SELECT expressions (query.c:551-562)
+        # SELECT expressions (query.c:551-562). Projection validation
+        # (spec 18.2.4.4): an (expr AS ?v) alias must not name a var
+        # already in scope from the WHERE pattern, nor repeat an earlier
+        # projection name — both are query errors (it MAY be referenced
+        # by LATER select expressions, which is why the withColumn chain
+        # below feeds ctx incrementally)
+        from fourstore_spark.sparql.parser import SparqlSyntaxError
+
+        seen_names: set[str] = set()
+        pattern_vars = set(sol.df.columns)
+        for item in proj:
+            name = item[1] if item[0] == "var" else item[2]
+            if name in seen_names:
+                raise SparqlSyntaxError(
+                    f"SELECT: duplicate projection of ?{name}"
+                )
+            seen_names.add(name)
+            if item[0] == "expr" and name in pattern_vars:
+                raise SparqlSyntaxError(
+                    f"SELECT: (expr AS ?{name}) reuses an in-scope "
+                    "variable"
+                )
         out_cols: list[str] = []
         for item in proj:
             if item[0] == "var":

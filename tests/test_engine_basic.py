@@ -265,3 +265,43 @@ def test_decimal_overflow_falls_back_to_double_string(engine):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["x"] == "1.0E40"
+
+
+def test_bind_in_scope_var_is_error(engine):
+    # spec 10.1: the BIND target must not already be in scope
+    import pytest as _p
+
+    from fourstore_spark.sparql.parser import SparqlSyntaxError
+
+    with _p.raises(SparqlSyntaxError, match="already in scope"):
+        engine.select(
+            "SELECT ?o WHERE { ?s <urn:col:region#r_name> ?o "
+            "BIND(1 AS ?o) }"
+        )
+    # a fresh var after the pattern is fine; so is the same name in a
+    # DIFFERENT group
+    engine.select(
+        "SELECT ?d WHERE { ?s <urn:col:region#r_name> ?o "
+        "BIND(1 AS ?d) }"
+    )
+
+
+def test_select_alias_reusing_pattern_var_is_error(engine):
+    # spec 18.2.4.4: (expr AS ?v) must not name an in-scope WHERE var;
+    # chaining onto EARLIER aliases stays legal
+    import pytest as _p
+
+    from fourstore_spark.sparql.parser import SparqlSyntaxError
+
+    with _p.raises(SparqlSyntaxError, match="reuses an in-scope"):
+        engine.select(
+            "SELECT (1 AS ?o) WHERE { ?s <urn:col:region#r_name> ?o }"
+        )
+    rows = engine.select(
+        "SELECT (STRLEN(?o) AS ?y) (?y + 1 AS ?z) WHERE "
+        '{ ?s <urn:col:region#r_name> "ASIA" . '
+        "?s <urn:col:region#r_name> ?o }",
+        y="int",
+        z="num",
+    ).collect()
+    assert rows[0]["z"] == rows[0]["y"] + 1
