@@ -93,9 +93,21 @@ def write_store(
         # sortWithinPartitions(p, s): the writer sees output already
         # sorted by its partition column so it keeps row order — each
         # per-predicate file stays s-sorted for row-group min/max pruning
-        # on subject-constant patterns
+        # on subject-constant patterns. The parquet bloom filter on s
+        # adds sub-row-group pruning for subject POINT lookups (the
+        # hash(s) bucketing narrows them to one file; min/max stats then
+        # bound the row groups; the bloom filter rejects the false
+        # positives min/max can't — ptree-lookup parity for the
+        # dominant `<s> ?p ?o` access path)
         shuffled.sortWithinPartitions("p", "s")
         .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#s", "true")
+        # size the filter to the real per-file subject count — the
+        # default expects 1M NDV and writes ~1 MB per file regardless
+        .option(
+            "parquet.bloom.filter.expected.ndv#s",
+            str(max(1024, int(total) // max(1, sum(buckets.values())))),
+        )
         .partitionBy("p")
         .parquet(path)
     )
@@ -311,6 +323,11 @@ def append_quads(
             new.repartition(F.col("p"), F.pmod(F.xxhash64(F.col("s")), F.lit(partitions)))
             .sortWithinPartitions("p", "s")
             .write.mode("append")
+            .option("parquet.bloom.filter.enabled#s", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#s",
+                str(max(1024, n_new // partitions)),
+            )
             .partitionBy("p")
             .parquet(path)
         )
@@ -451,6 +468,20 @@ def compact_store(
             )
             .sortWithinPartitions("p", "s")
             .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#s", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#s",
+                str(
+                    max(
+                        1024,
+                        sum(pred_stats.get(p, (0, 0))[0] for p in touched)
+                        // max(
+                            1,
+                            sum(targets.get(p, partitions) for p in touched),
+                        ),
+                    )
+                ),
+            )
             .partitionBy("p")
             .parquet(tmp)
         )
