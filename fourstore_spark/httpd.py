@@ -435,18 +435,52 @@ class SparqlHttpServer:
                     return self._load(graph, body, replace=False)
                 self._send(404, "not found")
 
-            def _load(self, graph: str, body: str, replace: bool):
+            def _parse_rdf_body(self, body: str, graph: str):
+                """Content-Type-driven parse (http_put_data /
+                http_post_data, httpd.c: picks the raptor parser from the
+                media type), falling back to the reference's other
+                convention — sniffing the GRAPH URI's file extension —
+                then to try-NT-then-Turtle."""
                 from fourstore_spark.sources.rdfio import (
                     quads_from_nt_text,
+                    quads_from_rdfxml,
+                    quads_from_trig,
                     quads_from_turtle,
                 )
+
+                ct = (self.headers.get("Content-Type") or "").split(";")[
+                    0
+                ].strip().lower()
+                generic = ct in ("", "application/octet-stream")
+                g = graph.lower()
+                if ct == "application/rdf+xml" or (
+                    generic and g.endswith((".rdf", ".xrdf", ".owl", ".xml"))
+                ):
+                    return quads_from_rdfxml(outer.spark, body, graph)
+                if ct == "application/trig" or (
+                    generic and g.endswith(".trig")
+                ):
+                    return quads_from_trig(outer.spark, body, graph)
+                if ct in ("text/turtle", "application/x-turtle") or (
+                    generic and g.endswith((".ttl", ".turtle"))
+                ):
+                    return quads_from_turtle(outer.spark, body, graph)
+                if ct in (
+                    "application/n-triples",
+                    "application/n-quads",
+                    "text/plain",
+                ) or (generic and g.endswith((".nt", ".nq"))):
+                    return quads_from_nt_text(outer.spark, body, graph)
+                try:  # unknown type: sniff NT first, then Turtle
+                    return quads_from_nt_text(outer.spark, body, graph)
+                except ValueError:
+                    return quads_from_turtle(outer.spark, body, graph)
+
+            def _load(self, graph: str, body: str, replace: bool):
                 from fourstore_spark.sparql.update import quads_add
 
                 try:
-                    try:
-                        quads = quads_from_nt_text(outer.spark, body, graph)
-                    except ValueError:
-                        quads = quads_from_turtle(outer.spark, body, graph)
+                    quads = self._parse_rdf_body(body, graph)
                     with outer._write_lock:
                         if replace:
                             outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")

@@ -374,3 +374,51 @@ def test_http_status_pages_gated_under_acl(spark):
         assert st == 200 and "cache_entries" in body
     finally:
         srv.stop()
+
+
+def test_http_data_content_type_and_extension_formats(server):
+    # reference tests/httpd/scripts/formats: POST /data/ parses the body
+    # by Content-Type (turtle, rdf+xml) or, for generic types, by the
+    # GRAPH URI's file extension
+    import urllib.request
+
+    def post_data(graph, body, ctype):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/data/?graph="
+            + urllib.parse.quote(graph, safe=""),
+            data=body.encode(),
+            headers={"Content-Type": ctype} if ctype else
+            {"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.status
+
+    assert post_data(
+        "urn:fmt:1", '<urn:fa> <urn:fb> "turtle" .', "text/turtle"
+    ) == 200
+    rdfxml = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:t="urn:t:">'
+        '<rdf:Description rdf:about="urn:fx"><t:y>rdfxml</t:y>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    assert post_data("urn:fmt:2", rdfxml, "application/rdf+xml") == 200
+    # extension sniffing for generic content types
+    assert post_data(
+        "http://example.org/t.ttl", '<urn:fe> <urn:fb> "ext-ttl" .', ""
+    ) == 200
+    assert post_data(
+        "http://example.org/t.rdf", rdfxml, ""
+    ) == 200
+    q = urllib.parse.quote(
+        "SELECT ?g ?o WHERE { GRAPH ?g { ?s ?p ?o } "
+        "FILTER(STRSTARTS(STR(?g), 'urn:fmt') || "
+        "STRSTARTS(STR(?g), 'http://example.org/t')) }"
+    )
+    st, body = _get(server, f"/sparql/?query={q}")
+    vals = sorted(
+        b["o"]["value"]
+        for b in json.loads(body)["results"]["bindings"]
+    )
+    assert vals == ["ext-ttl", "rdfxml", "rdfxml", "turtle"]
