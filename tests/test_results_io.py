@@ -212,3 +212,24 @@ def test_construct_testcase_is_turtle(engine):
         "{ ?r <urn:col:region#r_name> ?n }"
     )
     assert res.serialize("testcase") == res.serialize("turtle")
+
+
+def test_unicode_graph_serializer_roundtrips(spark):
+    # non-ASCII lexical forms survive every graph writer -> parser cycle
+    from fourstore_spark.sources.rdfio import (
+        quads_from_nt_text,
+        quads_from_rdfxml,
+        quads_from_turtle,
+    )
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    nt = '<urn:a> <urn:p> "caf\\u00e9 \\u4e2d\\u6587" .'
+    eng = SparqlEngine(spark, quads_from_nt_text(spark, nt))
+    res = eng.query("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    for fmt, parse in (
+        ("ntriples", quads_from_nt_text),
+        ("turtle", quads_from_turtle),
+        ("rdfxml", quads_from_rdfxml),
+    ):
+        back = parse(spark, res.serialize(fmt))
+        assert back.collect()[0]["o_lex"] == "café 中文", fmt
