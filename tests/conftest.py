@@ -15,6 +15,14 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # the SQL status listener retains plan-description STRINGS for up
+        # to 1000 executions even with the UI off — machine-generated
+        # expression towers make those MB-scale, and deep fuzz runs
+        # (FUZZ_EXAMPLES=500) OOM the heap on retained plans alone
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
         .getOrCreate()
     )
     yield s
