@@ -26,6 +26,12 @@ This is a thin driver-side façade: every request builds lazy DataFrames
 and streams results; Spark does the heavy lifting exactly as in the
 library API. Single-process by design — at scale you put any HTTP tier in
 front of a long-lived SparkSession the same way.
+
+Deployment note: a long-lived session serving many UNIQUE query texts
+should cap ``spark.sql.ui.retainedExecutions`` (default 1000) — the SQL
+status listener retains a plan-description string per execution even
+with the UI disabled, which grows driver heap with plan size x query
+diversity.
 """
 
 from __future__ import annotations
