@@ -14,7 +14,10 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # 8g: deep fuzz runs broadcast ~3 MB task binaries per generated
+        # expression tower; at FUZZ_EXAMPLES=500 the context cleaner
+        # lags the allocation rate on a 4g heap
+        .config("spark.driver.memory", "8g")
         # the SQL status listener retains plan-description STRINGS for up
         # to 1000 executions even with the UI off — machine-generated
         # expression towers make those MB-scale, and deep fuzz runs
