@@ -165,6 +165,13 @@ class SparqlResult:
                 # exact decimal results: parse the full-precision lexical
                 # form, normalized to scale 6 for oracle comparison
                 cols.append(c["lex"].cast("decimal(38,6)").alias(var))
+            elif t == "dec6":
+                # double results quantized to DECIMAL(38,6): removes every
+                # cross-engine/cross-build double-RENDERING freedom (signed
+                # zero, trailing-digit formatting) from the contract hash
+                # while still verifying the numeric VALUE to 6 places. The
+                # oracle side mirrors with CAST(... AS DECIMAL(38,6)).
+                cols.append(c["num"].cast("decimal(38,6)").alias(var))
             elif t == "ts":
                 cols.append(F.to_timestamp(c["lex"]).alias(var))
             elif t == "date":
