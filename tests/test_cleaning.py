@@ -124,6 +124,29 @@ def test_connected_components_chains_and_cycles(spark):
     }
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 200-node path converges under a cap far below its diameter:
+    pointer jumping gives O(log n) rounds (plain min-propagation would
+    need ~200 and, pre-r6, silently returned wrong labels)."""
+    import pytest
+
+    from fourstore_spark.operators.components import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    ).coalesce(4)
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_iterations=12).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+    # non-convergence must raise, never return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
 def test_resolve_duplicate_clusters_transitive(spark):
     from fourstore_spark.operators.components import (
         resolve_duplicate_clusters,
