@@ -41,16 +41,23 @@ def pack_sequences(
 ) -> DataFrame:
     """Add a ``pack_id`` column assigning every row to a training
     sequence whose summed ``tokens_col`` is <= ``budget`` (oversized
-    rows pack alone). Deterministic in (id, chunk, budget)."""
+    rows pack alone). Deterministic in (id, chunk, budget).
+
+    Only ``(id, tokens, __chunk)`` — three fixed-width columns — ever
+    cross the Arrow/Python boundary: at 100 TB the corpus text must NOT
+    be serialized into pandas just to run a counter loop, so the greedy
+    walk runs on a metadata projection and ``pack_id`` joins back by id
+    (an id-equi join AQE can broadcast per chunk)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    # a FRESH StructType: StructType.add mutates in place, and
-    # df.schema is cached on the DataFrame — mutating it corrupts every
-    # later use of the same frame
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("pack_id", LongType())]
+    meta = df.select(id_col, tokens_col).withColumn(
+        "__chunk", (F.col(id_col) / chunk).cast("long")
     )
-    bucket = (F.col(id_col) / chunk).cast("long")
+    # a FRESH StructType: StructType.add mutates in place, and a
+    # DataFrame's cached schema must never be mutated
+    out_schema = StructType(
+        [df.schema[id_col], StructField("pack_id", LongType())]
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -64,14 +71,10 @@ def pack_sequences(
                 acc = 0
             acc += t
             packs.append(base + pid)
-        pdf["pack_id"] = packs
-        return pdf.drop(columns=["__chunk"])
+        return pd.DataFrame({id_col: pdf[id_col], "pack_id": packs})
 
-    return (
-        df.withColumn("__chunk", bucket)
-        .groupBy("__chunk")
-        .applyInPandas(pack, out_schema)
-    )
+    assigned = meta.groupBy("__chunk").applyInPandas(pack, out_schema)
+    return df.join(assigned, id_col).select(*df.columns, "pack_id")
 
 
 def packing_stats(packed: DataFrame, tokens_col: str, budget: int) -> DataFrame:

@@ -250,3 +250,28 @@ def test_pack_sequences_greedy_and_chunked(spark):
         docs.repartition(5), "doc_id", "ntok", budget=100, chunk=1000
     )
     assert {r["doc_id"]: r["pack_id"] for r in packed3.collect()} == got
+
+
+def test_pack_sequences_metadata_only_arrow_boundary(spark):
+    """The applyInPandas stage must see (id, tokens, __chunk) ONLY —
+    never the corpus payload columns (at 100 TB that would serialize
+    the whole corpus into pandas for a counter loop)."""
+    from fourstore_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i, "payload text " * 5, b"\x00\x01") for i in range(6)],
+        "doc_id long, ntok long, text string, blob binary",
+    )
+    packed = pack_sequences(docs, "doc_id", "ntok", budget=25, chunk=1000)
+    # output keeps the full corpus schema + pack_id
+    assert packed.columns == ["doc_id", "ntok", "text", "blob", "pack_id"]
+    plan = packed._jdf.queryExecution().analyzed().toString()
+    fmg = [
+        ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln
+    ]
+    assert len(fmg) == 1
+    # the pandas stage's argument list carries only the metadata columns
+    assert "text" not in fmg[0] and "blob" not in fmg[0]
+    # and the packing itself is unchanged by the extra columns
+    got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    assert len(set(got.values())) == 4  # [10+11] [12+13] [14] [15] at 25
