@@ -161,6 +161,18 @@ class UpdateEngine:
 
     @classmethod
     def restore(cls, spark: SparkSession, path: str) -> "UpdateEngine":
+        """Reopen a saved store. A manifest-bearing store directory goes
+        through store.read_store — which, unlike a raw parquet read,
+        returns an empty QUADS_SCHEMA frame for a store with zero
+        predicate dirs (a reachable state after CLEAR ALL / delete-model
+        --all; raw spark.read.parquet fails schema inference there).
+        Plain parquet dumps (save()) keep the direct read."""
+        import os
+
+        from fourstore_spark.store import MANIFEST, read_store
+
+        if os.path.exists(os.path.join(path, MANIFEST)):
+            return cls(spark, read_store(spark, path))
         return cls(spark, spark.read.parquet(path))
 
     # ------------------------------------------------------------ ops

@@ -124,6 +124,11 @@ def test_cli_delete_model_and_restore(spark, tmp_path, capsys):
     assert main(["delete-model", store, "--all"]) == 0
     assert main(["dump", store, str(out)]) == 0
     assert _read_dump(str(out)).strip() == ""
+    # the emptied store stays USABLE: update (which reopens it via
+    # UpdateEngine.restore) must not crash on a zero-predicate-dir store
+    assert main(["update", store, 'INSERT DATA { <urn:d> <urn:p> "back" }']) == 0
+    assert main(["dump", store, str(out)]) == 0
+    assert "back" in _read_dump(str(out))
     # missing args is an error
     assert main(["delete-model", store]) == 1
 
