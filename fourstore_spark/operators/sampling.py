@@ -32,7 +32,9 @@ def sample_by_hash(
     df: DataFrame, key_col: str, fraction: float
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash (reproducible)."""
-    return df.where(hash_bucket(F.col(key_col)) < int(fraction * _MOD))
+    # round, not int(): float truncation (0.29*1e6 = 289999.9999...)
+    # would shift cutoffs off the intended round numbers
+    return df.where(hash_bucket(F.col(key_col)) < round(fraction * _MOD))
 
 
 def split_by_hash(
@@ -42,17 +44,24 @@ def split_by_hash(
     "val": .01, "test": .01}) by consecutive hash-bucket ranges; returns
     the frame with a ``split`` column. Fractions must sum to <= 1; any
     remainder falls into split ``None`` (useful for subsampling)."""
+    b = hash_bucket(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    # build the when-chain lowest range first (reversed fold)
+    for name, lo, hi in reversed(split_ranges(fractions)):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_ranges(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Consecutive [lo, hi) bucket ranges for the named fractions —
+    round()ed, not int()-truncated, so cutoffs land on the exact round
+    numbers an oracle hardcodes (int(0.29*1e6) would be 289999)."""
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    b = hash_bucket(F.col(key_col))
-    expr = F.lit(None).cast("string")
-    hi = 0
-    # build the when-chain lowest range first (reversed fold)
     ranges = []
+    hi = 0
     for name, frac in fractions.items():
-        lo, hi = hi, hi + int(frac * _MOD)
+        lo, hi = hi, hi + round(frac * _MOD)
         ranges.append((name, lo, hi))
-    for name, lo, hi in reversed(ranges):
-        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return ranges

@@ -216,12 +216,20 @@ def quads_from_nt(
 def report_skips(df: DataFrame, source: str = "") -> int:
     """Log and return the malformed-line count accumulated by a
     ``quads_from_nt`` load. Call after an action has consumed ``df``
-    (accumulators only populate when tasks run)."""
+    (accumulators only populate when tasks run).
+
+    The count is APPROXIMATE (an upper bound): accumulators in
+    transformations re-fire on task retries, stage recomputation, and
+    any second action over the same frame (the import path's
+    property-table pass can re-trigger the scan), and read 0 before the
+    first action. Its job is surfacing that skips HAPPENED; exactness
+    needs a dedicated count action over the malformed predicate."""
     acc = getattr(df, "skipped_lines", None)
     n = acc.value if acc is not None else 0
     if n:
         _LOG.warning(
-            "rdfio: %d malformed line(s) skipped%s",
+            "rdfio: ~%d malformed line(s) skipped%s (approximate: task "
+            "retries / re-scans re-count)",
             n,
             f" importing {source}" if source else "",
         )

@@ -586,9 +586,12 @@ def _resolve_iri_col(lex: Column, base: str) -> Column:
     """Resolve a per-row (possibly relative) IRI reference against the
     query's constant BASE — RFC 3986 reference targets, with the base
     split driver-side (no UDF): scheme-carrying refs pass through;
-    //authority, /absolute-path, #fragment and relative-path refs take
-    the corresponding base prefix. Dot-segment normalization ("../") is
-    not applied (matches common engine practice for IRI())."""
+    //authority, /absolute-path, ?query-only, #fragment-only, empty
+    (same-document) and relative-path refs take the corresponding base
+    prefix — mirroring urljoin/parser.resolve_iri. Dot-segment
+    normalization ("../", "./") is NOT applied (known divergence from
+    urljoin, documented on parser.resolve_iri too): IRI("../x") keeps
+    the literal segments."""
     if not base:
         return lex
     import re as _re
@@ -596,7 +599,8 @@ def _resolve_iri_col(lex: Column, base: str) -> Column:
     m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/?#]*)?", base)
     scheme = (m.group(1) + ":") if m else ""
     authority = (m.group(2) or "") if m else ""
-    path = base[len(scheme) + len(authority):]
+    path = base[len(scheme) + len(authority):].split("#", 1)[0]
+    path = path.split("?", 1)[0]
     cut = path.rfind("/")
     dir_ = (
         base[: len(scheme) + len(authority) + cut + 1]
@@ -604,12 +608,17 @@ def _resolve_iri_col(lex: Column, base: str) -> Column:
         else base + "/"
     )
     no_frag = base.split("#", 1)[0]
+    # query-only refs replace the base query but KEEP the base path
+    no_query = no_frag.split("?", 1)[0]
     has_scheme = lex.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
     return (
         F.when(has_scheme, lex)
         .when(lex.startswith("//"), F.concat(F.lit(scheme), lex))
         .when(lex.startswith("/"), F.concat(F.lit(scheme + authority), lex))
+        .when(lex.startswith("?"), F.concat(F.lit(no_query), lex))
         .when(lex.startswith("#"), F.concat(F.lit(no_frag), lex))
+        # empty ref = same-document reference: base minus fragment
+        .when(lex == "", F.lit(no_frag))
         .otherwise(F.concat(F.lit(dir_), lex))
     )
 

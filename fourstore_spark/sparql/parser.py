@@ -126,7 +126,11 @@ class Parser:
     def resolve_iri(self, raw: str) -> str:
         iri = raw[1:-1]
         # BASE resolution (RFC 3986 via urljoin) for relative refs; an
-        # IRI carrying a scheme is already absolute
+        # IRI carrying a scheme is already absolute. Known divergence
+        # from the runtime IRI() column path (expr._resolve_iri_col):
+        # urljoin normalizes dot segments ("../x"); the column version
+        # keeps them literal — same targets otherwise (query-only,
+        # fragment-only, empty, absolute-path, //authority refs).
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
             from urllib.parse import urljoin
 

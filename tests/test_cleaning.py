@@ -219,6 +219,15 @@ def test_hash_sampling_deterministic_and_partitioned(spark):
 
     with _p.raises(ValueError):
         split_by_hash(docs, "doc_id", {"a": 0.9, "b": 0.2})
+    # cutoffs land on exact round numbers even when frac*1e6 is not
+    # float-exact (int(0.29*1e6) == 289999): ranges must tile [0, 1e6)
+    from fourstore_spark.operators.sampling import split_ranges
+
+    assert split_ranges({"a": 0.29, "b": 0.57, "c": 0.14}) == [
+        ("a", 0, 290000),
+        ("b", 290000, 860000),
+        ("c", 860000, 1000000),
+    ]
 
 
 def test_pack_sequences_greedy_and_chunked(spark):

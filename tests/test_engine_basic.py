@@ -305,3 +305,25 @@ def test_select_alias_reusing_pattern_var_is_error(engine):
         z="num",
     ).collect()
     assert rows[0]["z"] == rows[0]["y"] + 1
+
+
+def test_iri_base_resolution_rfc3986_targets(engine):
+    # IRI(str) resolves against BASE like urljoin/resolve_iri for every
+    # RFC 3986 reference target: scheme'd, //authority, /abs-path,
+    # ?query-only (keeps base path), #fragment-only, empty
+    # (same-document = base minus fragment), and relative-path refs
+    rows = engine.select(
+        'BASE <http://ex.org/dir/page?old#frag>\n'
+        "SELECT (IRI('http://other/x') AS ?abs) (IRI('//host/p') AS ?auth)"
+        " (IRI('/root') AS ?apath) (IRI('?x=1') AS ?q)"
+        " (IRI('#f2') AS ?frag) (IRI('') AS ?self) (IRI('rel') AS ?rel)"
+        ' WHERE { ?s <urn:col:region#r_name> "ASIA" }'
+    ).collect()
+    r = rows[0]
+    assert r["abs"] == "http://other/x"
+    assert r["auth"] == "http://host/p"
+    assert r["apath"] == "http://ex.org/root"
+    assert r["q"] == "http://ex.org/dir/page?x=1"
+    assert r["frag"] == "http://ex.org/dir/page?old#f2"
+    assert r["self"] == "http://ex.org/dir/page?old"
+    assert r["rel"] == "http://ex.org/dir/rel"
