@@ -82,9 +82,11 @@ def cosine_topk(
         "vec_id"
     ].dataType.simpleString()
     scored_schema = f"query_id {qid_dt}, vec_id {vid_dt}, score double"
+    # raw storage dtype through collect/Arrow — float64 promotion happens
+    # in numpy (vectorized), never as a JVM per-element array transform,
+    # and the corpus ships half the bytes when embeddings are float32
     qrows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("__qv"),
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
@@ -112,6 +114,12 @@ def cosine_topk(
                 idx = np.flatnonzero(ok)
                 if not len(idx):
                     continue
+                if len(idx) > k:
+                    # argpartition to the k best scores, then widen to
+                    # every score tied with the k-th so the exact
+                    # (-score, vec_id) order decides the boundary
+                    part = idx[np.argpartition(-s[idx], k - 1)[:k]]
+                    idx = idx[s[idx] >= s[part].min()]
                 # exact global tie-break order: (-score, vec_id)
                 order = idx[np.lexsort((ids[idx], -s[idx]))][:k]
                 out_q.append(np.full(len(order), qids[j]))
@@ -127,7 +135,7 @@ def cosine_topk(
                 )
 
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__cv")
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
     )
     scored = c.mapInPandas(score_batches, scored_schema)
     w = Window.partitionBy("query_id").orderBy(
