@@ -2810,6 +2810,90 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
     return r
 
 
+def _op_scrub_pii(spark, sf_dir):
+    """PII scrubbing round trip: append constructed email/phone/IP to
+    each (PII-free — verified) document, scrub, and compare the FULL
+    output string against the oracle's constructed expectation — any
+    regex overreach into the original prose breaks equality
+    (operators/scrubbing.py)."""
+    from fourstore_spark.operators.scrubbing import scrub_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 123-4567 node 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(d).select(
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+def _op_strip_html(spark, sf_dir):
+    """HTML boilerplate stripping round trip over a constructed wrapper
+    (operators/scrubbing.py): visible text must equal the whitespace-
+    collapsed original document."""
+    from fourstore_spark.operators.scrubbing import strip_html
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><!-- hdr --><p class='x'>"),
+            F.col("text"),
+            F.lit("</p><script>var a = '<b>no</b>';</script>"
+                  "<div>tail &amp; end</div></body></html>"),
+        ).alias("text"),
+    )
+    return strip_html(d).select("doc_id", "text", "is_htmlish")
+
+
+def _op_top_ngrams(spark, sf_dir):
+    """Corpus-level top-50 bigram vocabulary with exact document
+    frequency (operators/textstats.py top_ngrams)."""
+    from fourstore_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+def _round6_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    r["scrub_pii"] = (
+        _op_scrub_pii,
+        "SELECT doc_id, text || ' contact <|EMAIL|> or <|PHONE|> node "
+        "<|IP|>' AS text, CAST(1 AS BIGINT) AS n_emails, "
+        "CAST(1 AS BIGINT) AS n_ips, CAST(1 AS BIGINT) AS n_phones "
+        "FROM documents",
+    )
+    r["strip_html"] = (
+        _op_strip_html,
+        r"SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g'))"
+        " || ' tail & end' AS text, true AS is_htmlish FROM documents",
+    )
+    r["top_ngrams_vocab"] = (
+        _op_top_ngrams,
+        r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, len(t))]) AS ngram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+""",
+    )
+    return r
+
+
 _REG = None
 
 
@@ -2820,6 +2904,7 @@ def _reg() -> dict[str, tuple]:
         full.update(_round3_entries())
         full.update(_round4_entries())
         full.update(_round5_entries())
+        full.update(_round6_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

@@ -145,3 +145,46 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t, n_tokens).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     ).drop("__toks", "__ltoks")
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 1,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level top-k n-gram vocabulary: (ngram, n_docs, n_occurrences),
+    ordered by occurrences desc then ngram asc, limited to k.
+
+    The workhorse behind vocabulary audits, contamination scans and
+    tokenizer sizing. Scale shape: explode(ngrams) -> one groupBy(ngram)
+    computing occurrence count and exact document frequency together
+    (Spark expands the distinct leg map-side); the final top-k is a
+    TakeOrderedAndProject over the aggregated stream, never a full sort
+    of the vocabulary.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens(t)
+    if n == 1:
+        grams = toks
+    else:
+        # sliding window via transform over the valid start offsets
+        grams = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(toks) - n, F.lit(-1)),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    exploded = df.select(
+        F.col(id_col).alias("__doc"), F.explode(grams).alias("ngram")
+    )
+    agg = exploded.groupBy("ngram").agg(
+        F.count_distinct("__doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(k)
