@@ -87,6 +87,8 @@ class W3CTest:
                 return "query"
             if t == MF + "UpdateEvaluationTest":
                 return "update"
+            if t == MF + "CSVResultFormatTest":
+                return "csv"
         return "unsupported"
 
 
@@ -418,6 +420,9 @@ def run_test(spark, t: W3CTest) -> tuple[str, str]:
     if kind == "update":
         return _run_update_eval(spark, t)
 
+    if kind == "csv":
+        return _run_csv_eval(spark, t)
+
     # QueryEvaluationTest: W3C dataset semantics — the default graph is
     # qt:data ONLY (no union with named graphs)
     quads = _dataset(spark, t.data, t.graph_data)
@@ -514,6 +519,46 @@ def _run_update_eval(spark, t: W3CTest):
         f"store mismatch: extra={sorted(got - want)!r} "
         f"missing={sorted(want - got)!r}",
     )
+
+
+def _run_csv_eval(spark, t: W3CTest):
+    """mf:CSVResultFormatTest: serialize through the engine's own
+    CSV/TSV result writers and compare the parsed grid (CSV is lossy by
+    spec — strings only — so comparison is cell-text equality; TSV keeps
+    N-Triples term syntax). Unordered unless the query has ORDER BY."""
+    import csv
+    import io
+
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    quads = _dataset(spark, t.data, t.graph_data)
+    eng = SparqlEngine(spark, quads, union_default_graph=False)
+    qtext = _read(t.query)
+    res = eng.query(qtext)
+    ext = (t.result or "").rsplit(".", 1)[-1].lower()
+    if ext == "csv":
+        got_txt = res.serialize("csv")
+        parse = lambda txt: [  # noqa: E731
+            tuple(row) for row in csv.reader(io.StringIO(txt))
+        ]
+    elif ext == "tsv":
+        got_txt = res.serialize("tsv")
+        parse = lambda txt: [  # noqa: E731
+            tuple(ln.split("\t")) for ln in txt.splitlines() if ln != ""
+        ]
+    else:
+        return ("fail", f"CSVResultFormatTest with {t.result!r}")
+    got = parse(got_txt)
+    want = parse(_read(t.result))
+    if not got or not want or got[0] != want[0]:
+        return ("fail", f"header mismatch: {got[:1]} vs {want[:1]}")
+    ordered = bool(re.search(r"ORDER\s+BY", qtext, re.I))
+    g, w = got[1:], want[1:]
+    if not ordered:
+        g, w = sorted(g), sorted(w)
+    if g == w:
+        return ("pass", "")
+    return ("fail", f"rows differ: got {g!r} want {w!r}")
 
 
 def run_manifest(spark, path: str, excuses: dict | None = None):
