@@ -344,3 +344,54 @@ def test_multimodal_header_probes(spark):
         assert rows[mid]["kind"] == "image" and rows[mid]["err"] is None
     assert rows[1]["width"] == 640 and rows[3]["height"] == 200
     assert rows[4]["err"] is not None  # truncated signature: soft error
+
+
+def test_multimodal_resize_real_bmp(spark):
+    import struct
+
+    import numpy as np
+
+    from fourstore_spark.operators.multimodal import (
+        decode_features,
+        resize_bmp,
+        resize_images,
+        synth_bmp,
+    )
+
+    # 2x1 left-black right-white -> 4x2: quadrant-exact nearest neighbor
+    raw = synth_bmp(2, 1, (0, 0, 0))
+    # overwrite the right pixel with white (pixels start at offset 54)
+    raw = raw[:54] + bytes([0, 0, 0, 255, 255, 255]) + raw[60:]
+    big = resize_bmp(raw, 4, 2)
+    off = struct.unpack_from("<I", big, 10)[0]
+    stride = ((4 * 3 + 3) // 4) * 4
+    arr = np.frombuffer(big, dtype="u1", count=stride * 2, offset=off)
+    arr = arr.reshape(2, stride)[:, :12].reshape(2, 4, 3)
+    assert (arr[:, :2] == 0).all() and (arr[:, 2:] == 255).all()
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(synth_bmp(8, 4, (200, 100, 50)))),
+            (2, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)),  # needs PIL
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_images(media, 4, 2).collect()}
+    assert got[1]["err"] is None and (got[1]["width"], got[1]["height"]) == (4, 2)
+    assert got[2]["payload"] is None and "NotImplementedError" in got[2]["err"]
+    assert "ValueError" in got[3]["err"]
+    # resized payload round-trips through the real decoder: solid color
+    # means survive the resize exactly
+    back = decode_features(
+        spark.createDataFrame(
+            [(1, bytearray(got[1]["payload"]))], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    assert (back["width"], back["height"]) == (4, 2)
+    assert (back["mean_r"], back["mean_g"], back["mean_b"]) == (
+        round(200 / 255, 6), round(100 / 255, 6), round(50 / 255, 6))
+
+    import pytest as _p
+    with _p.raises(Exception, match="codec"):
+        resize_images(media.where("media_id = 2"), 4, 2, strict=True).collect()
