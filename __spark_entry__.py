@@ -2859,8 +2859,59 @@ def _op_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def _op_multimodal_resize(spark, sf_dir):
+    """Real BMP resize round trip (operators/multimodal.py resize_bmp):
+    synthesize solid-color BMPs per doc id, resize through the batch
+    operator, decode the RESIZED payloads — dims must be the target and
+    the solid-color channel means must survive exactly."""
+    import pandas as pd
+
+    from fourstore_spark.operators.multimodal import (
+        decode_features,
+        resize_images,
+        synth_bmp,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(
+        (F.col("doc_id") < 64) & (F.col("doc_id") % 2 == 1)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = synth_bmp(
+                    4 + d % 9,
+                    3 + d % 7,
+                    ((d * 37) % 256, (d * 59) % 256, (d * 83) % 256),
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    resized = resize_images(media, 6, 5).select("media_id", "payload")
+    return decode_features(resized).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width"),
+        F.col("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    r["multimodal_resize"] = (
+        _op_multimodal_resize,
+        "SELECT doc_id, CAST(6 AS BIGINT) AS width, "
+        "CAST(5 AS BIGINT) AS height, "
+        "round(((doc_id * 37) % 256) / 255.0, 6) AS mean_r, "
+        "round(((doc_id * 59) % 256) / 255.0, 6) AS mean_g, "
+        "round(((doc_id * 83) % 256) / 255.0, 6) AS mean_b "
+        "FROM documents WHERE doc_id < 64 AND doc_id % 2 = 1",
+    )
     r["scrub_pii"] = (
         _op_scrub_pii,
         "SELECT doc_id, text || ' contact <|EMAIL|> or <|PHONE|> node "
