@@ -571,6 +571,35 @@ def _run_csv_eval(spark, t: W3CTest):
     return ("fail", f"rows differ: got {g!r} want {w!r}")
 
 
+def earl_report(
+    results: list[tuple],
+    subject: str = "http://fourstore-spark.test/#engine",
+    assertor: str = "http://fourstore-spark.test/#harness",
+) -> str:
+    """EARL (Evaluation and Report Language) Turtle report for a
+    run_manifest result list — the reference's runtest.pl writes the
+    same shape (earl.ttl) for W3C submission. (name, status, detail)
+    with status pass -> earl:passed, fail -> earl:failed, anything
+    else -> earl:untested."""
+    out = [
+        "@prefix earl: <http://www.w3.org/ns/earl#> .",
+        "@prefix dc:   <http://purl.org/dc/terms/> .",
+        "",
+    ]
+    outcome = {"pass": "earl:passed", "fail": "earl:failed"}
+    for name, status, _detail in results:
+        esc = name.replace("\\", "\\\\").replace('"', '\\"')
+        out.append(
+            "[] a earl:Assertion ;\n"
+            f"   earl:assertedBy <{assertor}> ;\n"
+            f"   earl:subject <{subject}> ;\n"
+            f'   earl:test [ dc:title "{esc}" ] ;\n'
+            "   earl:result [ a earl:TestResult ; earl:outcome "
+            f"{outcome.get(status, 'earl:untested')} ] ."
+        )
+    return "\n".join(out) + "\n"
+
+
 def run_manifest(spark, path: str, excuses: dict | None = None):
     """Run every test in a manifest; -> list of (name, status, detail).
     ``excuses`` maps test name -> reason; excused tests report

@@ -51,8 +51,19 @@ def test_w3c_suite_all_green(spark):
     failures = [r for r in report if r[1] not in ("pass", "excused")]
     # the sweep itself must find a meaningful number of cases — an empty
     # glob silently passing would hide a broken importer
-    assert len(report) >= 18, report
+    assert len(report) >= 30, report
     assert not failures, failures
+    # the EARL report (runtest.pl earl.ttl parity) round-trips through
+    # the engine's own Turtle reader: one Assertion per case
+    from fourstore_spark.sources.rdfio import parse_turtle
+    from fourstore_spark.testing.w3c import earl_report
+
+    triples = parse_turtle(earl_report(report))
+    kinds = [
+        t for t in triples
+        if getattr(t.o, "value", None) == "http://www.w3.org/ns/earl#Assertion"
+    ]
+    assert len(kinds) == len(report)
 
 
 def test_w3c_manifest_reader_shapes(spark):
