@@ -83,3 +83,42 @@ def test_top_ngrams_unigram_and_bigram(spark):
     assert bi["sat on"] == (1, 1)
     # a 1-token doc contributes no bigrams; "the cat" doc 3 has exactly 1
     assert sum(v[1] for v in bi.values()) == 5 + 2 + 1
+
+
+def test_scrub_zero_shuffle_plan(spark):
+    """The scrub/strip operators must stay scan-shaped: no Exchange in
+    the optimized plan (the 100 TB contract is a pure projection)."""
+    from fourstore_spark.operators.scrubbing import scrub_pii, strip_html
+
+    docs = spark.createDataFrame(
+        [(1, "a <b>x</b> at a@b.co")], "doc_id long, text string"
+    )
+    for op in (scrub_pii, strip_html):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_scrub_pii_streams_stateless(spark, tmp_path):
+    """scrub_pii is pure projection, so it composes into Structured
+    Streaming pipelines unchanged (append mode, no state)."""
+    from fourstore_spark.operators.scrubbing import EMAIL_TOKEN, scrub_pii
+
+    src = tmp_path / "scrubsrc"
+    docs = spark.createDataFrame(
+        [(1, "reach me: x@y.io"), (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(src / "p"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "p"))
+    q = (
+        scrub_pii(stream).writeStream.format("memory")
+        .queryName("scrub_stream").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM scrub_stream").collect()
+    }
+    assert EMAIL_TOKEN in got[1]["text"] and got[1]["n_emails"] == 1
+    assert got[2]["text"] == "no pii here" and got[2]["n_emails"] == 0
