@@ -170,13 +170,16 @@ def top_ngrams(
     if n == 1:
         grams = toks
     else:
-        # sliding window via transform over the valid start offsets
-        grams = F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size(toks) - n, F.lit(-1)),
-            ),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        # sliding window via transform over the valid start offsets;
+        # guard short docs: sequence(0, -1) would DESCEND ([0, -1]) and
+        # slice() rejects start 0, so < n tokens must yield no grams
+        grams = F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
     exploded = df.select(
         F.col(id_col).alias("__doc"), F.explode(grams).alias("ngram")

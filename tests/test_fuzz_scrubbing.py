@@ -1,0 +1,132 @@
+"""Property-based checks for the r6 scrubbing/vocabulary operators.
+
+- top_ngrams must agree with an independent pure-Python n-gram counter
+  on random corpora (window arithmetic, doc frequency, tie order);
+- scrub_pii output never contains an email match and is idempotent
+  (scrubbing twice changes nothing);
+- strip_html output never contains a tag and is idempotent.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+texts = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=8
+).map(" ".join)
+
+corpora = st.lists(texts, min_size=1, max_size=8)
+
+_SETTINGS = dict(
+    max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "12")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_top_ngrams(rows, n, k):
+    occ: Counter = Counter()
+    dfq: Counter = Counter()
+    for _id, text in rows:
+        toks = text.lower().strip().split()
+        grams = [
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        ]
+        occ.update(grams)
+        dfq.update(set(grams))
+    ranked = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(g, dfq[g], c) for g, c in ranked]
+
+
+@given(corpus=corpora, n=st.integers(1, 3), k=st.integers(1, 10))
+@settings(**_SETTINGS)
+def test_top_ngrams_matches_python_model(spark, corpus, n, k):
+    from fourstore_spark.operators.textstats import top_ngrams
+
+    rows = list(enumerate(corpus))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["ngram"], r["n_docs"], r["n_occurrences"])
+        for r in top_ngrams(docs, n=n, k=k).collect()
+    ]
+    assert got == _py_top_ngrams(rows, n, k), (rows, n, k)
+
+
+pii_texts = st.lists(
+    st.sampled_from(
+        [
+            "plain words",
+            "a@b.io",
+            "reach alice.smith+x@example.co.uk now",
+            "+1 555 123-4567",
+            "47-123-4567",
+            "10.0.42.7",
+            "256.1.1.1",
+            "v1.2.3.4.5",
+            "x",
+            "12345",
+        ]
+    ),
+    min_size=1,
+    max_size=5,
+).map(" ".join)
+
+html_texts = st.lists(
+    st.sampled_from(
+        [
+            "plain words",
+            "<p>hi</p>",
+            "<b>bold</b> tail",
+            "<script>var a = 1;</script>done",
+            "<!-- note -->",
+            "<div class='x'>deep <i>nest</i></div>",
+            "x",
+        ]
+    ),
+    min_size=1,
+    max_size=5,
+).map(" ".join)
+
+
+@given(text=pii_texts)
+@settings(**_SETTINGS)
+def test_scrub_pii_idempotent_and_complete(spark, text):
+    from fourstore_spark.operators.scrubbing import EMAIL_RE, scrub_pii
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    once = scrub_pii(docs).collect()[0]["text"]
+    twice = scrub_pii(
+        spark.createDataFrame([(1, once)], "doc_id long, text string")
+    ).collect()[0]["text"]
+    # complete: no email pattern survives; idempotent: stable under rescrub
+    assert not re.search(EMAIL_RE, once), (text, once)
+    assert twice == once, (text, once, twice)
+
+
+@given(text=html_texts)
+@settings(**_SETTINGS)
+def test_strip_html_no_tags_and_idempotent(spark, text):
+    # entity escapes excluded by construction: unescaping &lt;x&gt; can
+    # legitimately reintroduce '<' (documented lossy behavior)
+    from fourstore_spark.operators.scrubbing import strip_html
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stripped = strip_html(docs).collect()[0]["text"]
+    restripped = strip_html(
+        spark.createDataFrame([(1, stripped)], "doc_id long, text string")
+    ).collect()[0]["text"]
+    assert "<" not in stripped, (text, stripped)
+    assert restripped == stripped, (text, stripped, restripped)
