@@ -68,11 +68,16 @@ def ngram_decontaminate(
     explicitly broadcast; the corpus side is a scan + generate + broadcast
     semi-join (no corpus shuffle); only the matched ids (a tiny set)
     aggregate before the final id join."""
+    from fourstore_spark.operators.util import ensure_parallel
+
     ecol = eval_text_col or text_col
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(ecol), n)).alias("__g"))
         .distinct()
     )
+    # the n-gram explode multiplies corpus bytes; spread single-file
+    # local inputs first (conditional no-op for real corpora)
+    docs = ensure_parallel(docs)
     corpus_grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
     )

@@ -399,9 +399,14 @@ def fulltext_config(quads: DataFrame) -> dict[str, set[str]]:
 
 def _token_rows(quads: DataFrame, preds: list[str]) -> DataFrame:
     """(g, s, s_kind, token) per token of each configured literal object."""
+    from fourstore_spark.operators.util import ensure_parallel
+
     base = quads.where(
         F.col("p").isin(preds) & (F.col("o_kind") == KIND_LITERAL)
     )
+    # the token explode (and the stem/dmetaphone pandas UDFs downstream)
+    # are row-expensive: spread single-file local inputs first
+    base = ensure_parallel(base)
     return base.select(
         "g", "s", "s_kind", "o_lang",
         F.explode(tokens_of(F.col("o_lex"))).alias("tok"),
