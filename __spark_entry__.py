@@ -2901,8 +2901,52 @@ def _op_multimodal_resize(spark, sf_dir):
     )
 
 
+def _op_contamination_report(spark, sf_dir):
+    """Per-eval-item leakage dashboard (operators/cleaning.py
+    contamination_report): eval items are every 97th document; each
+    reports how many corpus docs share >= 1 word 8-gram and the total
+    (doc, gram) collision count."""
+    from fourstore_spark.operators.cleaning import contamination_report
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_report(d, ev, n=8)
+
+
+_CONTAMINATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 8 THEN
+      list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE [] END) AS gram
+  FROM tok
+), ev AS (
+  SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT ev.eval_id, CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS gh
+  FROM ev JOIN g ON ev.gram = g.gram GROUP BY ev.eval_id
+)
+SELECT e.eval_id, COALESCE(h.nd, 0) AS n_docs_hit,
+       COALESCE(h.gh, 0) AS n_gram_hits
+FROM (SELECT DISTINCT doc_id AS eval_id FROM documents
+      WHERE doc_id % 97 = 0) e
+LEFT JOIN hits h ON e.eval_id = h.eval_id
+"""
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    r["contamination_report"] = (_op_contamination_report, _CONTAMINATION_SQL)
     r["multimodal_resize"] = (
         _op_multimodal_resize,
         "SELECT doc_id, CAST(6 AS BIGINT) AS width, "

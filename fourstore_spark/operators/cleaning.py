@@ -210,3 +210,52 @@ def corpus_clean(
         .where(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """The REVERSE direction of decontamination: for every evaluation
+    item, how badly does it leak into the corpus? Output one row per
+    eval item: (eval_id, n_docs_hit, n_gram_hits) — docs sharing >= 1
+    word n-gram, and the total number of (doc, gram) collisions. Items
+    with zero leakage are included with zeros (the dashboard wants the
+    clean rows too).
+
+    100 TB shape: mirror of ngram_decontaminate — the eval side's grams
+    broadcast (carrying eval_id), the corpus explodes once, the join is
+    broadcast-hash, and only (eval_id, doc_id) hit pairs aggregate.
+    """
+    from fourstore_spark.operators.util import ensure_parallel
+
+    ecol = eval_text_col or text_col
+    eval_grams = eval_df.select(
+        F.col(eval_id_col),
+        F.explode(word_ngrams(F.col(ecol), n)).alias("__g"),
+    ).distinct()
+    docs = ensure_parallel(docs)
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    )
+    hits = corpus_grams.join(F.broadcast(eval_grams), "__g").groupBy(
+        eval_id_col
+    ).agg(
+        F.count_distinct(id_col).cast("long").alias("n_docs_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_gram_hits"),
+    )
+    return (
+        eval_df.select(eval_id_col)
+        .distinct()
+        .join(hits, eval_id_col, "left")
+        .select(
+            eval_id_col,
+            F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
+            F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
+        )
+    )

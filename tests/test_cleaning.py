@@ -284,3 +284,30 @@ def test_pack_sequences_metadata_only_arrow_boundary(spark):
     # and the packing itself is unchanged by the extra columns
     got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
     assert len(set(got.values())) == 4  # [10+11] [12+13] [14] [15] at 25
+
+
+def test_contamination_report(spark):
+    from fourstore_spark.operators.cleaning import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today fine"),
+            (2, "quick brown fox jumps over the lazy dog today extra pad"),
+            (3, "completely unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps over the lazy dog today"),
+            (11, "never appearing benchmark question answer pair item x"),
+        ],
+        "eval_id long, text string",
+    )
+    got = {
+        r["eval_id"]: (r["n_docs_hit"], r["n_gram_hits"])
+        for r in contamination_report(docs, ev, n=8).collect()
+    }
+    # eval 10 has two 8-grams; doc1 contains both, doc2 contains both
+    assert got[10] == (2, 4)
+    assert got[11] == (0, 0)
