@@ -2944,9 +2944,35 @@ LEFT JOIN hits h ON e.eval_id = h.eval_id
 """
 
 
+def _op_top_fraction(spark, sf_dir):
+    """Exact top-30%-by-quality corpus cut without a global sort
+    (operators/sampling.py top_fraction_by_score: bounded-cardinality
+    histogram threshold + TakeOrdered tie group)."""
+    from fourstore_spark.operators.sampling import top_fraction_by_score
+    from fourstore_spark.operators.textstats import quality_score
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    return top_fraction_by_score(d, 0.3, "q", "doc_id")
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     r["contamination_report"] = (_op_contamination_report, _CONTAMINATION_SQL)
+    # oracle takes the SAME cut via a brute-force total order — the
+    # operator must agree row-for-row including boundary ties
+    r["top_fraction_quality"] = (
+        _op_top_fraction,
+        f"""
+WITH q AS (SELECT doc_id, quality AS q FROM ({_lang_quality_sql()})),
+n AS (SELECT CAST(ceil(0.3 * COUNT(*)) AS BIGINT) AS k FROM q),
+r AS (SELECT doc_id, q,
+             row_number() OVER (ORDER BY q DESC NULLS LAST, doc_id) AS rn
+      FROM q)
+SELECT doc_id, q FROM r, n WHERE rn <= k
+""",
+    )
     r["multimodal_resize"] = (
         _op_multimodal_resize,
         "SELECT doc_id, CAST(6 AS BIGINT) AS width, "

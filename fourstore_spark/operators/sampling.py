@@ -65,3 +65,64 @@ def split_ranges(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
         lo, hi = hi, hi + round(frac * _MOD)
         ranges.append((name, lo, hi))
     return ranges
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    id_col: str,
+    max_distinct_scores: int = 2_000_000,
+) -> DataFrame:
+    """Keep exactly ceil(frac * N) rows — the best by
+    (score desc, id asc) — WITHOUT a global sort.
+
+    "Drop the worst p% by quality" is a standard corpus-curation step;
+    the naive exact answer is a total order over the corpus (a full
+    shuffle sort at 100 TB). This implementation is exact AND
+    scale-shaped because quality-style scores have BOUNDED CARDINALITY
+    (quality_score rounds to 6 decimals -> <= 1e6+1 values):
+
+    1. one groupBy(score).count() — a tiny aggregate (also yields N);
+    2. the threshold score t and the count still needed AT t come from a
+       driver-side cumulative walk of that histogram (bounded rows — the
+       only driver materialization, guarded by ``max_distinct_scores``);
+    3. rows above t pass with a plain filter; the tie group at t
+       contributes its k_at smallest ids via orderBy(id).limit —
+       Spark executes that as TakeOrdered (per-partition partial top-k,
+       no full sort).
+
+    NULL scores rank last (kept only if frac spills past every scored
+    row, smallest ids first). Deterministic on any partitioning.
+    """
+    import math
+
+    hist = df.groupBy(score_col).count().collect()
+    if len(hist) > max_distinct_scores:
+        raise ValueError(
+            f"{len(hist)} distinct {score_col!r} values exceed "
+            f"max_distinct_scores={max_distinct_scores}: round the score "
+            "(the histogram threshold walk is driver-side by design)"
+        )
+    n = sum(r["count"] for r in hist)
+    k = math.ceil(frac * n)
+    if k <= 0:
+        return df.limit(0)
+    if k >= n:
+        return df
+    s = F.col(score_col)
+    nonnull = sorted(
+        ((r[score_col], r["count"]) for r in hist if r[score_col] is not None),
+        reverse=True,
+    )
+    acc = 0
+    for v, c in nonnull:
+        if acc + c >= k:
+            above = df.where(s > v)
+            at = df.where(s == v).orderBy(F.col(id_col)).limit(k - acc)
+            return above.unionByName(at)
+        acc += c
+    # k spills into the NULL-scored tail
+    scored = df.where(s.isNotNull())
+    nulls = df.where(s.isNull()).orderBy(F.col(id_col)).limit(k - acc)
+    return scored.unionByName(nulls)

@@ -311,3 +311,35 @@ def test_contamination_report(spark):
     # eval 10 has two 8-grams; doc1 contains both, doc2 contains both
     assert got[10] == (2, 4)
     assert got[11] == (0, 0)
+
+
+def test_top_fraction_by_score_exact_threshold_and_ties(spark):
+    from fourstore_spark.operators.sampling import top_fraction_by_score
+
+    # scores with a fat tie group at 0.5 and a null tail
+    rows = [(i, 0.9) for i in range(3)] + [(i, 0.5) for i in range(10, 20)] \
+        + [(i, None) for i in range(30, 33)]
+    docs = spark.createDataFrame(rows, "doc_id long, q double")
+    # N=16, frac .5 -> k=8: the 3 at 0.9 + the 5 smallest-id ties at 0.5
+    kept = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(docs, 0.5, "q", "doc_id").collect()
+    )
+    assert kept == [0, 1, 2, 10, 11, 12, 13, 14]
+    # spill into nulls: k=15 -> all 13 scored + 2 smallest-id nulls
+    kept = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(docs, 15 / 16, "q", "doc_id").collect()
+    )
+    assert kept == [0, 1, 2] + list(range(10, 20)) + [30, 31]
+    # degenerate fracs
+    assert top_fraction_by_score(docs, 0.0, "q", "doc_id").count() == 0
+    assert top_fraction_by_score(docs, 1.0, "q", "doc_id").count() == 16
+    # determinism across partitionings
+    kept2 = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(
+            docs.repartition(7), 0.5, "q", "doc_id"
+        ).collect()
+    )
+    assert kept2 == [0, 1, 2, 10, 11, 12, 13, 14]
