@@ -227,8 +227,12 @@ def lsh_ann_topk(
     At scale: corpus bucketed once (write-time partition column), queries
     probe single buckets — candidate generation is a bucket-key equi-join.
     """
+    from fourstore_spark.operators.util import ensure_parallel
+
     planes = _hyperplanes(dim, nbits)
-    c = corpus.select(
+    # lsh_bucket's per-plane dot products are row-expensive interpreted
+    # array math: spread single-file local corpora first (no-op at scale)
+    c = ensure_parallel(corpus).select(
         F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__bucket", lsh_bucket(F.col("__cv"), planes))
     q = queries.select(
