@@ -81,3 +81,53 @@ def test_w3c_manifest_reader_shapes(spark):
     assert up.update_result_graphs and up.update_result_graphs[0][1] == "urn:g1"
     sx = by_name["syntax-select-1"]
     assert sx.kind == "syntax+" and sx.query.endswith(".rq")
+
+
+def test_w3c_runner_detects_mismatches(spark, tmp_path):
+    """Comparator meta-test: wrong expected values must FAIL — a runner
+    that vacuously passes 35 fixtures is worse than no runner."""
+    d = tmp_path / "neg"
+    d.mkdir()
+    (d / "data.ttl").write_text("@prefix : <http://example/> .\n:x :p 1 .\n")
+    (d / "q.rq").write_text(
+        "PREFIX : <http://example/>\nSELECT ?v WHERE { :x :p ?v }\n"
+    )
+    # wrong value (2, not 1)
+    (d / "q.srj").write_text(
+        '{"head": {"vars": ["v"]}, "results": {"bindings": ['
+        '{"v": {"type": "literal", "datatype": '
+        '"http://www.w3.org/2001/XMLSchema#integer", "value": "2"}}]}}'
+    )
+    # wrong row count (empty)
+    (d / "empty.srx").write_text(
+        '<?xml version="1.0"?><sparql xmlns='
+        '"http://www.w3.org/2005/sparql-results#">'
+        "<head><variable name='v'/></head><results></results></sparql>"
+    )
+    (d / "manifest.ttl").write_text("""
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix mf:  <http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#> .
+@prefix qt:  <http://www.w3.org/2001/sw/DataAccess/tests/test-query#> .
+@prefix t:   <http://fourstore-spark.test/neg#> .
+<http://fourstore-spark.test/neg> rdf:type mf:Manifest ;
+    mf:entries ( t:wrong-value t:wrong-count ) .
+t:wrong-value rdf:type mf:QueryEvaluationTest ;
+    mf:name "wrong-value" ;
+    mf:action [ qt:query <q.rq> ; qt:data <data.ttl> ] ;
+    mf:result <q.srj> .
+t:wrong-count rdf:type mf:QueryEvaluationTest ;
+    mf:name "wrong-count" ;
+    mf:action [ qt:query <q.rq> ; qt:data <data.ttl> ] ;
+    mf:result <empty.srx> .
+""")
+    from fourstore_spark.testing.w3c import run_manifest
+
+    got = {name: status for name, status, _ in
+           run_manifest(spark, str(d / "manifest.ttl"))}
+    assert got == {"wrong-value": "fail", "wrong-count": "fail"}
+    # and the excuses discipline: an excused fail reports 'excused',
+    # a stale excuse on a passing test reports 'unexcused-pass'
+    got2 = {name: status for name, status, _ in run_manifest(
+        spark, str(d / "manifest.ttl"),
+        excuses={"wrong-value": "known delta"})}
+    assert got2["wrong-value"] == "excused"
