@@ -2957,8 +2957,110 @@ def _op_top_fraction(spark, sf_dir):
     return top_fraction_by_score(d, 0.3, "q", "doc_id")
 
 
+_LINEIFY_RE = r"(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s+"
+
+
+def _op_dedup_lines(spark, sf_dir):
+    """C4/Dolma-style line-level corpus dedup (operators/cleaning.py
+    dedup_lines): the synthetic docs are single-line, so the entry first
+    injects a newline after every 5th token (identical regexp_replace on
+    both sides), then removes every line occurring in >1 distinct
+    documents and rebuilds the text."""
+    from fourstore_spark.operators.cleaning import dedup_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _LINEIFY_RE, "$1\n").alias("text"),
+    )
+    return dedup_lines(d, max_docs=1)
+
+
+def _op_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (operators/packing.py
+    chunk_documents): window=12, stride=8 over the documents table —
+    zero-shuffle sequence/posexplode/slice plan."""
+    from fourstore_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), window=12, stride=8
+    )
+
+
+def _op_stratified_sample(spark, sf_dir):
+    """Per-source training-mix sampling (operators/sampling.py
+    stratified_sample): src0 keeps 80%, src1 30%, everything else the
+    10% default — same md5 bucket assignment as the oracle."""
+    from fourstore_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(
+        d, "doc_id", "source", {"src0": 0.8, "src1": 0.3}, default=0.1
+    )
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # line-level dedup: oracle replays the identical lineify + threshold
+    # + ordered rebuild on the raw line text
+    r["dedup_lines"] = (
+        _op_dedup_lines,
+        r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+\s+\S+\s+\S+\s+\S+\s+\S+)\s+',
+                        '\1' || chr(10), 'g') AS txt
+  FROM documents
+), l AS (
+  SELECT doc_id, u.s['pos'] AS pos, u.s['line'] AS line
+  FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+       LATERAL unnest([{'pos': i, 'line': ls[i]}
+                       for i in range(1, len(ls)+1)]) AS u(s)
+), f AS (
+  SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text,
+       CAST(SUM(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lines_removed
+FROM l LEFT JOIN f ON l.line = f.line
+GROUP BY l.doc_id
+""",
+    )
+    # sliding-window chunking: 1-based inclusive list slices mirror
+    # Spark's slice(toks, start+1, window)
+    r["chunk_documents"] = (
+        _op_chunk_documents,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 8)) AS start
+  FROM d WHERE len(t) > 0
+)
+SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id,
+       CAST(len(t[start+1:start+12]) AS BIGINT) AS n_tokens,
+       array_to_string(t[start+1:start+12], ' ') AS chunk_text
+FROM s
+""",
+    )
+    # per-group hash sampling: identical md5 buckets on both sides
+    r["stratified_sample"] = (
+        _op_stratified_sample,
+        """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 1000000 AS BIGINT) AS bucket
+  FROM documents
+) WHERE bucket < CASE source WHEN 'src0' THEN 800000
+                             WHEN 'src1' THEN 300000
+                             ELSE 100000 END
+""",
+    )
     r["contamination_report"] = (_op_contamination_report, _CONTAMINATION_SQL)
     # oracle takes the SAME cut via a brute-force total order — the
     # operator must agree row-for-row including boundary ties

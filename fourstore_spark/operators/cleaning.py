@@ -212,6 +212,114 @@ def corpus_clean(
     )
 
 
+def line_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line frequency table: one row per distinct line with
+    (line, n_docs, n_occurrences). The inspection companion to
+    ``dedup_lines`` (which lines WOULD a given threshold remove?).
+
+    100 TB shape: one explode + one groupBy with map-side combine; the
+    shuffle carries (line, doc_id) only — no full rows.
+    """
+    from fourstore_spark.operators.util import ensure_parallel
+
+    lines = ensure_parallel(docs).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
+    )
+    return lines.groupBy("line").agg(
+        F.count_distinct("__id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    delimiter: str = "\n",
+    keep_first: bool = False,
+) -> DataFrame:
+    """Line-level (paragraph-level) exact deduplication across the whole
+    corpus, in the style of the C4 / Dolma pipelines: any line that
+    occurs in more than ``max_docs`` distinct documents is removed from
+    EVERY document (order-free, so the result is deterministic on any
+    partitioning — unlike "first seen wins" streaming dedup). With
+    ``keep_first=True`` the single occurrence at the smallest
+    (doc_id, position) survives instead, matching Dolma's
+    keep-one-copy paragraph dedup while staying deterministic.
+
+    Returns the input frame with ``text_col`` rebuilt from the surviving
+    lines (original order, re-joined with ``delimiter``; a document whose
+    every line was removed keeps an empty string) plus an
+    ``n_lines_removed`` count per document. All other columns pass
+    through unchanged.
+
+    100 TB shape: one posexplode; the frequency aggregate groups the
+    line text directly (exact — substitute xxhash64 keys to shrink the
+    shuffle at a vanishing collision risk); the over-threshold set is
+    usually small -> the back-join is AQE-broadcastable; one final
+    groupBy(doc) rebuilds text. Document payloads other than the text
+    itself never shuffle (they re-attach by an id-equi join).
+    """
+    from fourstore_spark.operators.util import ensure_parallel
+
+    lines = ensure_parallel(docs).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "__pos", "__line"
+        ),
+    )
+    freq = lines.groupBy("__line").agg(
+        F.count_distinct("__id").alias("__nd"),
+        F.min(F.struct("__id", "__pos")).alias("__first"),
+    )
+    over = freq.where(F.col("__nd") > max_docs).select(
+        "__line", "__first"
+    )
+    marked = lines.join(over, "__line", "left")
+    if keep_first:
+        removed = F.col("__first").isNotNull() & ~(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__pos") == F.col("__pos"))
+        )
+    else:
+        removed = F.col("__first").isNotNull()
+    marked = marked.withColumn("__rm", removed)
+    rebuilt = marked.groupBy("__id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__rm"),
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__text"),
+        F.sum(F.col("__rm").cast("long")).cast("long").alias(
+            "n_lines_removed"
+        ),
+    )
+    out_cols = [
+        F.col("__text").alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(rebuilt, F.col(id_col) == F.col("__id"))
+        .select(*out_cols, "n_lines_removed")
+    )
+
+
 def contamination_report(
     docs: DataFrame,
     eval_df: DataFrame,

@@ -77,6 +77,55 @@ def pack_sequences(
     return df.join(assigned, id_col).select(*df.columns, "pack_id")
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split every document into overlapping fixed token-count chunks —
+    the sliding-window step that turns raw documents into model-sized
+    training examples (window = max sequence tokens, stride < window
+    gives ``window - stride`` tokens of overlap so no span is only ever
+    seen truncated at a boundary).
+
+    Output: one row per chunk with (id, ``chunk_id`` 0..k-1,
+    ``n_tokens``, ``chunk_text``). Chunk starts are the multiples of
+    ``stride`` below the document's token count, so every token is
+    covered and the final chunk may be short. Empty/whitespace documents
+    produce no chunks. Tokens are whitespace tokens of the trimmed text
+    (swap in a real tokenizer's counts upstream if needed).
+
+    100 TB shape: pure column expressions (split -> sequence ->
+    posexplode -> slice) — no shuffle at all, fully whole-stage-codegen;
+    the explode multiplies rows ~(1 + overlap) x which the scan
+    parallelism already absorbs.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    t = F.trim(F.col(text_col))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - 1, F.lit(stride)
+    )
+    d = d.where(F.size("__toks") > 0).select(
+        id_col,
+        "__toks",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, window)
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def packing_stats(packed: DataFrame, tokens_col: str, budget: int) -> DataFrame:
     """One-row packing quality summary: pack count, fill rate, and the
     invariants a correct packing must satisfy (no pack over budget

@@ -67,6 +67,34 @@ def split_ranges(fractions: dict[str, float]) -> list[tuple[str, int, int]]:
     return ranges
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep ~``fractions[group]`` of
+    each group's rows (e.g. up-sample high-quality sources, down-sample
+    Common-Crawl-ish ones when building a training mix). Groups absent
+    from ``fractions`` keep ``default`` (0.0 = drop). Membership is the
+    same engine-portable md5 bucket as ``sample_by_hash``, so the chosen
+    subset is stable across runs/engines AND nested: the rows kept at
+    frac f are a superset of those kept at f' < f, which keeps ablation
+    mixes comparable.
+
+    100 TB shape: one CASE expression over the group column + the hash
+    filter — zero shuffle, runs inside the scan projection.
+    """
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} out of [0,1]: {frac}")
+    thr = F.lit(round(default * _MOD))
+    for g, frac in fractions.items():
+        thr = F.when(F.col(group_col) == g, round(frac * _MOD)).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col)) < thr)
+
+
 def top_fraction_by_score(
     df: DataFrame,
     frac: float,

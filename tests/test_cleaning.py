@@ -343,3 +343,58 @@ def test_top_fraction_by_score_exact_threshold_and_ties(spark):
         ).collect()
     )
     assert kept2 == [0, 1, 2, 10, 11, 12, 13, 14]
+
+
+def test_dedup_lines_drop_all_and_rebuild(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta", "s0"),
+            (2, "shared line\ngamma", "s1"),
+            (3, "delta\nepsilon", "s0"),
+            (4, "shared line", "s1"),  # loses everything
+        ],
+        "doc_id long, text string, source string",
+    )
+    from fourstore_spark.operators.cleaning import dedup_lines
+
+    out = {r.doc_id: r for r in dedup_lines(docs, max_docs=1).collect()}
+    assert out[1].text == "alpha\nbeta" and out[1].n_lines_removed == 1
+    assert out[2].text == "gamma" and out[2].n_lines_removed == 1
+    assert out[3].text == "delta\nepsilon" and out[3].n_lines_removed == 0
+    assert out[4].text == "" and out[4].n_lines_removed == 1
+    # passthrough columns survive
+    assert out[3].source == "s0"
+
+
+def test_dedup_lines_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (5, "x\ndup", None),
+            (2, "dup\ny\ndup", None),
+            (9, "dup", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from fourstore_spark.operators.cleaning import dedup_lines
+
+    out = {
+        r.doc_id: r
+        for r in dedup_lines(docs, max_docs=1, keep_first=True).collect()
+    }
+    # smallest (doc_id, pos) = (2, 0) keeps its copy; all others removed
+    assert out[2].text == "dup\ny" and out[2].n_lines_removed == 1
+    assert out[5].text == "x" and out[5].n_lines_removed == 1
+    assert out[9].text == "" and out[9].n_lines_removed == 1
+
+
+def test_line_frequencies(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "b")], "doc_id long, text string"
+    )
+    from fourstore_spark.operators.cleaning import line_frequencies
+
+    got = {
+        r.line: (r.n_docs, r.n_occurrences)
+        for r in line_frequencies(docs).collect()
+    }
+    assert got == {"a": (1, 2), "b": (2, 2)}

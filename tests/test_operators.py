@@ -395,3 +395,74 @@ def test_multimodal_resize_real_bmp(spark):
     import pytest as _p
     with _p.raises(Exception, match="codec"):
         resize_images(media.where("media_id = 2"), 4, 2, strict=True).collect()
+
+
+def test_chunk_documents_windows(spark):
+    from fourstore_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b"),
+            (3, "   "),  # whitespace-only: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # starts 0,3,6,9 -> 4 chunks, last one short
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    # every token covered, consecutive chunks overlap by window-stride
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_validates(spark):
+    from fourstore_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0, stride=1)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=0)
+
+
+def test_stratified_sample_nested_and_default(spark):
+    from fourstore_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+    )
+    lo = stratified_sample(df, "id", "grp", {"even": 0.2, "odd": 0.5})
+    hi = stratified_sample(df, "id", "grp", {"even": 0.6, "odd": 0.9})
+    lo_ids = {r.id for r in lo.collect()}
+    hi_ids = {r.id for r in hi.collect()}
+    # nested property: a row kept at the lower fraction stays kept
+    assert lo_ids <= hi_ids
+    # groups without a fraction use the default (0.0 -> dropped)
+    none_kept = stratified_sample(df, "id", "grp", {"even": 0.3})
+    assert all(r.grp == "even" for r in none_kept.collect())
+    # membership matches the documented bucket rule exactly
+    manual = {
+        r.id
+        for r in df.withColumn("b", hash_bucket(F.col("id")))
+        .where(
+            ((F.col("grp") == "even") & (F.col("b") < 200000))
+            | ((F.col("grp") == "odd") & (F.col("b") < 500000))
+        )
+        .collect()
+    }
+    assert manual == lo_ids
