@@ -1115,10 +1115,147 @@ class Parser:
         return node or A.Unit()
 
 
+# --------------------------------------------------- static scope check
+# SPARQL 1.1 §18.2.1 in-scope variables + the grammar-level constraints
+# that reference them: BIND's target must not already be in scope in the
+# group up to the BIND (grammar note on rule [60]), and a SELECT
+# expression's alias must not reuse a WHERE/GROUP BY-scoped variable
+# (§18.2.4.4).  The official W3C NegativeSyntaxTest11 suites
+# (syn-bind-02-style cases) require these to fail AT PARSE TIME, so the
+# checks run here as a post-parse walk as well as (defensively) in the
+# translator.
+
+
+def _in_scope(node) -> set[str]:
+    """In-scope variable names of a pattern node per §18.2.1."""
+    if node is None or isinstance(node, (A.Unit, A.ServicePattern)):
+        # SERVICE groups ship as raw text — conservatively contribute
+        # nothing (under-approximating can only miss a violation, never
+        # reject a legal query)
+        return set()
+    if isinstance(node, A.BGP):
+        out: set[str] = set()
+        for t in node.triples:
+            for term in (t.s, t.p, t.o):
+                if isinstance(term, A.Var):
+                    out.add(term.name)
+        return out
+    if isinstance(node, (A.Join, A.LeftJoin, A.Union)):
+        return _in_scope(node.left) | _in_scope(node.right)
+    if isinstance(node, A.Minus):
+        return _in_scope(node.left)  # right side never binds outward
+    if isinstance(node, A.Filter):
+        return _in_scope(node.pattern)
+    if isinstance(node, A.Extend):
+        return _in_scope(node.pattern) | {node.var}
+    if isinstance(node, A.GraphPattern):
+        g = {node.graph.name} if isinstance(node.graph, A.Var) else set()
+        return _in_scope(node.pattern) | g
+    if isinstance(node, A.ValuesTable):
+        return {v if isinstance(v, str) else v.name for v in node.variables}
+    if isinstance(node, A.SubSelect):
+        q = node.query
+        if q.projection:
+            out = set()
+            for item in q.projection:
+                out.add(item[1] if item[0] == "var" else item[2])
+            return out
+        scope = _in_scope(q.pattern)
+        for g in q.group_by:
+            if isinstance(g, tuple) and g[0] == "as":
+                scope.add(g[2])
+        return scope
+    return set()
+
+
+def _validate_expr(expr) -> None:
+    if isinstance(expr, A.EExists):
+        _validate_pattern(expr.pattern)
+        return
+    for attr in ("left", "right", "arg", "expr"):
+        v = getattr(expr, attr, None)
+        if v is not None and not isinstance(v, (str, int, float, bool)):
+            _validate_expr(v)
+    for attr in ("args", "options"):
+        for v in getattr(expr, attr, ()) or ():
+            _validate_expr(v)
+
+
+def _validate_pattern(node) -> None:
+    if node is None or isinstance(
+        node, (A.Unit, A.BGP, A.ValuesTable, A.ServicePattern)
+    ):
+        return
+    if isinstance(node, (A.Join, A.Union, A.Minus)):
+        _validate_pattern(node.left)
+        _validate_pattern(node.right)
+        return
+    if isinstance(node, A.LeftJoin):
+        _validate_pattern(node.left)
+        _validate_pattern(node.right)
+        if node.expr is not None:
+            _validate_expr(node.expr)
+        return
+    if isinstance(node, A.Filter):
+        _validate_expr(node.expr)
+        _validate_pattern(node.pattern)
+        return
+    if isinstance(node, A.Extend):
+        _validate_pattern(node.pattern)
+        _validate_expr(node.expr)
+        if node.var in _in_scope(node.pattern):
+            raise SparqlSyntaxError(
+                f"BIND: variable ?{node.var} is already in scope in the "
+                "group (SPARQL 1.1 grammar constraint on BIND)"
+            )
+        return
+    if isinstance(node, A.GraphPattern):
+        _validate_pattern(node.pattern)
+        return
+    if isinstance(node, A.SubSelect):
+        validate_query(node.query)
+        return
+
+
+def validate_query(q: A.Query) -> None:
+    """Parse-time rejection of in-scope rule violations (§18.2.4.4 +
+    grammar note on BIND); re-raised as SparqlSyntaxError so W3C
+    NegativeSyntaxTest11 cases fail at parse like the spec requires."""
+    _validate_pattern(q.pattern)
+    scope = _in_scope(q.pattern)
+    for g in q.group_by:
+        if isinstance(g, tuple) and g[0] == "as":
+            if g[2] in scope:
+                raise SparqlSyntaxError(
+                    f"GROUP BY: (expr AS ?{g[2]}) reuses an in-scope "
+                    "variable"
+                )
+            scope.add(g[2])
+    for item in q.projection:
+        if item[0] == "expr":
+            _validate_expr(item[1])
+            if item[2] in scope:
+                raise SparqlSyntaxError(
+                    f"SELECT: (expr AS ?{item[2]}) reuses an in-scope "
+                    "variable (SPARQL 1.1 §18.2.4.4)"
+                )
+    for h in q.having:
+        _validate_expr(h)
+    for e, _asc in q.order_by:
+        _validate_expr(e)
+
+
 def parse_query(text: str) -> A.Query:
-    return Parser(text).parse_query()
+    q = Parser(text).parse_query()
+    validate_query(q)
+    return q
 
 
 def parse_update(text: str) -> list:
     """Parse a SPARQL 1.1 Update request into a list of update ops."""
-    return Parser(text).parse_update()
+    ops = Parser(text).parse_update()
+    for op in ops:
+        where = getattr(op, "where", None)
+        if where is not None:
+            _validate_pattern(where)
+    return ops
