@@ -2998,8 +2998,31 @@ def _op_stratified_sample(spark, sf_dir):
     )
 
 
+def _op_subtract_corpus(spark, sf_dir):
+    """Cross-corpus exact dedup (operators/dedup.py subtract_corpus):
+    remove from documents everything whose normalization fingerprint
+    appears in the 'already-curated' reference slice (doc_id % 7 == 0).
+    Note rows NOT divisible by 7 can still drop — near-identical text
+    normalizing to a reference fingerprint — which is the point."""
+    from fourstore_spark.operators.dedup import subtract_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    return subtract_corpus(d, ref)
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # cross-corpus subtraction: identical fingerprint normalization on
+    # both sides, anti-semi-join semantics
+    r["subtract_corpus"] = (
+        _op_subtract_corpus,
+        f"""
+SELECT doc_id, text FROM documents
+WHERE {_FP_SQL} NOT IN (
+  SELECT {_FP_SQL} FROM documents WHERE doc_id % 7 = 0)
+""",
+    )
     # line-level dedup: oracle replays the identical lineify + threshold
     # + ordered rebuild on the raw line text
     r["dedup_lines"] = (

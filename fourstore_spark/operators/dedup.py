@@ -35,6 +35,40 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def subtract_corpus(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop every row of ``df`` whose
+    normalization fingerprint (textstats.fingerprint — 'same modulo
+    case/punctuation/whitespace') appears anywhere in ``reference``.
+    The standard step when ingesting a new crawl against an existing
+    corpus, or keeping a refreshed dump from re-introducing documents
+    already curated out.
+
+    100 TB shape: both sides reduce to 32-char fingerprints before any
+    join; the reference side deduplicates first (groupBy with map-side
+    combine), then a left_anti equi-join — broadcastable whenever the
+    reference fingerprint set fits the AQE threshold, a shuffled
+    anti-join otherwise; df's payload columns never shuffle twice. (For
+    a reference too large even for a shuffle join, swap the exact set
+    for a bloom filter — accepting false-positive drops.)
+    """
+    from fourstore_spark.operators.textstats import fingerprint
+
+    rcol = ref_text_col or text_col
+    ref_fps = (
+        reference.select(fingerprint(F.col(rcol)).alias("__fp")).distinct()
+    )
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .join(ref_fps, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles of a (lowercased) text column.
 

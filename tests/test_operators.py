@@ -466,3 +466,27 @@ def test_stratified_sample_nested_and_default(spark):
         .collect()
     }
     assert manual == lo_ids
+
+
+def test_subtract_corpus_fingerprint_match(spark):
+    from fourstore_spark.operators.dedup import subtract_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),       # same fingerprint as 1
+            (3, "totally new text"),
+            (4, "Another doc."),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "HELLO  world"), (101, "another doc")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in subtract_corpus(corpus, ref).collect()}
+    # 1 and 2 normalize to the reference's "hello world"; 4 to
+    # "another doc"; only 3 survives — and payload columns pass through
+    assert kept == {3}
+    out = subtract_corpus(corpus, ref)
+    assert out.columns == ["doc_id", "text"]
