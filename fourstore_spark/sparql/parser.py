@@ -134,7 +134,19 @@ class Parser:
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
             from urllib.parse import urljoin
 
-            return urljoin(self.base, iri)
+            out = urljoin(self.base, iri)
+            # urljoin only resolves against schemes in urllib's
+            # uses_relative list; for other schemes (e.g. 4s-query's
+            # default BASE <local:>) it returns the ref unchanged.
+            # RFC 3986 5.3 merge for a base with empty path is simple
+            # concatenation: "y" against "local:" -> "local:y".
+            if out == iri and not iri.startswith(("#", "?")):
+                return self.base.split("#", 1)[0].split("?", 1)[0] + iri
+            if out == iri and iri.startswith("#"):
+                return self.base.split("#", 1)[0] + iri
+            if out == iri and iri.startswith("?"):
+                return self.base.split("#", 1)[0].split("?", 1)[0] + iri
+            return out
         return iri
 
     def resolve_pname(self, raw: str) -> str:

@@ -164,6 +164,44 @@ def _subst_alias_vars(e, amap: dict):
     return e
 
 
+def _appearance_order(node) -> list[str]:
+    """Variable names in first-textual-appearance order — the SELECT *
+    projection order (Rasqal's behavior, mirrored by the reference's
+    exemplar headers). May contain duplicates/invisible vars; the caller
+    filters against the actual columns."""
+    out: list[str] = []
+    if node is None:
+        return out
+    if isinstance(node, A.BGP):
+        for t in node.triples:
+            for term in (t.s, t.p, t.o):
+                if isinstance(term, A.Var):
+                    out.append(term.name)
+        return out
+    if isinstance(node, (A.Join, A.Union, A.Minus)):
+        return _appearance_order(node.left) + _appearance_order(node.right)
+    if isinstance(node, A.LeftJoin):
+        return _appearance_order(node.left) + _appearance_order(node.right)
+    if isinstance(node, A.Filter):
+        return _appearance_order(node.pattern)
+    if isinstance(node, A.Extend):
+        return _appearance_order(node.pattern) + [node.var]
+    if isinstance(node, A.GraphPattern):
+        g = [node.graph.name] if isinstance(node.graph, A.Var) else []
+        return g + _appearance_order(node.pattern)
+    if isinstance(node, A.ValuesTable):
+        return [v if isinstance(v, str) else v.name for v in node.variables]
+    if isinstance(node, A.SubSelect):
+        q = node.query
+        if q.projection:
+            return [
+                item[1] if item[0] == "var" else item[2]
+                for item in q.projection
+            ]
+        return _appearance_order(q.pattern)
+    return out
+
+
 class Translator:
     def __init__(
         self,
@@ -1925,7 +1963,22 @@ class Translator:
                 ctx.columns = set(df.columns) | set(agg_map)
                 out_cols.append(name)
         if not proj:  # SELECT *
-            out_cols = [c for c in df.columns if not c.startswith("__")]
+            # project in first-appearance order (the reference's Rasqal
+            # does the same: tests/query/exemplar/foaf-graph-pred headers
+            # ?g ?x ?z for `GRAPH ?g { ?x ... ?z }`), unknown columns
+            # (e.g. SERVICE-returned vars) keep translation order after
+            visible = [c for c in df.columns if not c.startswith("__")]
+            order = _appearance_order(q.pattern)
+            if q.values is not None:
+                order += [
+                    v if isinstance(v, str) else v.name
+                    for v in q.values.variables
+                ]
+            seen: list[str] = []
+            for c in order:
+                if c in visible and c not in seen:
+                    seen.append(c)
+            out_cols = seen + [c for c in visible if c not in seen]
 
         # ORDER BY before projection so order exprs see all vars
         # (fs_query_order, src/frontend/order.c:194-269)
