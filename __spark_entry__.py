@@ -60,6 +60,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _sq(text: str, **types: str):
     """A queries() callable that runs SPARQL and flattens term structs."""
 
@@ -3011,8 +3015,155 @@ def _op_subtract_corpus(spark, sf_dir):
     return subtract_corpus(d, ref)
 
 
+def _op_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (operators/temporal.py asof_join):
+    each error event picks up the most recent prior click of the same
+    user — merge-style single-shuffle window plan, no range self-join.
+    Oracle: DuckDB's native ASOF LEFT JOIN (semantics match exactly)."""
+    from fourstore_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    # the unique left id is aliased to sort FIRST among the column names
+    # so the driver's column-name-sorted row order never compares NULL
+    # click ids (a_id is a total order on both sides)
+    return asof_join(left, right, ["user_id"], "ts", "ts").select(
+        F.col("event_id").alias("a_id"),
+        "user_id", "ts", "click_id_r", "value_r",
+    )
+
+
+def _op_session_stats(spark, sf_dir):
+    """Batch gap-sessionization + per-session rollup (operators/
+    temporal.py session_stats): lag()-gap window pass then one groupBy;
+    the batch twin of the streaming stream_sessionize entry. Exact-
+    decimal value totals."""
+    from fourstore_spark.operators.temporal import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _op_mix_corpus(spark, sf_dir):
+    """Deterministic weighted training-mix realization (operators/
+    sampling.py mix_corpus): src0 at weight 2.5 (2 epochs + hash-chosen
+    half), src1 down-sampled to 0.25, everything else 1.0 — the oracle
+    replays the identical md5-bucket + generate_series expansion."""
+    from fourstore_spark.operators.sampling import mix_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return mix_corpus(
+        d, "doc_id", "source", {"src0": 2.5, "src1": 0.25}, default=1.0
+    )
+
+
+def _op_semdedup(spark, sf_dir):
+    """SemDedup (operators/dedup.py semdedup): embeddings cluster to the
+    8 deterministic seed centroids (vec_id < 8 — cosine is scale-
+    invariant so raw seed vectors work), exact cosine runs only within
+    cells, and every row with a >=0.4 neighbor of smaller id drops.
+    Survivor set must match the oracle's replay exactly (assignment
+    argmax on 6-dp-rounded cosine, ties toward the higher cell id, on
+    BOTH sides)."""
+    from fourstore_spark.operators.dedup import semdedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in row[0]]
+        for row in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return semdedup(emb, cents, threshold=0.4).select("vec_id")
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # as-of: oracle is DuckDB's native ASOF LEFT JOIN
+    r["asof_join_events"] = (
+        _op_asof_join,
+        """
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts AS r_ts, event_id AS click_id, value
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id AS a_id, l.user_id, l.ts,
+       r.click_id AS click_id_r, r.value AS value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+    )
+    # batch sessionization: identical lag-gap + running-sum windows
+    r["session_stats"] = (
+        _op_session_stats,
+        """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_no
+  FROM s
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         AS total_value
+FROM g GROUP BY user_id, session_no
+""",
+    )
+    # weighted mixing: md5 buckets + unnest(range(copies)) replay
+    r["mix_corpus"] = (
+        _op_mix_corpus,
+        """
+WITH w AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+    + CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT % 1000000 AS BIGINT)
+           < CASE source WHEN 'src0' THEN 500000
+                         WHEN 'src1' THEN 250000 ELSE 0 END
+      THEN 1 ELSE 0 END AS copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(u.g AS BIGINT) AS epoch
+FROM w, LATERAL unnest(range(0, copies)) AS u(g) WHERE copies > 0
+""",
+    )
+    # SemDedup survivor set: full replay (seed-centroid assignment,
+    # within-cell pairs, keep-lowest-id)
+    r["semdedup"] = (
+        _op_semdedup,
+        """
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+ sc AS (SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.cv), 6) AS cos
+        FROM embeddings e CROSS JOIN cents c),
+ a AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn FROM sc)
+       WHERE rn = 1),
+ p AS (SELECT y.vec_id AS id_b
+       FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       JOIN embeddings va ON va.vec_id = x.vec_id
+       JOIN embeddings vb ON vb.vec_id = y.vec_id
+       WHERE round(list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                          CAST(vb.embedding AS DOUBLE[])),
+                   6) >= 0.4)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
+""",
+    )
     # cross-corpus subtraction: identical fingerprint normalization on
     # both sides, anti-semi-join semantics
     r["subtract_corpus"] = (

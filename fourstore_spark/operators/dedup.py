@@ -538,3 +538,71 @@ def embedding_neardup(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate stage of
+    SemDedup (Abbas et al. 2023, arXiv:2303.09540): embeddings are
+    clustered by nearest centroid and exact cosine runs ONLY inside each
+    cluster, turning the O(n^2) all-pairs comparison into
+    sum-over-cells(|cell|^2).
+
+    The cluster equi-join shuffles (cell, id, vector) once; at 100 TB the
+    corpus is written partitioned by cell (same layout IVF search uses,
+    similarity.ivf_assign) so the join is partition-local.  Skewed cells
+    are AQE's skew-join case; raise k to bound cell sizes.
+    Output: (id_a, id_b, cell, cos) with cos rounded and >= threshold.
+    """
+    from .similarity import cosine, ivf_assign
+
+    a = ivf_assign(df, centroids, id_col, vec_col, round_to=round_to)
+    b = (
+        a.select(
+            F.col("vec_id").alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("ivf_cell"),
+        )
+    )
+    return (
+        a.select(
+            F.col("vec_id").alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            "ivf_cell",
+        )
+        .join(b, "ivf_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.col("ivf_cell").alias("cell"), "cos")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDedup: drop every row that has a semantically-near neighbor
+    with a smaller id in the same cluster (keep-lowest-id greedy — the
+    deterministic, engine-portable variant of the paper's keep-one rule;
+    survivors are identical on any partitioning/run).
+
+    Only ids travel through the drop set (distinct id_b — a pure
+    projection of semdedup_pairs), and the final left_anti equi-join is
+    AQE-broadcastable when the drop set is small (the common case at
+    sane thresholds).  Returns the surviving rows of ``df`` unchanged.
+    """
+    drops = semdedup_pairs(
+        df, centroids, threshold, id_col, vec_col, round_to
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

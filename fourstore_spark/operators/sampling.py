@@ -154,3 +154,56 @@ def top_fraction_by_score(
     scored = df.where(s.isNotNull())
     nulls = df.where(s.isNull()).orderBy(F.col(id_col)).limit(k - acc)
     return scored.unionByName(nulls)
+
+
+def mix_corpus(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted corpus mixing with repetition: realize a
+    training mix where each group (source/domain) appears with weight w —
+    rows repeat floor(w) times, plus one more for the hash-chosen
+    fraction frac(w) of the group (so the EXPECTED multiplicity is
+    exactly w and the realized mix is identical on every run/engine).
+    w < 1 down-samples (sample_by_hash semantics), w > 1 up-samples by
+    epoch repetition — the standard way high-quality sources are
+    up-weighted in pre-training mixes.
+
+    Adds an ``epoch`` column (0-based copy ordinal) so downstream
+    shuffling/packing can salt on (key, epoch).
+
+    100 TB shape: one CASE over the group column, the md5 bucket filter,
+    and an explode of a tiny int sequence — zero shuffle, runs inside
+    the scan projection; output size is sum(w_g * |g|) by construction.
+    """
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}: {w}")
+    if default < 0:
+        raise ValueError(f"negative default weight: {default}")
+
+    def parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, round((w - base) * _MOD)
+
+    db, df_frac = parts(default)
+    base = F.lit(db)
+    frac_thr = F.lit(df_frac)
+    for g, w in weights.items():
+        b, fr = parts(w)
+        cond = F.col(group_col) == g
+        base = F.when(cond, b).otherwise(base)
+        frac_thr = F.when(cond, fr).otherwise(frac_thr)
+    copies = base + (hash_bucket(F.col(key_col)) < frac_thr).cast("int")
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("__copies")
+    )

@@ -348,19 +348,24 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
     centroids are small and inlined as literals; assignment is a pure
     column expression (argmin over centroid dots) — the partition column
-    for a write-time layout."""
+    for a write-time layout.  ``round_to`` rounds the cosine before the
+    argmax so an oracle computing the same rounded scores picks the same
+    cell (ties break toward the HIGHER cell index on both sides)."""
     v = _to_double(F.col(vec_col))
+
+    def score(cen: list[float]) -> Column:
+        s = cosine(v, F.array(*[F.lit(x) for x in cen]))
+        return F.round(s, round_to) if round_to is not None else s
+
     cells = F.array(
         *[
-            F.struct(
-                cosine(v, F.array(*[F.lit(x) for x in cen])).alias("s"),
-                F.lit(i).alias("i"),
-            )
+            F.struct(score(cen).alias("s"), F.lit(i).alias("i"))
             for i, cen in enumerate(centroids)
         ]
     )
@@ -370,3 +375,51 @@ def ivf_assign(
         F.col(vec_col),
         best["i"].alias("ivf_cell"),
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Fully-distributed spherical k-means (Lloyd's): unlike
+    ``train_centroids`` (bounded driver sample), every iteration assigns
+    the WHOLE corpus and averages per cell cluster-side, so the fit sees
+    all 100 TB.
+
+    Per iteration: one scan + one groupBy(cell) carrying ``dim`` partial
+    means (map-side combined) — the corpus never collects; only the
+    (k × dim) centroid table returns to the driver to become the next
+    round's literals.  Seeding is deterministic (the k smallest ids),
+    empty cells keep their previous centroid, and each mean is
+    L2-normalized (cosine geometry, matching train_centroids).
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cents = np.array([list(r[1]) for r in seed_rows], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    k = len(cents)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, [[float(x) for x in c] for c in cents], id_col, vec_col
+        )
+        v = _to_double(F.col(vec_col))
+        means = (
+            assigned.groupBy("ivf_cell")
+            .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        for row in means:
+            m = np.array([row[f"m{i}"] for i in range(dim)], dtype="float64")
+            n = np.linalg.norm(m)
+            if n > 1e-12:
+                cents[row["ivf_cell"]] = m / n
+    return [[float(x) for x in c] for c in cents]

@@ -1,0 +1,155 @@
+"""Temporal / ordered-event operators: as-of join and batch
+sessionization.
+
+The reference has no time-series operators at all (SURVEY §1.4, §2.5 —
+closest is ORDER BY pagination); these are beyond-parity additions for
+event-log and feature-engineering pipelines over the ``events`` table.
+
+Both are built on window functions over ONE shuffle keyed by the entity
+column — the Spark-native shape for ordered per-key passes:
+
+- ``asof_join`` does NOT use a range self-join (O(n·m) pair blow-up and
+  a BroadcastNestedLoop at worst): both sides union into one frame,
+  sort within the key partition by (ts, side), and a running
+  ``last(right_payload, ignorenulls=True)`` carries the most recent
+  right row forward onto each left row.  Wall-clock is one exchange +
+  one in-partition sort regardless of how many right rows precede each
+  left row.  This is the classic merge-join formulation of ASOF used by
+  kdb+/QuestDB/DuckDB, expressed declaratively so Catalyst/AQE pick the
+  partitioning.
+- ``sessionize`` is the batch twin of streaming.py's
+  ``stream_sessionize`` (applyInPandasWithState): a lag() gap test and
+  a running sum assign session ordinals in one window pass, then
+  ``session_stats`` aggregates per session.
+
+100 TB notes: the single shuffle is keyed by the entity (user) column —
+the natural partitioning for event data, reusable across both
+operators; no driver materialization; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_s(c: Column) -> Column:
+    """Seconds since epoch; tolerates TIMESTAMP_NTZ inputs (Spark 4 reads
+    plain-micros parquet as NTZ, which can't cast straight to long)."""
+    return c.cast("timestamp").cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the single most recent right row with
+    ``right_ts <= left_ts`` and equal ``on`` keys (backward / inclusive
+    as-of match; left rows with no prior right row keep NULLs).
+
+    Matches DuckDB ``ASOF LEFT JOIN`` semantics.  If several right rows
+    share an exact (key, right_ts), the greatest payload struct wins —
+    deterministic on any partitioning.
+
+    Output: every left column, plus each non-key right column renamed
+    ``<col><suffix>``.
+    """
+    if isinstance(on, str):
+        on = [on]
+    r_payload = [c for c in right.columns if c not in on]
+    if right_ts not in r_payload:
+        raise ValueError(f"right_ts {right_ts!r} must be a right column")
+
+    r1 = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    r_t = r1.schema["__r"].dataType
+
+    l1 = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    l_t = l1.schema["__l"].dataType
+
+    u = l1.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r_t)
+    ).unionByName(
+        r1.withColumn("__side", F.lit(0)).withColumn(
+            "__l", F.lit(None).cast(l_t)
+        )
+    )
+    # ties at equal ts: right (side 0) sorts first -> inclusive match;
+    # several right rows at one (key, ts) sort by payload struct so the
+    # running last() picks the greatest — dedup happens INSIDE the
+    # window sort instead of costing a separate groupBy exchange
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    ).where(F.col("__side") == 1)
+    out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
+    out_cols += [F.col("__m")[c].alias(c + suffix) for c in r_payload]
+    return matched.select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign a per-key session ordinal: a new session starts whenever
+    the gap to the previous event of the same key exceeds
+    ``gap_seconds`` (same rule as streaming.py stream_sessionize).
+    Adds a ``session_no`` column (0-based, in ts order per key);
+    ``id_col`` breaks exact-ts ties deterministically.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = _epoch_s(F.col(ts_col)) - F.lag(_epoch_s(F.col(ts_col))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return events.withColumn(
+        "session_no",
+        (
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: event count, start/end, duration, exact-
+    decimal value total.  One window pass (sessionize) + one groupBy on
+    the same key — AQE coalesces the second exchange into the first's
+    partitioning."""
+    s = sessionize(events, key_col, ts_col, id_col, gap_seconds)
+    return s.groupBy(key_col, "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        (F.max(_epoch_s(F.col(ts_col))) - F.min(_epoch_s(F.col(ts_col))))
+        .cast("long")
+        .alias("duration_s"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("total_value"),
+    )
