@@ -3082,8 +3082,90 @@ def _op_semdedup(spark, sf_dir):
     return semdedup(emb, cents, threshold=0.4).select("vec_id")
 
 
+def _op_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate-span detection (operators/dedup.py
+    window_hash_spans — Lee et al. 2022 dedup at fixed 12-token
+    granularity): rolling md5 window hashes in the scan projection,
+    corpus-wide count, gaps-and-islands span merge."""
+    from fourstore_spark.operators.dedup import window_hash_spans
+
+    return window_hash_spans(
+        _docs(spark, sf_dir), window=12, min_count=2
+    )
+
+
+def _op_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.py
+    quantize_embeddings): codes serialized to CSV strings and the scale
+    quantized to DECIMAL(38,9) for engine-portable comparison; the
+    operator itself returns real tinyint arrays."""
+    from fourstore_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("qvec", lambda x: x.cast("string"))
+        ).alias("q"),
+        F.col("scale").cast("decimal(38,9)").alias("scale"),
+    )
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # rolling-hash duplicate spans: full gaps-and-islands replay
+    r["duplicate_spans"] = (
+        _op_duplicate_spans,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), wh AS (
+  SELECT doc_id, u.g - 1 AS pos,
+         md5(array_to_string(t[u.g:u.g+11], ' ')) AS h
+  FROM toks, LATERAL unnest(range(1, len(t) - 12 + 2)) AS u(g)
+  WHERE len(t) >= 12
+), dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS i
+  FROM lagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 12 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, i
+""",
+    )
+    # int8 quantization: identical floor(x/s + 0.5) arithmetic
+    r["quantize_embeddings"] = (
+        _op_quantize_embeddings,
+        """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ s AS (SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 0.0 END AS sc
+       FROM t)
+SELECT vec_id,
+       array_to_string(list_transform(v, x -> CASE WHEN sc > 0
+         THEN CAST(CAST(floor(x / sc + 0.5) AS BIGINT) AS VARCHAR)
+         ELSE '0' END), ',') AS q,
+       CAST(sc AS DECIMAL(38,9)) AS scale
+FROM s
+""",
+    )
     # as-of: oracle is DuckDB's native ASOF LEFT JOIN
     r["asof_join_events"] = (
         _op_asof_join,

@@ -606,3 +606,76 @@ def semdedup(
         df, centroids, threshold, id_col, vec_col, round_to
     ).select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def window_hash_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span detection (the operator behind
+    suffix-array dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 §4 — approximated
+    at fixed granularity): any ``window``-token span whose md5 occurs
+    >= ``min_count`` times corpus-wide (across OR within documents) is
+    a duplicated region; overlapping/adjacent hits merge into maximal
+    spans per document.
+
+    Scale shape: the rolling hashes are computed inside the scan
+    projection (transform over a sequence — the TEXT never shuffles;
+    the exploded stream is (id, pos, 32-char hash)); duplicated hashes
+    come from one count groupBy with map-side combine; span merging is
+    the classic gaps-and-islands window over (id, pos) — one shuffle
+    keyed by document. md5 keeps the hash engine-portable for the
+    oracle (swap xxhash64 for throughput when portability is not
+    needed).
+
+    Output: (id, span_start, span_end, n_windows) — token offsets,
+    end-exclusive; span_end - span_start >= window.
+    """
+    from pyspark.sql import Window as W
+
+    from .textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    wh = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= window)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - window),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i + 1, window))
+                    ),
+                )
+            ).alias("pos", "__wh"),
+        )
+    )
+    dup = (
+        wh.groupBy("__wh")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__wh")
+    )
+    hits = wh.join(dup, "__wh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    # fixed-width spans sorted by start: merge while pos <= prev + window
+    island = F.sum(
+        F.when(
+            F.col("pos") > F.lag("pos").over(w) + window, 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("__isl")
+    )

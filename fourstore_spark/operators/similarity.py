@@ -423,3 +423,47 @@ def kmeans_fit(
             if n > 1e-12:
                 cents[row["ivf_cell"]] = m / n
     return [[float(x) for x in c] for c in cents]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i / s) with
+    s = max|v| / 127 — 4x smaller ANN storage (the standard first step
+    before IVF/PQ indexing at 100 TB; recall loss at int8 is negligible
+    for cosine).  Rounding is floor(x + 0.5) (ties toward +inf) so the
+    same arithmetic is expressible in any engine; all-zero vectors get
+    scale 0 and an all-zero code.
+
+    Pure column expressions (transform/array_max) — zero shuffle, runs
+    in the scan projection.  Output: (id, qvec tinyint[], scale).
+    Reconstruction: v ~ q * scale (|error| <= scale/2 per element,
+    verified by the round-trip test).
+    """
+    v = _to_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    s = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(amax > 0, F.transform(
+        v, lambda x: F.floor(x / s + F.lit(0.5)).cast("tinyint")
+    )).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(
+        F.col(id_col), q.alias("qvec"), s.alias("scale")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: v ~ q * scale (float32 array)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col),
+            lambda x: (x.cast("double") * F.col(scale_col)).cast("float"),
+        ).alias("embedding"),
+    )

@@ -225,3 +225,84 @@ class TestKmeansSemdedup:
         hi = {r["vec_id"] for r in semdedup(emb, cents, threshold=0.9).collect()}
         lo = {r["vec_id"] for r in semdedup(emb, cents, threshold=0.3).collect()}
         assert lo <= hi  # lower threshold drops at least as much
+
+
+class TestSpansQuantize:
+    def test_duplicate_spans_merge(self, spark):
+        from fourstore_spark.operators.dedup import window_hash_spans
+
+        # doc 1 and 2 share tokens 0..5; doc 3 repeats its own prefix
+        mk = lambda *w: " ".join(w)
+        shared = [f"s{i}" for i in range(6)]
+        df = spark.createDataFrame(
+            [
+                (1, mk(*shared, "a1", "a2", "a3")),
+                (2, mk("b0", *shared, "b1", "b2")),
+                (3, mk("c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+            for r in window_hash_spans(df, window=3, min_count=2).collect()
+        }
+        # doc1: windows at 0..3 are shared 3-grams (s0..s5 -> 4 windows)
+        assert out[1] == (0, 6, 4)
+        # doc2: same grams shifted one right
+        assert out[2] == (1, 7, 4)
+        assert 3 not in out  # unique text: no spans
+
+    def test_duplicate_spans_within_doc(self, spark):
+        from fourstore_spark.operators.dedup import window_hash_spans
+
+        df = spark.createDataFrame(
+            [(1, "x y z q r x y z")], ["doc_id", "text"]
+        )
+        rows = window_hash_spans(df, window=3, min_count=2).collect()
+        # "x y z" occurs twice WITHIN the doc -> two merged spans
+        got = sorted((r["span_start"], r["span_end"]) for r in rows)
+        assert got == [(0, 3), (5, 8)]
+
+    def test_quantize_roundtrip_bound(self, spark, sf_dir):
+        from fourstore_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+        q = quantize_embeddings(emb)
+        rows = q.collect()
+        assert all(
+            -127 <= x <= 127 for r in rows for x in r["qvec"]
+        )
+        rt = dequantize_embeddings(q).alias("r").join(emb.alias("o"), "vec_id")
+        err = rt.select(
+            F.expr(
+                "max(aggregate(zip_with(r.embedding, o.embedding,"
+                " (a,b) -> abs(cast(a as double) - cast(b as double))),"
+                " cast(0.0 as double), (acc,x) -> greatest(acc,x)))"
+            ).alias("e")
+        ).collect()[0]["e"]
+        max_scale = max(r["scale"] for r in rows)
+        assert err <= max_scale / 2 + 1e-12
+
+    def test_quantize_zero_vector(self, spark):
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from fourstore_spark.operators.similarity import quantize_embeddings
+
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], schema)
+        r = quantize_embeddings(df).collect()[0]
+        assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
