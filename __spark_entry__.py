@@ -3111,8 +3111,34 @@ def _op_quantize_embeddings(spark, sf_dir):
     )
 
 
+def _op_shard_corpus(spark, sf_dir):
+    """Deterministic output sharding (operators/packing.py shard_corpus):
+    engine-portable md5 shard assignment + dense within-shard position
+    — the reproducible write layout for training shards."""
+    from fourstore_spark.operators.packing import shard_corpus
+
+    return shard_corpus(_docs(spark, sf_dir).select("doc_id", "source"),
+                        "doc_id", 7)
+
+
 def _round6_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # shard layout: identical md5 bucket + row_number replay
+    r["shard_corpus"] = (
+        _op_shard_corpus,
+        """
+WITH b AS (
+  SELECT doc_id, source,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 1000000 AS BIGINT) % 7 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+            AS BIGINT) AS shard_pos
+FROM b
+""",
+    )
     # rolling-hash duplicate spans: full gaps-and-islands replay
     r["duplicate_spans"] = (
         _op_duplicate_spans,

@@ -145,3 +145,38 @@ def packing_stats(packed: DataFrame, tokens_col: str, budget: int) -> DataFrame:
             ((F.col("tok") > budget) & (F.col("n") > 1)).cast("int")
         ).alias("over_budget_multi"),
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Deterministic output sharding — the write-side layout of a
+    training-data pipeline (webdataset/TFRecord-style fixed shard
+    files): every row gets a ``shard`` in [0, n_shards) from the same
+    engine-portable md5 bucket as sampling.py (identical assignment on
+    every run/engine/partitioning) and a dense 0-based ``shard_pos``
+    ordered by ``order_col`` (default: the key) within its shard, so a
+    reader can address any (shard, pos) pair reproducibly.
+
+    Write with ``.repartition(n_shards, "shard").write.partitionBy
+    ("shard")`` — one exchange keyed by shard; the row_number window
+    reuses that same partitioning (AQE folds the two exchanges).
+    At 100 TB pick n_shards so a shard is a few GB: assignments stay
+    stable under re-runs because they depend only on the key.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    from pyspark.sql import Window as W
+
+    from .sampling import hash_bucket
+
+    order = order_col or key_col
+    w = W.partitionBy("shard").orderBy(F.col(order).asc())
+    return df.withColumn(
+        "shard", (hash_bucket(F.col(key_col)) % n_shards).cast("int")
+    ).withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long")
+    )

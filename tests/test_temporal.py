@@ -306,3 +306,31 @@ class TestSpansQuantize:
         df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], schema)
         r = quantize_embeddings(df).collect()[0]
         assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
+
+
+class TestShardCorpus:
+    def test_assignment_stable_and_dense(self, spark, sf_dir):
+        from fourstore_spark.operators.packing import shard_corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        a = shard_corpus(docs, "doc_id", 5).collect()
+        b = shard_corpus(docs.repartition(13), "doc_id", 5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_shard = {}
+        for r in a:
+            assert 0 <= r["shard"] < 5
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["doc_id"])
+            assert [r["shard_pos"] for r in rows] == list(range(len(rows)))
+
+    def test_bad_shards_rejected(self, spark):
+        from pyspark.sql import Row
+
+        from fourstore_spark.operators.packing import shard_corpus
+
+        df = spark.createDataFrame([Row(doc_id=1)])
+        with pytest.raises(ValueError):
+            shard_corpus(df, "doc_id", 0)
