@@ -48,7 +48,18 @@ from pyspark.sql import SparkSession
 from fourstore_spark.sparql.engine import SparqlEngine
 from fourstore_spark.sparql.update import UpdateEngine
 
+# Version tail line on write-op responses (http_code, httpd.c:291-302:
+# every status body ends "This is a 4store SPARQL server <rev>"; the
+# reference test harness seds the version token to [VERSION])
+SERVER_LINE = "This is a 4store SPARQL server v1.1.6-spark\n"
+
+
+def _code_body(code_text: str) -> str:
+    return f"{code_text}\n{SERVER_LINE}"
+
+
 _CONTENT_TYPES = {
+    "text": "text/plain",
     "json": "application/sparql-results+json",
     "xml": "application/sparql-results+xml",
     "csv": "text/csv",
@@ -61,6 +72,7 @@ _CONTENT_TYPES = {
 # Accept-header media type -> result format (SPARQL protocol content
 # negotiation; the explicit ``output`` parameter wins when present)
 _ACCEPT_FORMATS = {
+    "text/plain": "text",
     "application/sparql-results+json": "json",
     "application/json": "json",
     "application/sparql-results+xml": "xml",
@@ -135,6 +147,8 @@ class SparqlHttpServer:
             def log_message(self, *args):  # quiet
                 pass
 
+            _head_only = False
+
             def _send(self, code: int, body: str, ctype: str = "text/plain"):
                 data = body.encode("utf-8")
                 self.send_response(code)
@@ -145,14 +159,16 @@ class SparqlHttpServer:
                 if outer.cors and self.headers.get("Origin"):
                     self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
-                self.wfile.write(data)
+                if not self._head_only:
+                    self.wfile.write(data)
 
             def do_OPTIONS(self):
                 # CORS preflight (http_options_request, httpd.c:1483-1501)
                 self.send_response(200)
                 self.send_header("Access-Control-Allow-Origin", "*")
+                # httpd.c:1487 exact header value
                 self.send_header(
-                    "Access-Control-Allow-Methods", "GET, POST, OPTIONS"
+                    "Access-Control-Allow-Methods", "GET, OPTIONS"
                 )
                 self.send_header("Access-Control-Max-Age", "3628800")
                 want = self.headers.get("Access-Control-Request-Headers")
@@ -430,7 +446,9 @@ class SparqlHttpServer:
                             outer.ue.update(text)
                     except Exception as exc:  # noqa: BLE001
                         return self._send(400, f"update error: {exc}")
-                    return self._send(200, "update successful\n")
+                    # success body is the (empty) fs_update message + LF
+                    # (http_import_start, httpd.c:515-525)
+                    return self._send(200, "\n")
                 if path == "/data":
                     if self._write_denied(params):
                         return
@@ -492,32 +510,70 @@ class SparqlHttpServer:
                             outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
                         outer.ue.quads = quads_add(outer.ue.quads, quads)
                 except Exception as exc:  # noqa: BLE001
-                    return self._send(400, f"import error: {exc}")
-                self._send(201 if replace else 200, "import successful\n")
+                    # http_error("400 RDF parser reported errors") shape,
+                    # with the parser detail appended for debuggability
+                    return self._send(
+                        400,
+                        _code_body(f"400 RDF parser reported errors: {exc}"),
+                    )
+                # "201 imported successfully" (PUT, httpd.c:682) /
+                # "200 added successfully" (POST /data/, httpd.c:635)
+                self._send(
+                    201 if replace else 200,
+                    _code_body(
+                        "201 imported successfully"
+                        if replace
+                        else "200 added successfully"
+                    ),
+                )
+
+            def _data_graph(self, params: dict) -> str | None:
+                """Graph URI for /data/ writes: the SPARQL 1.1 style
+                (?graph= param, httpd.c:690) or the pre-1.1 4store way
+                (/data/<graph-uri> path, httpd.c:728)."""
+                url = urllib.parse.urlparse(self.path)
+                if url.path.rstrip("/") in ("", "/data"):
+                    return params.get("graph")
+                if url.path.startswith("/data/"):
+                    return urllib.parse.unquote(url.path[len("/data/"):])
+                return None
 
             def do_PUT(self):
-                graph = self.path[len("/data/"):]
-                if not self.path.startswith("/data/") or not graph:
-                    return self._send(404, "PUT expects /data/<graph-uri>")
-                graph = urllib.parse.unquote(graph)
                 params = self._params()
+                graph = self._data_graph(params)
+                if not graph:
+                    return self._send(
+                        404, "PUT expects /data/<graph-uri> or ?graph="
+                    )
                 if self._write_denied(params):
                     return
                 self._load(graph, params.get("__body", ""), replace=True)
 
             def do_DELETE(self):
-                graph = self.path[len("/data/"):]
-                if not self.path.startswith("/data/") or not graph:
-                    return self._send(404, "DELETE expects /data/<graph-uri>")
-                graph = urllib.parse.unquote(graph)
-                if self._write_denied(self._params()):
+                params = self._params()
+                graph = self._data_graph(params)
+                if not graph:
+                    return self._send(
+                        404, "DELETE expects /data/<graph-uri> or ?graph="
+                    )
+                if self._write_denied(params):
                     return
                 try:
                     with outer._write_lock:
                         outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
                 except Exception as exc:  # noqa: BLE001
                     return self._send(400, str(exc))
-                self._send(200, "deleted\n")
+                # "200 deleted successfully" (httpd.c:825)
+                self._send(200, _code_body("200 deleted successfully"))
+
+            def do_HEAD(self):
+                # the reference answers HEAD with the GET headers and no
+                # body (httpd.c:1519-1530); CORS tests probe this
+                self._head_only = True
+                try:
+                    self.do_GET()
+                finally:
+                    self._head_only = False
 
         self._handler_cls = Handler
 

@@ -102,7 +102,7 @@ class SparqlResult:
                 # the reference's -f testcase emits Turtle for graph
                 # results (output_testcase, results.c:2413-2421)
                 return R.graph_turtle(self.df)
-            if fmt not in ("ntriples", "nt"):
+            if fmt not in ("ntriples", "nt", "text", "ascii"):
                 raise ValueError(
                     "graph results serialize to ntriples/turtle/rdfxml, "
                     f"not {fmt}"
@@ -115,6 +115,9 @@ class SparqlResult:
             return R.select_xml(self.df, ask=ask)
         if fmt == "testcase":
             return R.select_testcase(self.df, ask=ask)
+        if fmt in ("text", "ascii"):
+            # output_text (results.c:2014): the reference's default
+            return R.select_text(self.df, ask=ask)
         if self.form == "ASK":
             raise ValueError(f"ASK results serialize to json/xml, not {fmt}")
         if fmt == "csv":

@@ -166,6 +166,56 @@ def select_tsv(df, variables=None) -> str:
     return "\n".join(lines) + "\n"
 
 
+def select_text(df, variables=None, ask: bool | None = None) -> str:
+    """The reference's default 'ascii'/'text' output (output_text,
+    results.c:2014-2135): tab-separated cells, URIs in <>, bare lexical
+    forms for the numeric shortform types (integer bare; decimal with a
+    forced '.'; double with a forced exponent), language tags uppercased
+    (the reference's resource storage does), quoted strings otherwise.
+    Served by the httpd for Accept: text/plain and -f text/ascii."""
+    from fourstore_spark.model import XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER
+
+    if ask is not None:
+        return "true\n" if ask else "false\n"
+
+    def esc(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    def cell(t) -> str:
+        if t is None or t["kind"] is None:
+            return ""
+        k = t["kind"]
+        lex = t["lex"] or ""
+        if k == KIND_URI:
+            return f"<{lex}>"
+        if k == KIND_BNODE:
+            return lex if lex.startswith("_:") else "_:" + lex
+        if t["lang"]:
+            return f'"{esc(lex)}"@{t["lang"].upper()}'
+        dt = t["dt"]
+        if dt == XSD_INTEGER:
+            return lex
+        if dt == XSD_DECIMAL:
+            return lex if "." in lex else lex + ".0"
+        if dt == XSD_DOUBLE:
+            return lex if ("e" in lex or lex in ("inf", "-inf")) else lex + "e0"
+        if dt:
+            return f'"{esc(lex)}"^^<{dt}>'
+        return f'"{esc(lex)}"'
+
+    variables = variables or df.columns
+    lines = ["\t".join("?" + v for v in variables)]
+    for row in df.toLocalIterator():
+        lines.append("\t".join(cell(row[v]) for v in variables))
+    return "\n".join(lines) + "\n"
+
+
 # ------------------------------------------------------------- testcase
 def select_testcase(df, variables=None, ask: bool | None = None) -> str:
     """The reference's ``-f testcase`` format (output_testcase,

@@ -34,13 +34,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
-from fourstore_spark.model import (
-    KIND_BNODE,
-    KIND_URI,
-    XSD_DECIMAL,
-    XSD_DOUBLE,
-    XSD_INTEGER,
-)
+from fourstore_spark.model import KIND_BNODE, KIND_URI
 
 REF_QUERY_DIR = "/root/reference/tests/query"
 REF_DATA_DIR = "/root/reference/data"
@@ -217,53 +211,16 @@ def parse_script(path: str) -> Script:
 
 
 # ----------------------------------------------------- output rendering
-def _tsv_escape(lex: str) -> str:
-    return (
-        lex.replace("\\", "\\\\")
-        .replace('"', '\\"')
-        .replace("\n", "\\n")
-        .replace("\r", "\\r")
-        .replace("\t", "\\t")
-    )
-
-
-def _ascii_cell(t) -> str:
-    """One cell of output_text (results.c:2074-2123): URIs in <>, bare
-    lexes for the numeric shortform types, quoted strings otherwise."""
-    if t is None or t["kind"] is None:
-        return ""
-    k = t["kind"]
-    lex = t["lex"] or ""
-    if k == KIND_URI:
-        return f"<{lex}>"
-    if k == KIND_BNODE:
-        return lex if lex.startswith("_:") else "_:" + lex
-    if t["lang"]:
-        # the reference's resource storage uppercases language tags
-        # (exemplar/add-and-delete: "chat"@EN-GB for nasty.ttl's @en-GB)
-        return f'"{_tsv_escape(lex)}"@{t["lang"].upper()}'
-    dt = t["dt"]
-    if dt == XSD_INTEGER:
-        return lex
-    if dt == XSD_DECIMAL:
-        return lex if "." in lex else lex + ".0"
-    if dt == XSD_DOUBLE:
-        return lex if ("e" in lex or lex in ("inf", "-inf")) else lex + "e0"
-    if dt:
-        return f'"{_tsv_escape(lex)}"^^<{dt}>'
-    return f'"{_tsv_escape(lex)}"'
-
-
 def _ascii_output(res) -> str:
+    """4s-query's default output (output_text) — rendering now lives in
+    results_io.select_text; graph forms emit N-Triples."""
+    from fourstore_spark.sparql import results_io as R
+
     if res.form == "ASK":
-        return "true\n" if res.ask() else "false\n"
+        return R.select_text(res.df, ask=res.ask())
     if res.form in ("CONSTRUCT", "DESCRIBE"):
         return res.serialize("ntriples")
-    cols = res.df.columns
-    lines = ["\t".join("?" + c for c in cols)]
-    for row in res.df.toLocalIterator():
-        lines.append("\t".join(_ascii_cell(row[c]) for c in cols))
-    return "\n".join(lines) + "\n"
+    return R.select_text(res.df)
 
 
 def _xml_output(res) -> str:

@@ -1,0 +1,323 @@
+"""Replay of the reference's OWN end-to-end HTTP protocol tests.
+
+The reference's second golden harness (tests/httpd/run.pl) runs every
+script in tests/httpd/scripts/* against a live 4s-httpd and byte-diffs
+stdout against exemplar/<name>.  The scripts speak through sparql.sh's
+helpers; this module replays them against THIS engine's live
+SparqlHttpServer over real HTTP:
+
+- ``sparql EPR 'Q' [extra]`` — GET /sparql/?query=...  with
+  ``Accept: text/plain`` (the reference's output_text ascii tables,
+  served here by results_io.select_text), echoing ``Query: <raw>``;
+- ``update EPR 'U'``       — POST /update/ (echoes ``Update: <raw>``);
+- ``put/put-old``          — PUT /data/?graph= / /data/<graph> of a data
+  file with an explicit Content-Type;
+- ``post``                 — POST /data/ form (data/mime-type/graph);
+- ``delete/delete-old``    — DELETE /data/?graph= / /data/<graph>;
+- raw ``curl`` invocations (the CORS scripts) — replayed as real
+  GET/HEAD/OPTIONS requests, grepping response HEADERS like the script.
+
+Escaping fidelity: sparql.sh's uriescape percent-encodes by sed and
+backslash-escapes curl glob characters; the NET bytes the server decodes
+are the query text with newlines flattened to spaces and every ``&``
+turned into ``8`` (the sed writes %38, which IS the digit 8 — a faithful
+bug-for-bug quirk of the reference harness; no checked-in script trips
+it).  ``_net_query`` reproduces exactly that.
+
+Version tokens in response bodies are normalized by the same sed the
+scripts apply (`` v<digits>...`` -> `` [VERSION]``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+
+REF_HTTPD_DIR = "/root/reference/tests/httpd"
+REF_DATA_DIR = "/root/reference/data"
+
+_VER_QUERY = re.compile(r" v[0-9]\.[.0-9a-z-]*")  # sparql() sed
+_VER_ANY = re.compile(r" v[.0-9a-z-]*")  # put/post/delete sed
+
+
+def _net_query(q: str) -> str:
+    """The bytes the server decodes from a uriescape'd query."""
+    return q.replace("\n", " ").replace("\r", " ").replace("&", "8")
+
+
+@dataclass
+class Step:
+    kind: str  # sparql | update | put | post | delete | curl | echo
+    text: str = ""
+    extra: str = ""  # raw extra cgi for sparql ('&soft-limit=-1')
+    path: str = ""  # data file for put
+    mime: str = ""
+    graph: str = ""
+    old_style: bool = False  # /data/<graph> vs /data/?graph=
+    method: str = ""  # for curl steps
+    headers: dict = field(default_factory=dict)
+    grep: str = ""  # egrep -i pattern over response headers
+
+
+@dataclass
+class Script:
+    name: str
+    steps: list[Step] = field(default_factory=list)
+    unsupported: str | None = None
+
+
+_SQ = re.compile(r"'([^']*)'", re.S)
+
+
+def _args(cmd: str) -> list[str]:
+    """Split a helper invocation into arguments (single-quoted spans or
+    bare words), dropping the function name and $EPR."""
+    out = []
+    for m in re.finditer(r"'([^']*)'|(\S+)", cmd):
+        out.append(m.group(1) if m.group(1) is not None else m.group(2))
+    return out
+
+
+def parse_script(path: str) -> Script:
+    sc = Script(name=os.path.basename(path))
+    with open(path) as fh:
+        body = fh.read()
+    # join backslash-continued lines (the curl invocations)
+    body = re.sub(r"\\\n\s*", " ", body)
+    tmpfile_empty = False
+    lines = body.split("\n")
+    i = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        i += 1
+        if (
+            not ln
+            or ln.startswith("#")
+            or ln.startswith("source ")
+            or ln.startswith("pkg-config")
+            or ln.startswith("uriescape ")
+        ):
+            continue
+        if ln.startswith("TEMPFILE=") or ln == "touch $TEMPFILE" or ln.startswith("rm "):
+            tmpfile_empty = ln != "rm $TEMPFILE" or tmpfile_empty
+            continue
+        # multi-line single-quoted argument: accumulate
+        while ln.count("'") % 2 == 1 and i < len(lines):
+            ln += "\n" + lines[i]
+            i += 1
+        first = ln.split()[0] if ln.split() else ""
+        if first == "sparql":
+            a = _args(ln)  # [sparql, $EPR, query, extra?]
+            st = Step(kind="sparql", text=a[2])
+            if len(a) > 3:
+                st.extra = a[3]
+            pipe_sort = ln.rstrip().endswith("| sort")
+            st.headers["__sort"] = "1" if pipe_sort else ""
+            sc.steps.append(st)
+        elif first == "update":
+            a = _args(ln)
+            sc.steps.append(Step(kind="update", text=a[2]))
+        elif first in ("put", "put-old"):
+            a = _args(ln)  # [put, $EPR, file, mime, graph]
+            fpath = a[2].replace("$TESTPATH", REF_HTTPD_DIR)
+            fpath = fpath.replace("../../data", REF_DATA_DIR)
+            if fpath == "$TEMPFILE":
+                sc.steps.append(
+                    Step(kind="put", text="", mime=a[3], graph=a[4],
+                         old_style=first == "put-old")
+                )
+            elif fpath.startswith("$"):
+                sc.unsupported = f"dynamic data file: {a[2]!r}"
+                return sc
+            else:
+                sc.steps.append(
+                    Step(kind="put", path=fpath, mime=a[3], graph=a[4],
+                         old_style=first == "put-old")
+                )
+        elif first == "post":
+            a = _args(ln)  # [post, $EPR, data, mime, graph]
+            sc.steps.append(Step(kind="post", text=a[2], mime=a[3], graph=a[4]))
+        elif first in ("delete", "delete-old"):
+            a = _args(ln)
+            sc.steps.append(
+                Step(kind="delete", graph=a[2], old_style=first == "delete-old")
+            )
+        elif first == "curl":
+            st = Step(kind="curl", method="GET")
+            if " -I " in ln + " " or re.search(r"\s-I\b", ln):
+                st.method = "HEAD"
+            m = re.search(r"-X\s+'?(\w+)'?", ln)
+            if m:
+                st.method = m.group(1)
+            for hm in re.finditer(r'-H\s+"([^"]+)"', ln):
+                k, _, v = hm.group(1).partition(":")
+                st.headers[k.strip()] = v.strip()
+            um = re.search(r'"\$EPR([^"]*)"', ln)
+            if not um:
+                sc.unsupported = f"unparsed curl: {ln[:60]!r}"
+                return sc
+            st.path = um.group(1)
+            gm = re.search(r"egrep -i\s+\"([^\"]+)\"", ln)
+            if gm:
+                st.grep = gm.group(1)
+            sc.steps.append(st)
+        elif first == "echo":
+            q = _SQ.search(ln) or re.search(r'"([^"]*)"', ln)
+            sc.steps.append(Step(kind="echo", text=q.group(1) if q else ""))
+        elif first in ("if", "then", "else", "fi") or ln.startswith("OUTPUT="):
+            sc.unsupported = f"shell control flow: {ln[:50]!r}"
+            return sc
+        elif first in ("for", "file=`mktemp"):
+            sc.unsupported = f"shell loop/mktemp: {ln[:50]!r}"
+            return sc
+        else:
+            sc.unsupported = f"unsupported command: {ln[:60]!r}"
+            return sc
+    return sc
+
+
+# ------------------------------------------------------------ execution
+def _http(base: str, method: str, path: str, headers: dict,
+          body: bytes | None = None):
+    req = urllib.request.Request(
+        base + path, data=body, headers=headers, method=method
+    )
+    try:
+        resp = urllib.request.urlopen(req)
+        return resp.status, dict(resp.headers), resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:  # error bodies matter too
+        return e.code, dict(e.headers), e.read().decode("utf-8")
+
+
+def run_script(base: str, sc: Script) -> str:
+    out: list[str] = []
+    for st in sc.steps:
+        if st.kind == "echo":
+            out.append(st.text + "\n")
+        elif st.kind == "sparql":
+            q = _net_query(st.text)
+            qs = urllib.parse.urlencode({"query": q})
+            extra = st.extra
+            out.append(f"Query: {st.text}\n")
+            _, _, body = _http(
+                base, "GET", f"/sparql/?{qs}{extra}",
+                {"Accept": "text/plain"},
+            )
+            body = _VER_QUERY.sub(" [VERSION]", body)
+            if st.headers.get("__sort"):
+                lines = body.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                # the echo'd Query line sorts with the payload in the
+                # script's pipeline? No: only the curl output is piped.
+                body = "\n".join(sorted(lines)) + "\n"
+            out.append(body)
+        elif st.kind == "update":
+            out.append(f"Update: {st.text}\n")
+            form = urllib.parse.urlencode({"update": st.text.replace("&", "8")})
+            _, _, body = _http(
+                base, "POST", "/update/",
+                {"Content-Type": "application/x-www-form-urlencoded"},
+                form.encode(),
+            )
+            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+        elif st.kind == "put":
+            data = b""
+            if st.path:
+                with open(st.path, "rb") as fh:
+                    data = fh.read()
+            if st.old_style:
+                path = "/data/" + urllib.parse.quote(st.graph, safe="")
+            else:
+                path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
+            _, _, body = _http(
+                base, "PUT", path, {"Content-Type": st.mime or "text/plain"},
+                data,
+            )
+            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+        elif st.kind == "post":
+            form = urllib.parse.urlencode(
+                {"mime-type": st.mime, "graph": st.graph,
+                 "data": st.text.replace("&", "8")}
+            )
+            _, _, body = _http(
+                base, "POST", "/data/",
+                {"Accept": "text/plain",
+                 "Content-Type": "application/x-www-form-urlencoded"},
+                form.encode(),
+            )
+            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+        elif st.kind == "delete":
+            if st.old_style:
+                path = "/data/" + urllib.parse.quote(st.graph, safe="")
+            else:
+                path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
+            _, _, body = _http(base, "DELETE", path, {})
+            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+        elif st.kind == "curl":
+            path = st.path.replace("$escaped", "")
+            # the cors scripts interpolate $escaped from a prior
+            # uriescape — recover it from the script text via st.text
+            if st.text:
+                path = st.path.replace(
+                    "$escaped", urllib.parse.quote(_net_query(st.text))
+                )
+            code, headers, _ = _http(base, st.method, path, st.headers)
+            if st.grep:
+                pat = re.compile(st.grep, re.I)
+                for k, v in headers.items():
+                    line = f"{k}: {v}"
+                    if pat.search(line):
+                        out.append(line + "\n")
+    return "".join(out)
+
+
+_BN = re.compile(r"_:[A-Za-z0-9]+")
+
+
+def compare_output(got: str, want: str) -> tuple[bool, str]:
+    if got == want:
+        return True, ""
+    g = _BN.sub("_:b", got)
+    w = _BN.sub("_:b", want)
+    if sorted(g.splitlines()) == sorted(w.splitlines()):
+        return True, "line-multiset"
+    import difflib
+
+    diff = "\n".join(
+        difflib.unified_diff(
+            want.splitlines(), got.splitlines(),
+            "exemplar", "engine", lineterm="", n=1,
+        )
+    )
+    return False, diff[:2000]
+
+
+def replay(base: str, name: str) -> tuple[str, str]:
+    """-> (status, detail); status in pass|fail|skipped.  ``base`` is the
+    live server's http://host:port."""
+    sc = parse_script(os.path.join(REF_HTTPD_DIR, "scripts", name))
+    if sc.unsupported:
+        return ("skipped", sc.unsupported)
+    # cors scripts: attach the uriescape'd query from the script text
+    if any(st.kind == "curl" and "$escaped" in st.path for st in sc.steps):
+        with open(os.path.join(REF_HTTPD_DIR, "scripts", name)) as fh:
+            m = re.search(r'uriescape\s+"([^"]+)"', fh.read())
+        if m:
+            for st in sc.steps:
+                if st.kind == "curl":
+                    st.text = m.group(1)
+    exemplar = os.path.join(REF_HTTPD_DIR, "exemplar", name)
+    if not os.path.exists(exemplar):
+        return ("skipped", "no exemplar")
+    with open(exemplar, encoding="utf-8") as fh:
+        want = fh.read()
+    try:
+        got = run_script(base, sc)
+    except Exception as exc:  # noqa: BLE001
+        return ("fail", f"{type(exc).__name__}: {exc}")
+    ok, detail = compare_output(got, want)
+    return ("pass", detail) if ok else ("fail", detail)
