@@ -2053,15 +2053,17 @@ def _round3_entries() -> dict[str, tuple]:
         "AND n_name NOT LIKE '%3'",
     )
 
-    # F-arith + F-num + F-cast on one scan. Every non-integer numeric
-    # output is quantized through DECIMAL(38,6) on BOTH sides: the r5
-    # signed-zero canonicalization proved necessary but not sufficient —
-    # cross-build DuckDB double RENDERING (CEIL/FLOOR/ROUND return types,
-    # decimal-literal x double promotion) kept flipping the driver hash,
-    # so the contract leaves the driver's engine nothing free to render.
-    # The numeric VALUES are still verified to 6 places; the exact-decimal
-    # payload lives in its own entry (f_decimal_exact) so a render flake
-    # can never take F-cast, F-arith and F-num red together again.
+    # F-arith + F-num + F-cast on one scan. r7: every non-integer numeric
+    # output crosses the contract as a SCALED BIGINT (round(x * 1e6)) on
+    # BOTH sides. History: r5 canonicalized signed zero (not enough), r6
+    # quantized through DECIMAL(38,6) (still hash-red on the driver's
+    # DuckDB build — decimal objects themselves are a representation
+    # freedom). Integers have exactly one hashable form on every build;
+    # the numeric VALUES are still verified to 6 places, and every value
+    # here is a <=4-decimal price derivative, so x*1e6 sits >=0.49 from
+    # any rounding boundary. The exact-decimal payload lives in its own
+    # entry (f_decimal_exact) so a flake can never take F-cast, F-arith
+    # and F-num red together again.
     r["f_numeric_cast"] = (
         _sq(
             f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
@@ -2073,36 +2075,42 @@ def _round3_entries() -> dict[str, tuple]:
                 WHERE {{ ?p <{P}part#p_retailprice> ?price ;
                             <{P}part#p_size> ?size
                          BIND(?price - 1000 AS ?x) }}""",
-            # dec6: double -> DECIMAL(38,6). Also canonicalizes XPath's
-            # -0.0 from CEIL/FLOOR/ROUND (decimal has one zero).
-            ax="dec6",
-            cx="dec6",
-            fx="dec6",
-            rx="dec6",
+            # long6: double -> round(x*1e6) BIGINT. Also canonicalizes
+            # XPath's -0.0 from CEIL/FLOOR/ROUND (one integer zero).
+            ax="long6",
+            cx="long6",
+            fx="long6",
+            rx="long6",
             ip="int",
-            ds="dec6",
-            net="dec6",
+            ds="long6",
+            net="long6",
         ),
         "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS p, "
-        "CAST(ABS(p_retailprice - 1000) AS DECIMAL(38,6)) AS ax, "
-        "CAST(CEIL(p_retailprice - 1000) AS DECIMAL(38,6)) AS cx, "
-        "CAST(FLOOR(p_retailprice - 1000) AS DECIMAL(38,6)) AS fx, "
+        "CAST(ROUND(ABS(p_retailprice - 1000) * 1000000) AS BIGINT) AS ax, "
+        "CAST(ROUND(CEIL(p_retailprice - 1000) * 1000000) AS BIGINT) AS cx, "
+        "CAST(ROUND(FLOOR(p_retailprice - 1000) * 1000000) AS BIGINT) AS fx, "
         # XPath fn:round: ties toward +inf (engine matches)
-        "CAST(CASE WHEN p_retailprice < 1000 THEN "
+        "CAST(ROUND((CASE WHEN p_retailprice < 1000 THEN "
         "-abs(floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5)) "
-        "ELSE floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5) END "
-        "AS DECIMAL(38,6)) AS rx, "
+        "ELSE floor(CAST(p_retailprice - 1000 AS DOUBLE) + 0.5) END) "
+        "* 1000000) AS BIGINT) AS rx, "
         "CAST(TRUNC(p_retailprice) AS BIGINT) AS ip, "
         "CAST(p_size AS VARCHAR) AS ss, "
-        "CAST(CAST(p_size AS DOUBLE) AS DECIMAL(38,6)) AS ds, "
-        "CAST(p_retailprice * (1 - 0.05) AS DECIMAL(38,6)) AS net "
+        "CAST(ROUND(CAST(p_size AS DOUBLE) * 1000000) AS BIGINT) AS ds, "
+        "CAST(ROUND(p_retailprice * (1 - 0.05) * 1000000) AS BIGINT) AS net "
         "FROM part",
     )
 
     # 20-digit xsd:decimal exactness in its own head entry (reference
     # decimal.c fixed-point; DECIMAL(38,18) here): ?dsum/?dprod/?dcmp are
     # only correct via exact decimal math — a double path collapses the
-    # 21st significant digit. Split out of f_numeric_cast in r6.
+    # 21st significant digit. Split out of f_numeric_cast in r6. r7: the
+    # comparison surface is now VARCHAR — the ENGINE still does the real
+    # exact-decimal arithmetic (dsum/dprod casts its computed decimals to
+    # string), but the oracle emits the expected values as string
+    # LITERALS, so no Decimal object ever enters the hashed payload and
+    # the driver's DuckDB build has nothing left to represent differently
+    # (r6's DECIMAL(38,6) payload was bit-exact locally, hash-red there).
     r["f_decimal_exact"] = (
         _sq(
             f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
@@ -2113,17 +2121,14 @@ def _round3_entries() -> dict[str, tuple]:
                 WHERE {{ ?r <{P}region#r_name> ?nm
                          BIND("12345678901234567890.123456"^^xsd:decimal
                               AS ?a) }}""",
-            dsum="dec",
-            dprod="dec",
+            dsum="decstr",
+            dprod="decstr",
             dcmp="bool",
         ),
         "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS r, "
-        "CAST(CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
-        " + CAST('0.000001' AS DECIMAL(38,18)) AS DECIMAL(38,6)) AS dsum, "
-        "CAST(CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
-        " * 2 AS DECIMAL(38,6)) AS dprod, "
-        "CAST('12345678901234567890.123456' AS DECIMAL(38,18)) "
-        " > CAST('12345678901234567890.123455' AS DECIMAL(38,18)) AS dcmp "
+        "'12345678901234567890.123457' AS dsum, "
+        "'24691357802469135780.246912' AS dprod, "
+        "true AS dcmp "
         "FROM region",
     )
 

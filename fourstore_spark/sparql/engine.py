@@ -175,6 +175,27 @@ class SparqlResult:
                 # while still verifying the numeric VALUE to 6 places. The
                 # oracle side mirrors with CAST(... AS DECIMAL(38,6)).
                 cols.append(c["num"].cast("decimal(38,6)").alias(var))
+            elif t == "long6":
+                # scaled-BIGINT contract surface: round(x * 1e6) as a plain
+                # 64-bit integer. DECIMAL(38,6) (r6) still hashed
+                # differently across DuckDB builds (decimal object shape is
+                # an engine freedom); integers have one representation on
+                # every build ever made. Verifies the value to 6 places.
+                # Oracle mirrors with CAST(ROUND(x * 1000000) AS BIGINT).
+                cols.append(
+                    F.round(c["num"] * F.lit(1000000.0), 0)
+                    .cast("long")
+                    .alias(var)
+                )
+            elif t == "decstr":
+                # exact-decimal results compared as STRINGS at scale 6:
+                # the engine does the real exact-decimal math; only the
+                # comparison surface is a VARCHAR, which hashes identically
+                # on every build (the oracle emits the expected constants
+                # as string literals — no decimal arithmetic on its side).
+                cols.append(
+                    c["lex"].cast("decimal(38,6)").cast("string").alias(var)
+                )
             elif t == "ts":
                 cols.append(F.to_timestamp(c["lex"]).alias(var))
             elif t == "date":
