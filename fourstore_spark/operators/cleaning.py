@@ -127,18 +127,31 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ),
     ).otherwise(F.lit(0.0))
-    top_word = F.when(
-        nw > 0,
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(toks),
-                    lambda x: F.size(F.filter(toks, lambda y: y == x)),
-                )
-            ).cast("double")
-            / nw,
-            6,
+    # max occurrence count == max run length over the SORTED tokens: one
+    # O(n log n) sort + one O(n) aggregate pass. (The naive
+    # transform(distinct, x -> size(filter(toks, = x))) form is O(n^2)
+    # per document — a 100k-token web page costs ~10^10 comparisons in a
+    # single row inside corpus_clean's hot scan.)
+    def _run_step(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["best"], newrun).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    top_word = F.when(
+        nw > 0, F.round(top_count.cast("double") / nw, 6)
     ).otherwise(F.lit(0.0))
     return staged.select(
         "*",

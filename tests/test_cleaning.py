@@ -66,6 +66,24 @@ def test_repetition_stats_values(spark):
     assert abs(got[2].top_word_frac - 0.2) < 1e-9
 
 
+def test_repetition_stats_long_doc_linear(spark):
+    """A 50k-token document must be cheap: top_word_frac is one
+    array_sort + one aggregate pass (the r6 O(n^2) lambda took ~10^9
+    comparisons on a doc this size and would blow the bound)."""
+    import time
+
+    words = [f"w{i % 997}" for i in range(50_000)] + ["peak"] * 1_000
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    row = repetition_stats(docs).collect()[0]
+    elapsed = time.monotonic() - t0
+    # 997 buckets of ~50-51 plus the 1000-run of "peak" over 51k tokens
+    assert abs(row.top_word_frac - round(1000 / 51_000, 6)) < 1e-9
+    assert elapsed < 30, f"repetition_stats took {elapsed:.1f}s on 51k tokens"
+
+
 def test_repetition_filter_drops_spam(spark):
     docs = spark.createDataFrame(
         [
