@@ -69,17 +69,6 @@ def subtract_corpus(
     )
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Character k-shingles of a (lowercased) text column.
-
-    No array_distinct: min-hashing is invariant to duplicate shingles and
-    distinct is O(S^2) on long docs.
-    """
-    t = F.lower(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.length(t) - k, F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(t, i + 1, k))
-
-
 def _derived_hash(h1: Column, h2: Column, i: int) -> Column:
     """i-th hash from two base hashes: h1 XOR rotl64(h2, i).
 
@@ -94,38 +83,51 @@ def _derived_hash(h1: Column, h2: Column, i: int) -> Column:
     return h1.bitwiseXOR(rot)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature as array<bigint>: sig[i] = min_s derived_hash_i(s).
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: (__id, __h0..__h{n-1}).
 
-    Two base xxhash64 evaluations per shingle, the i-th hash function
-    derived by rotate-xor (see _derived_hash) — num_hashes/2 x less hash
-    work than independent seeded hashes. One transform pass materializes
-    the base-hash pairs, then a num_hashes-wide min accumulator. All
-    JVM-side codegen.
+    Signatures via explode + hash-aggregate, NOT array higher-order
+    functions: lambda bodies inside transform/aggregate are interpreted
+    per element, while explode + min(xxhash64(...)) stays in whole-stage
+    codegen end-to-end (measured 3x on the sf0.1 corpus). The shuffle
+    carries only partial min-hash rows (map-side combine), never
+    shingles. Double hashing: 2 xxhash64 per shingle, hash_i derived by
+    rotate-xor (_derived_hash) — num_hashes/2 x less hash work than
+    independent seeded hashes, same LSH geometry. The HOF formulation
+    lives in tests/test_fuzz_dedup.py as the differential reference.
     """
-    base = F.transform(
-        shingles, lambda s: F.struct(F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(1)).alias("h2"))
+    t = F.lower(F.col(text_col))
+    ex = (
+        df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+        .select(
+            "__id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.length("__t") - shingle_k, F.lit(0))
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "__id", F.expr(f"substring(__t, __i + 1, {shingle_k})").alias("__sh")
+        )
+        .select(
+            "__id",
+            F.xxhash64("__sh").alias("__h1"),
+            F.xxhash64("__sh", F.lit(1)).alias("__h2"),
+        )
     )
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, b: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda a, i: F.least(
-                a,
-                # rotl via shifts on the element index (codegen-side mod 64)
-                b["h1"].bitwiseXOR(
-                    F.shiftleft(b["h2"], i.cast("int"))
-                    .bitwiseOR(
-                        F.shiftrightunsigned(
-                            b["h2"], (F.lit(64) - i).cast("int")
-                        )
-                    )
-                ),
-            ),
-        ),
+    return ex.groupBy("__id").agg(
+        *[
+            F.min(_derived_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -194,41 +196,9 @@ def minhash_lsh_candidates(
     pass None to disable the cap.
     """
     rows = num_hashes // bands
-    # signatures via explode + hash-aggregate, NOT array higher-order
-    # functions: lambda bodies inside transform/aggregate are interpreted
-    # per element, while explode + min(xxhash64(...)) stays in whole-stage
-    # codegen end-to-end (measured 3x on the sf0.1 corpus).  The shuffle
-    # carries only partial min-hash rows (map-side combine), never shingles.
     df = _ensure_parallel(df)
-    t = F.lower(F.col(text_col))
-    ex = (
-        df.select(F.col(id_col).alias("__id"), t.alias("__t"))
-        .select(
-            "__id",
-            "__t",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(F.length("__t") - shingle_k, F.lit(0))
-                )
-            ).alias("__i"),
-        )
-        .select(
-            "__id", F.expr(f"substring(__t, __i + 1, {shingle_k})").alias("__sh")
-        )
-        # double hashing: 2 xxhash64 per shingle, hash_i derived by
-        # rotate-xor (_derived_hash) — num_hashes/2 x less hash work than
-        # independent seeded hashes, same LSH geometry
-        .select(
-            "__id",
-            F.xxhash64("__sh").alias("__h1"),
-            F.xxhash64("__sh", F.lit(1)).alias("__h2"),
-        )
-    )
-    sig = ex.groupBy("__id").agg(
-        *[
-            F.min(_derived_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
     band_buckets = F.array(
         *[
