@@ -1,0 +1,117 @@
+"""Property-based checks for dedup_lines and top_fraction_by_score.
+
+Both operators avoid global sorts by construction (line dedup is a
+frequency aggregate + back-join; top-fraction is a bounded histogram
+walk + filter + TakeOrdered tie group) — the models below answer the
+same questions the slow, obvious way.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+_SETTINGS = dict(
+    max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "10")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small alphabet -> dense cross-document collisions; "" exercises empty
+# lines (split("\n") keeps them) and all-removed documents
+_LINES = ["alpha", "beta", "gamma", "", "common footer", "x"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_LINES), min_size=0, max_size=5),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_dedup_lines(rows, max_docs, keep_first):
+    """Brute-force line dedup: which (doc, pos) survive?"""
+    doc_lines = {i: t.split("\n") for i, t in rows}
+    per_line_docs = defaultdict(set)
+    for i, lines in doc_lines.items():
+        for ln in lines:
+            per_line_docs[ln].add(i)
+    over = {ln for ln, s in per_line_docs.items() if len(s) > max_docs}
+    first = {}
+    for i in sorted(doc_lines):
+        for p, ln in enumerate(doc_lines[i]):
+            if ln in over and ln not in first:
+                first[ln] = (i, p)
+    out = {}
+    for i, lines in doc_lines.items():
+        kept, removed = [], 0
+        for p, ln in enumerate(lines):
+            if ln in over and not (keep_first and first[ln] == (i, p)):
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), removed)
+    return out
+
+
+@given(
+    corpus=docs_strategy,
+    max_docs=st.sampled_from([1, 2]),
+    keep_first=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_dedup_lines_matches_model(spark, corpus, max_docs, keep_first):
+    from fourstore_spark.operators.cleaning import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines(
+            docs, max_docs=max_docs, keep_first=keep_first
+        ).collect()
+    }
+    want = _model_dedup_lines(rows, max_docs, keep_first)
+    assert got == want, (rows, max_docs, keep_first)
+
+
+scores_strategy = st.lists(
+    st.sampled_from([None, 0.0, 0.25, 0.25, 0.5, 0.9, 1.0]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    scores=scores_strategy,
+    frac=st.sampled_from([0.0, 0.3, 0.5, 0.77, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_top_fraction_matches_row_number_model(spark, scores, frac):
+    """top_fraction_by_score == take ceil(frac*N) by (score desc NULLS
+    LAST, id asc) — exercised under heavy ties, NULL scores, and the
+    frac in {0, 1} edges."""
+    from fourstore_spark.operators.sampling import top_fraction_by_score
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(
+            df, frac, "score", "doc_id"
+        ).collect()
+    )
+    ranked = sorted(
+        rows,
+        key=lambda r: ((0, -r[1]) if r[1] is not None else (1, 0.0), r[0]),
+    )
+    want = sorted(i for i, _ in ranked[: math.ceil(frac * len(rows))])
+    assert got == want, (rows, frac, got, want)
