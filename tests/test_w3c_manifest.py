@@ -50,8 +50,9 @@ def test_w3c_suite_all_green(spark):
         report.append((t.name, status, detail))
     failures = [r for r in report if r[1] not in ("pass", "excused")]
     # the sweep itself must find a meaningful number of cases — an empty
-    # glob silently passing would hide a broken importer
-    assert len(report) >= 30, report
+    # glob silently passing would hide a broken importer (r7: 107 cases
+    # across 14 suites)
+    assert len(report) >= 100, report
     assert not failures, failures
     # the EARL report (runtest.pl earl.ttl parity) round-trips through
     # the engine's own Turtle reader: one Assertion per case
