@@ -58,6 +58,19 @@ def _code_body(code_text: str) -> str:
     return f"{code_text}\n{SERVER_LINE}"
 
 
+_BASE_RE = re.compile(r"(?im)^\s*BASE\b")
+
+
+def _with_default_base(text: str) -> str:
+    """4s-httpd parses queries AND updates against base <local:local>
+    (httpd.c:1925), so relative IRIs like <A> resolve to <local:A>.
+    Mirror it by prepending the same default base 4s-query uses when the
+    request carries no BASE of its own (no-op for absolute IRIs)."""
+    if _BASE_RE.search(text):
+        return text
+    return "BASE <local:>\n" + text
+
+
 _CONTENT_TYPES = {
     "text": "text/plain",
     "json": "application/sparql-results+json",
@@ -122,7 +135,9 @@ class SparqlHttpServer:
         an ``apikey`` param (403 otherwise); an unknown key sees no
         graphs (empty allow-list = deny-all, engine ACL semantics)."""
         self.spark = spark
-        self.ue = update_engine or UpdateEngine(spark)
+        # wildcard_delete: 4s-httpd deletes un-GRAPHed triples from every
+        # graph (update.c:127 wildcard model) — parity for this surface
+        self.ue = update_engine or UpdateEngine(spark, wildcard_delete=True)
         self.host = host
         self.port = port
         self.graph_access_control = graph_access_control
@@ -184,7 +199,10 @@ class SparqlHttpServer:
                 if acl is None:
                     if outer._engine_for is not outer.ue.quads:
                         outer._engine = SparqlEngine(
-                            outer.spark, outer.ue.quads
+                            outer.spark,
+                            outer.ue.quads,
+                            # 4store parity: GRAPH ?g also binds default:
+                            graph_var_includes_default=True,
                         )
                         outer._engine_for = outer.ue.quads
                     return outer._engine, None
@@ -202,6 +220,7 @@ class SparqlHttpServer:
                         outer.spark,
                         outer.ue.quads,
                         allowed_graphs=list(acl.get(key, [])),
+                        graph_var_includes_default=True,
                     ),
                     None,
                 )
@@ -234,6 +253,7 @@ class SparqlHttpServer:
                 text = params.get("query")
                 if not text:
                     return self._send(400, "missing query parameter")
+                text = _with_default_base(text)
                 fmt = params.get("output") or _fmt_from_accept(
                     self.headers.get("Accept", "") or ""
                 ) or "json"
@@ -443,23 +463,37 @@ class SparqlHttpServer:
                         return self._send(400, "missing update parameter")
                     try:
                         with outer._write_lock:
-                            outer.ue.update(text)
+                            msgs = outer.ue.update(_with_default_base(text))
+                            # materialize: a long-lived server otherwise
+                            # accumulates unbounded union/filter lineage
+                            # across writes — every later query would
+                            # replay the whole update history (and the
+                            # superseded plans pin JVM heap)
+                            outer.ue.commit()
                     except Exception as exc:  # noqa: BLE001
                         return self._send(400, f"update error: {exc}")
-                    # success body is the (empty) fs_update message + LF
+                    # body = fs_update messages joined by LF, + final LF
                     # (http_import_start, httpd.c:515-525)
-                    return self._send(200, "\n")
+                    return self._send(200, "\n".join(msgs) + "\n")
                 if path == "/data":
                     if self._write_denied(params):
                         return
                     graph = params.get("graph")
-                    body = params.get("__body", "")
+                    # form POST (http_post_data, httpd.c:635): the RDF
+                    # payload is the ``data`` field with ``mime-type``
+                    # naming its parser; a raw-body POST falls back to
+                    # the request body + Content-Type
+                    body = params.get("data") or params.get("__body", "")
                     if not graph:
                         return self._send(400, "missing graph parameter")
-                    return self._load(graph, body, replace=False)
+                    return self._load(
+                        graph, body, replace=False,
+                        ct=params.get("mime-type"),
+                    )
                 self._send(404, "not found")
 
-            def _parse_rdf_body(self, body: str, graph: str):
+            def _parse_rdf_body(self, body: str, graph: str,
+                                ct: str | None = None):
                 """Content-Type-driven parse (http_put_data /
                 http_post_data, httpd.c: picks the raptor parser from the
                 media type), falling back to the reference's other
@@ -472,15 +506,17 @@ class SparqlHttpServer:
                     quads_from_turtle,
                 )
 
-                ct = (self.headers.get("Content-Type") or "").split(";")[
-                    0
-                ].strip().lower()
+                ct = (
+                    ct or self.headers.get("Content-Type") or ""
+                ).split(";")[0].strip().lower()
                 generic = ct in ("", "application/octet-stream")
                 g = graph.lower()
                 if ct == "application/rdf+xml" or (
                     generic and g.endswith((".rdf", ".xrdf", ".owl", ".xml"))
                 ):
-                    return quads_from_rdfxml(outer.spark, body, graph)
+                    return quads_from_rdfxml(
+                        outer.spark, body, graph, base=graph
+                    )
                 if ct == "application/trig" or (
                     generic and g.endswith(".trig")
                 ):
@@ -488,27 +524,59 @@ class SparqlHttpServer:
                 if ct in ("text/turtle", "application/x-turtle") or (
                     generic and g.endswith((".ttl", ".turtle"))
                 ):
-                    return quads_from_turtle(outer.spark, body, graph)
+                    return quads_from_turtle(
+                        outer.spark, body, graph, base=graph
+                    )
                 if ct in (
                     "application/n-triples",
                     "application/n-quads",
                     "text/plain",
                 ) or (generic and g.endswith((".nt", ".nq"))):
                     return quads_from_nt_text(outer.spark, body, graph)
-                try:  # unknown type: sniff NT first, then Turtle
+                # unknown/absent type: sniff like raptor's guess parser
+                # (the reference's test PUTs send an EMPTY Content-Type
+                # for swh.xrdf and rely on the guess, import.c)
+                if body.lstrip().startswith(("<?xml", "<rdf:RDF", "<!--")):
+                    return quads_from_rdfxml(
+                        outer.spark, body, graph, base=graph
+                    )
+                try:  # then NT, then Turtle
                     return quads_from_nt_text(outer.spark, body, graph)
                 except ValueError:
-                    return quads_from_turtle(outer.spark, body, graph)
+                    return quads_from_turtle(
+                        outer.spark, body, graph, base=graph
+                    )
 
-            def _load(self, graph: str, body: str, replace: bool):
+            def _load(self, graph: str, body: str, replace: bool,
+                      ct: str | None = None):
                 from fourstore_spark.sparql.update import quads_add
 
                 try:
-                    quads = self._parse_rdf_body(body, graph)
+                    quads = self._parse_rdf_body(body, graph, ct=ct)
                     with outer._write_lock:
                         if replace:
                             outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
                         outer.ue.quads = quads_add(outer.ue.quads, quads)
+                        # import-time full-text derivation (T1-T3): when
+                        # the system:config graph directs indexing, the
+                        # INCOMING triples grow fs:token/stem/dmetaphone
+                        # quads in their own graph — exactly the
+                        # reference's import hook (buffer_tokens/stems/
+                        # metaphones, import.c:616-700); pre-existing
+                        # triples are not retro-indexed there either
+                        from fourstore_spark.operators.fulltext import (
+                            derive_fulltext_quads,
+                            fulltext_config,
+                        )
+
+                        cfg = fulltext_config(outer.ue.quads)
+                        if cfg:
+                            derived = derive_fulltext_quads(quads, cfg)
+                            if derived is not None:
+                                outer.ue.quads = quads_add(
+                                    outer.ue.quads, derived
+                                )
+                        outer.ue.commit()  # bound lineage (see /update/)
                 except Exception as exc:  # noqa: BLE001
                     # http_error("400 RDF parser reported errors") shape,
                     # with the parser detail appended for debuggability
@@ -561,6 +629,7 @@ class SparqlHttpServer:
                 try:
                     with outer._write_lock:
                         outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
+                        outer.ue.commit()  # bound lineage (see /update/)
                 except Exception as exc:  # noqa: BLE001
                     return self._send(400, str(exc))
                 # "200 deleted successfully" (httpd.c:825)

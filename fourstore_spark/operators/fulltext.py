@@ -99,7 +99,12 @@ def _porter_stem(w: str) -> str:
     elif w.endswith("ss"):
         pass
     elif w.endswith("s"):
-        w = w[:-1]
+        # Porter2/libstemmer refinement (the reference's "english"
+        # stemmer): delete the s only when the preceding part contains
+        # a vowel NOT immediately before it — "this"/"has"/"gas" keep
+        # their s, "dogs"/"metaphones" lose it
+        if any(not is_cons(w, i) for i in range(len(w) - 2)):
+            w = w[:-1]
     # step 1b
     flag = False
     if w.endswith("eed"):
@@ -250,7 +255,13 @@ def _dmeta(word: str) -> tuple[str, str]:
                 add("KN", "N")
                 i += 2
             elif nxt in ("E", "I", "Y"):
-                add("J", "K")
+                # "obvious germanic": G before ET (and VAN/VON/SCH-
+                # initial words) is hard in BOTH codes — "get" is KT/KT,
+                # not JT (double_metaphone.c:653-664)
+                if w[i + 1 : i + 3] == "ET" or w[:3] == "SCH":
+                    add("K")
+                else:
+                    add("J", "K")
                 i += 2
             else:
                 add("K")
@@ -356,6 +367,31 @@ def porter_stem_udf():
     return _UDF_CACHE["stem"]
 
 
+def lang_stem_udf():
+    """(token, lang) -> stem, dispatching per the literal's language tag
+    like the reference's buffer_stems (import.c:658-700): en->Porter,
+    de/it/ru->the Snowball ports in operators/stemmers.py, no tag->en,
+    unknown tag -> NULL (the reference emits NO stem quads there —
+    sb_stemmer_new returns NULL)."""
+    if "lang_stem" not in _UDF_CACHE:
+        from fourstore_spark.operators.stemmers import stemmer_for
+
+        @pandas_udf("string")
+        def _stem(tokens: pd.Series, langs: pd.Series) -> pd.Series:
+            def one(t, lang):
+                if not t:
+                    return None
+                fn = stemmer_for(lang if isinstance(lang, str) else None)
+                return fn(t) if fn else None
+
+            return pd.Series(
+                [one(t, lg) for t, lg in zip(tokens, langs)]
+            )
+
+        _UDF_CACHE["lang_stem"] = _stem
+    return _UDF_CACHE["lang_stem"]
+
+
 def dmetaphone_udf():
     if "dmeta" not in _UDF_CACHE:
 
@@ -447,16 +483,14 @@ def derive_fulltext_quads(
             parts.append(_as_quads(toks, pred))
         elif mode == "stem":
             # stemmer language from the literal's lang tag, default en
-            # (buffer_stems import.c:658-700) — non-English falls back to
-            # the raw token (documented delta: the reference links all
-            # Snowball stemmers, we implement Porter/English)
+            # (buffer_stems import.c:658-700): Porter for English plus
+            # the German/Italian/Russian Snowball ports; an unknown
+            # language yields NO stem rows (NULL filtered by _as_quads'
+            # o_lex non-null guard), exactly like the reference when
+            # sb_stemmer_new returns NULL
             stemmed = toks.withColumn(
-                "stem",
-                F.when(
-                    F.col("o_lang").isNull() | F.col("o_lang").startswith("en"),
-                    porter_stem_udf()(F.col("tok")),
-                ).otherwise(F.col("tok")),
-            )
+                "stem", lang_stem_udf()(F.col("tok"), F.col("o_lang"))
+            ).where(F.col("stem").isNotNull())
             parts.append(_as_quads(stemmed, pred, "stem"))
         else:
             keyed = toks.withColumn(

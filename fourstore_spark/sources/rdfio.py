@@ -298,10 +298,19 @@ def quads_from_turtle(
     text: str,
     default_graph: str = DEFAULT_GRAPH,
     namespace_bnodes: bool = True,
+    base: str | None = None,
 ) -> DataFrame:
-    """Turtle text -> quads DataFrame (driver-side parse)."""
+    """Turtle text -> quads DataFrame (driver-side parse).
+
+    ``base`` resolves relative IRIs when the document carries no @base
+    of its own — the HTTP import path passes the graph URI, matching the
+    reference where raptor parses against the model URI (import.c)."""
     from fourstore_spark.sparql import algebra as A
 
+    if base and not _AT_BASE.search(text) and not re.search(
+        r"(?im)^\s*BASE\b", text
+    ):
+        text = f"@base <{base}> .\n" + text
     rows = []
     for tp in parse_turtle(text):
         if isinstance(tp.s, A.Iri):

@@ -225,6 +225,7 @@ class SparqlEngine:
         single_valued_preds: set[str] | None = None,
         pred_stats: dict | None = None,
         pred_numeric_dt: dict | None = None,
+        graph_var_includes_default: bool = False,
     ):
         self.spark = spark
         # graph ACLs (query-cache.c:96-140 no_access_for_user /
@@ -236,6 +237,7 @@ class SparqlEngine:
             quads = quads.where(F.col("g").isin(allowed_graphs))
         self.quads = quads
         self.union_default_graph = union_default_graph
+        self.graph_var_includes_default = graph_var_includes_default
         # restricted mode: per-pattern result cap (soft limit,
         # params.h.in:34 default 998/segment; truncation warning
         # results.c:2722-2728). None = exact results.
@@ -365,6 +367,7 @@ class SparqlEngine:
             pred_stats=self.pred_stats,
             subjects_cols=self.subjects_cols,
             pred_numeric_dt=self.pred_numeric_dt,
+            graph_var_includes_default=self.graph_var_includes_default,
         )
         # raise the analyzer iteration cap for the duration of THIS
         # compile only (PySpark DataFrame creation analyzes eagerly, so

@@ -84,9 +84,22 @@ def make_num(num: Column, dt: Column) -> Column:
     s = F.when(s == "Infinity", F.lit("INF")).when(
         s == "-Infinity", F.lit("-INF")
     ).otherwise(s)
+    # computed doubles/floats render like the reference's fs_value: C
+    # "%f" plus C's special spellings (filter-datatypes.c fs_value via
+    # printf; output_text then appends "e0" when the lexical carries no
+    # exponent, results.c:2105-2112). Java's E-notation cast string
+    # ("1.23E9") would defeat that append rule byte-for-byte.
+    is_dbl = (dt == XSD_DOUBLE) | (dt == XSD_FLOAT)
+    dbl_lex = (
+        F.when(F.isnan(num), F.lit("nan"))
+        .when(num == F.lit(float("inf")), F.lit("inf"))
+        .when(num == F.lit(float("-inf")), F.lit("-inf"))
+        .otherwise(F.format_string("%f", num))
+    )
     lex = (
         F.when(is_int, num.cast("long").cast("string"))
         .when(dec_fix, F.coalesce(_dec_lex(num.try_cast(_DEC_T)), s))
+        .when(is_dbl, dbl_lex)
         .otherwise(s)
     )
     return term_struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num)
@@ -546,6 +559,167 @@ def _numeric_fn(t: Column, f) -> Column:
     )
 
 
+def _dec_out_lex(r: Column) -> Column:
+    """fs_decimal_to_lex shape (reference decimal.c): minimal fraction
+    but always at least one fractional digit — FLOOR(1234567890.23) is
+    "1234567890.0", ABS(0000.0004999000) is "0.0004999"."""
+    s = r.cast(_DEC_T).cast("string")  # scale-18 render: always has '.'
+    s = F.regexp_replace(s, r"0+$", "")
+    return F.when(s.endswith("."), F.concat(s, F.lit("0"))).otherwise(s)
+
+
+def _finite_guard(f):
+    """ceil/floor/round pass NaN/±inf through untouched (C math.h
+    semantics; Spark's floor/ceil go through LONG and overflow), and
+    likewise any |x| >= 2^53: every such double is already integral, and
+    the LONG detour would clamp it to 9.22e18."""
+
+    def g(c):
+        return F.when(
+            F.isnan(c) | (F.abs(c) >= F.lit(9007199254740992.0)), c
+        ).otherwise(f(c))
+
+    return g
+
+
+_DBL_ROUND_OPS = {
+    "ABS": F.abs,
+    # XPath fn:ceiling returns NEGATIVE zero for arguments in (-1, 0)
+    # (and DuckDB's CEIL(double) agrees); Spark's F.ceil returns LONG,
+    # which cannot carry the sign — so for negative inputs compute
+    # ceil(x) = -floor(-x) with the negation applied AFTER the double
+    # cast, preserving -0.0.
+    "CEIL": _finite_guard(
+        lambda c: F.when(c < 0, -(F.floor(-c).cast("double"))).otherwise(
+            F.ceil(c).cast("double")
+        )
+    ),
+    "FLOOR": _finite_guard(lambda c: F.floor(c).cast("double")),
+    # XPath fn:round: ties round toward POSITIVE infinity
+    # (round(-2.5) = -2), unlike the reference's C round()
+    # half-away-from-zero (filter.c:328) — the spec wins here.
+    # floor(x + 0.5) implements it; the negative branch goes through
+    # -abs(...) so results in [-0.5, 0) keep the sign as -0.0.
+    "ROUND": _finite_guard(
+        lambda c: F.when(
+            c < 0, -F.abs(F.floor(c + F.lit(0.5)).cast("double"))
+        ).otherwise(F.round(c, 0))
+    ),
+}
+
+
+def _numeric_round_fn(name: str, t: Column) -> Column:
+    """ABS/CEIL/FLOOR/ROUND with the reference's per-type semantics:
+
+    - integer: exact (fn_numeric_abs negates the int64, filter.c:231;
+      ceil/floor/round return the operand UNTOUCHED, lexical included,
+      filter.c:252-254);
+    - decimal: exact fixed-point via DECIMAL(38,18), fs_decimal_to_lex
+      render;
+    - float/double: IEEE math on num (lexical %f per fill_lexical; a
+      SELECT-expression projection re-renders it %g — see reg_lex_term).
+    """
+    d = _dec(t)  # lexical as DECIMAL(38,18); NULL when unparseable
+    is_int = _is_lit(t) & (t["dt"] == XSD_INTEGER) & d.isNotNull()
+    is_dec = _is_lit(t) & (t["dt"] == XSD_DECIMAL) & d.isNotNull()
+    if name == "ABS":
+        dec_r = F.abs(d)
+        int_term = term_struct(
+            F.lit(KIND_LITERAL),
+            F.abs(d).cast("decimal(38,0)").cast("string"),
+            F.lit(XSD_INTEGER),
+            _NULL_S(),
+            F.abs(t["num"]),
+        )
+    else:
+        if name == "CEIL":
+            dec_r = F.ceil(d).cast(_DEC_T)
+        elif name == "FLOOR":
+            dec_r = F.floor(d).cast(_DEC_T)
+        else:  # ROUND, ties toward +inf
+            dec_r = F.floor(d + F.lit(0.5)).cast(_DEC_T)
+        int_term = t  # integers pass through whole, lexical intact
+    dec_term = term_struct(
+        F.lit(KIND_LITERAL),
+        _dec_out_lex(dec_r),
+        F.lit(XSD_DECIMAL),
+        _NULL_S(),
+        dec_r.cast("double"),
+    )
+    return (
+        F.when(is_int, int_term)
+        .when(is_dec, dec_term)
+        .otherwise(_numeric_fn(t, _DBL_ROUND_OPS[name]))
+    )
+
+
+def g_lex(num: Column) -> Column:
+    """C printf %g of a double column: 6 significant digits, trailing
+    zeros stripped, scientific form with a signed >=2-digit exponent
+    outside [1e-4, 1e6), C spellings for the specials. This is how the
+    reference renders computed float/double SELECT expressions whose
+    fs_value carries no lexical (fs_value_to_row, results.c:2941,2952);
+    BIND-bound values instead got "%f" at bind time
+    (fs_value_fill_lexical, filter-datatypes.c:543 — make_num here).
+    """
+    e = F.format_string("%.5e", num)  # rounds to 6 significant digits
+    mant = F.regexp_replace(
+        F.split_part(e, F.lit("e"), F.lit(1)), r"\.?0+$", ""
+    )
+    exp = F.split_part(e, F.lit("e"), F.lit(2)).cast("int")
+    sci = F.concat(
+        mant,
+        F.lit("e"),
+        F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(exp).cast("string"), 2, "0"),
+    )
+    # positional branch (-4 <= exp < 6): %.{5-exp}f then strip the
+    # trailing fractional zeros (never integer digits)
+    pos = None
+    for k in range(-4, 6):
+        b = F.format_string(f"%.{5 - k}f", num)
+        pos = F.when(exp == k, b) if pos is None else pos.when(exp == k, b)
+    pos = F.when(
+        pos.contains("."),
+        F.regexp_replace(F.regexp_replace(pos, r"0+$", ""), r"\.$", ""),
+    ).otherwise(pos)
+    return (
+        F.when(F.isnan(num), F.lit("nan"))
+        .when(num == F.lit(float("inf")), F.lit("inf"))
+        .when(num == F.lit(float("-inf")), F.lit("-inf"))
+        .when((exp >= -4) & (exp < 6), pos)
+        .otherwise(sci)
+    )
+
+
+# expression shapes whose reference evaluation leaves fs_value.lex NULL
+# (numeric computation): a SELECT-expression projection of one of these
+# re-renders float/double lexicals with %g (see g_lex)
+_NUMERIC_CALLS = {"ABS", "CEIL", "FLOOR", "ROUND", "SQRT"}
+
+
+def is_computed_numeric(e) -> bool:
+    if isinstance(e, A.EArith):
+        return True
+    if isinstance(e, A.EUnary) and e.op in ("+", "-"):
+        return True
+    return isinstance(e, A.ECall) and e.name in _NUMERIC_CALLS
+
+
+def reg_lex_term(t: Column) -> Column:
+    """Rewrite a computed numeric term's float/double lexical to %g for
+    SELECT-expression output position (fs_value_to_row parity)."""
+    needs = (
+        _is_lit(t)
+        & t["dt"].isin([XSD_DOUBLE, XSD_FLOAT])
+        & t["num"].isNotNull()
+    )
+    return F.when(
+        needs,
+        term_struct(t["kind"], g_lex(t["num"]), t["dt"], t["lang"], t["num"]),
+    ).otherwise(t)
+
+
 def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
     name = e.name
     if name == "IF":
@@ -632,8 +806,19 @@ def _call_body(name: str, args: list, base: str = "") -> Column:
     a0 = args[0] if args else None
 
     if name == "STR":  # fn_str, filter.c:1068
+        # a DATE-ONLY xsd:dateTime re-renders with midnight appended:
+        # fs_value_datetime_from_string's strptime("%Y-%m-%d") fallback
+        # drops the lexical (filter-datatypes.c:265-271, unlike the
+        # iso8601 branch which keeps it), so fill_lexical rebuilds
+        # "%Y-%m-%dT%H:%M:%S" from the epoch. Stored projections (no
+        # expression) keep their bytes — this only fires inside STR().
+        lex = F.when(
+            (a0["dt"] == XSD_DATETIME)
+            & a0["lex"].rlike(r"^\d{4}-\d{2}-\d{2}$"),
+            F.concat(a0["lex"], F.lit("T00:00:00")),
+        ).otherwise(a0["lex"])
         return F.when(
-            a0.isNotNull() & (a0["kind"] != KIND_BNODE), make_string(a0["lex"])
+            a0.isNotNull() & (a0["kind"] != KIND_BNODE), make_string(lex)
         ).otherwise(null_term())
     if name in ("IRI", "URI"):
         # spec 17.4.2.6: a string argument resolves against the base IRI;
@@ -782,38 +967,23 @@ def _call_body(name: str, args: list, base: str = "") -> Column:
         )
         return make_bool(m)
 
-    # ---- numerics (filter.c:185-360)
-    if name == "ABS":
-        return _numeric_fn(a0, F.abs)
-    if name == "CEIL":
-        # XPath fn:ceiling returns NEGATIVE zero for arguments in (-1, 0)
-        # (and DuckDB's CEIL(double) agrees); Spark's F.ceil returns LONG,
-        # which cannot carry the sign — so for negative inputs compute
-        # ceil(x) = -floor(-x) with the negation applied AFTER the double
-        # cast, preserving -0.0.
-        return _numeric_fn(
-            a0,
-            lambda c: F.when(c < 0, -(F.floor(-c).cast("double"))).otherwise(
-                F.ceil(c).cast("double")
-            ),
-        )
-    if name == "FLOOR":
-        return _numeric_fn(a0, lambda c: F.floor(c).cast("double"))
-    if name == "ROUND":
-        # XPath fn:round: ties round toward POSITIVE infinity
-        # (round(-2.5) = -2), unlike the reference's C round()
-        # half-away-from-zero (filter.c:328) — the spec wins here.
-        # floor(x + 0.5) implements it; the negative branch goes through
-        # -abs(...) so results in [-0.5, 0) keep the sign as -0.0
-        # (fn:round preserves negative zero, like CEIL above).
-        return _numeric_fn(
-            a0,
-            lambda c: F.when(
-                c < 0, -F.abs(F.floor(c + F.lit(0.5)).cast("double"))
-            ).otherwise(F.round(c, 0)),
-        )
+    # ---- numerics (filter.c:185-360): exact on integer/decimal operands
+    # (the reference's fn_numeric_* work on int64/fixed-point — a double
+    # detour corrupts 19-digit integers), IEEE on float/double
+    if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        return _numeric_round_fn(name, a0)
     if name == "RAND":
-        return make_num(F.rand(), F.lit(XSD_DOUBLE))
+        # lexical is %.17f like the reference (fn_rand, filter.c:1679
+        # sets v.lex explicitly) — its own test pipeline seds the exact
+        # shape 0.\d{17}e0 out of text output
+        r = F.rand()
+        return term_struct(
+            F.lit(KIND_LITERAL),
+            F.format_string("%.17f", r),
+            F.lit(XSD_DOUBLE),
+            _NULL_S(),
+            r,
+        )
 
     # ---- dates (filter.c:1486-1577)
     if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):

@@ -215,6 +215,7 @@ class Translator:
         broadcast_rows: int = 200_000,
         subjects_cols: dict | None = None,
         pred_numeric_dt: dict | None = None,
+        graph_var_includes_default: bool = False,
     ):
         self.spark = spark
         self.quads = quads
@@ -239,6 +240,7 @@ class Translator:
         # never degrade to a shuffle on Spark's post-filter size guesses
         # (which at 100x data blow past any autoBroadcastJoinThreshold)
         self.pred_stats = pred_stats or {}
+        self.graph_var_includes_default = graph_var_includes_default
         # predicate -> store-proven uniform numeric datatype with all
         # values exactly DECIMAL(38,6)-representable: SUM/AVG over a
         # variable bound from such a predicate take the slim fixed-dt
@@ -616,8 +618,11 @@ class Translator:
             ):
                 df = df.where(F.lit(False))  # graph outside the dataset
         elif isinstance(graph, A.Var):
-            # GRAPH ?g ranges over *named* graphs only — never default:
-            df = df.where(F.col("g") != DEFAULT_GRAPH)
+            # GRAPH ?g ranges over *named* graphs only per spec — 4store
+            # also exposes <default:> as a matchable graph (its exemplars
+            # show GRAPH ?G binding it); the HTTP parity surface opts in
+            if not self.graph_var_includes_default:
+                df = df.where(F.col("g") != DEFAULT_GRAPH)
             if self._has_dataset():
                 df = df.where(self._in_or_false(F.col("g"), self.from_named))
         return df
@@ -1959,7 +1964,20 @@ class Translator:
                 out_cols.append(name)
             else:
                 _, expr, name = item
-                df = df.withColumn(name, compile_expr(expr, ctx))
+                val = compile_expr(expr, ctx)
+                # a computed-numeric SELECT expression reaches the output
+                # with fs_value.lex == NULL in the reference, so its
+                # float/double lexical renders as C %g there
+                # (fs_value_to_row, results.c:2941) — BIND-bound values
+                # instead get "%f" at bind time (fill_lexical). Mirror it.
+                from fourstore_spark.sparql.expr import (
+                    is_computed_numeric,
+                    reg_lex_term,
+                )
+
+                if is_computed_numeric(expr):
+                    val = reg_lex_term(val)
+                df = df.withColumn(name, val)
                 ctx.columns = set(df.columns) | set(agg_map)
                 out_cols.append(name)
         if not proj:  # SELECT *
@@ -2019,6 +2037,15 @@ class Translator:
                     sort_cols.append(key.asc() if asc else key.desc())
                 if sort_cols:
                     df = df.orderBy(*sort_cols)
+        if q.offset and not q.order_by:
+            # OFFSET without ORDER BY: row order is implementation-
+            # defined, but an arbitrary partition order makes the result
+            # nondeterministic run-to-run — sort by the projected terms
+            # (total term order) so the window is stable. LIMIT-only
+            # queries skip this (no sort: they stay CollectLimit).
+            df = df.orderBy(
+                *[term_order_key(F.col(c)) for c in df.columns]
+            )
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

@@ -48,6 +48,13 @@ def empty_quads(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], QUADS_SCHEMA)
 
 
+# sentinel graph meaning "delete this triple from EVERY graph" — 4store's
+# wildcard model for un-GRAPHed delete templates (update.c:127 "m can be
+# wildcard in the absence of GRAPH, WITH etc."). \x00 cannot appear in an
+# IRI, so no real graph collides.
+WILDCARD_GRAPH = "\x00wildcard"
+
+
 def _aliased_null_safe_eq(left: str, right: str) -> Column:
     # both sides carry explicit plan aliases so a delta *derived from the
     # store itself* (ADD <g1> TO <g2>, DELETE..WHERE over the same table)
@@ -69,6 +76,23 @@ def quads_minus(store: DataFrame, removed: DataFrame) -> DataFrame:
         removed.alias("__delta"),
         _aliased_null_safe_eq("__store", "__delta"),
         "left_anti",
+    )
+
+
+def quads_minus_any_graph(store: DataFrame, removed: DataFrame) -> DataFrame:
+    """Delete matching TRIPLES from every graph (null-safe anti-join on
+    the 8 non-graph columns) — fsp_delete_quads_all with a wildcard
+    model RID (update.c:127,402)."""
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"__store.{c}").eqNullSafe(F.col(f"__delta.{c}"))
+            for c in QCOLS
+            if c != "g"
+        ],
+    )
+    return store.alias("__store").join(
+        removed.alias("__delta"), cond, "left_anti"
     )
 
 
@@ -99,21 +123,56 @@ class UpdateEngine:
         quads: DataFrame | None = None,
         union_default_graph: bool = True,
         load_fn=None,
+        wildcard_delete: bool = False,
     ):
+        """``wildcard_delete`` switches un-GRAPHed DELETE templates (no
+        GRAPH in the data block, no WITH) to the reference's semantics:
+        the triple is removed from EVERY graph (update.c:127 wildcard
+        model). Default False = SPARQL 1.1 (default graph only); the
+        HTTP server — the 4store-parity surface — turns it on."""
         self.spark = spark
         self.quads = quads if quads is not None else empty_quads(spark)
         self.union_default_graph = union_default_graph
+        self.wildcard_delete = wildcard_delete
         self._bnode_seq = 0
         # LOAD resolver: uri -> quads DataFrame; default reads local files
         self._load_fn = load_fn or self._default_load
 
     # ------------------------------------------------------------ public
-    def update(self, text: str) -> None:
+    def update(self, text: str) -> list[str]:
+        """Execute the update; returns fs_update-style status messages
+        (update.c add_message) — ADD/MOVE/COPY report
+        "<Verb> <from> to <to>" plus a triple-count line; other ops are
+        silent. The HTTP endpoint serves the joined messages as the
+        response body (http_import_start, httpd.c:512-525)."""
         ops = parse_update(text)
         new = self.quads
+        messages: list[str] = []
         for op in ops:
+            if isinstance(op, A.GraphCopyOp):
+                messages += self._graph_copy_messages(new, op)
             new = self._apply(new, op)
         self.quads = new
+        return messages
+
+    @staticmethod
+    def _graph_copy_messages(store: DataFrame, op) -> list[str]:
+        """The reference's ADD/MOVE/COPY report lines (update.c:732-777
+        fs_add, :812-875 fs_move, :910-972 fs_copy): verb line, then
+        "<n> triples added, 0 removed" for ADD / literally "?? removed"
+        for MOVE and COPY, degrading to "0 triples added, 0 removed"
+        when the source graph is empty or equals the target."""
+        verb = {"add": "Added", "copy": "Copied", "move": "Moved"}[op.kind]
+        src = op.src or DEFAULT_GRAPH
+        dst = op.dst or DEFAULT_GRAPH
+        n = 0
+        if src != dst:
+            n = store.where(F.col("g") == src).count()
+        head = f"{verb} <{src}> to <{dst}>"
+        if n == 0:
+            return [head, "0 triples added, 0 removed"]
+        removed = "0" if op.kind == "add" else "??"
+        return [head, f"{n} triples added, {removed} removed"]
 
     def commit(self) -> None:
         """Cut the op lineage (the in-memory analogue of a Delta commit):
@@ -180,7 +239,10 @@ class UpdateEngine:
         if isinstance(op, A.InsertDataOp):
             return quads_add(store, self._const_quads(op.quads))
         if isinstance(op, A.DeleteDataOp):
-            return quads_minus(store, self._const_quads(op.quads))
+            bare_g = WILDCARD_GRAPH if self.wildcard_delete else DEFAULT_GRAPH
+            return self._minus_split(
+                store, self._const_quads(op.quads, bare_g=bare_g)
+            )
         if isinstance(op, A.ModifyOp):
             return self._modify(store, op)
         if isinstance(op, A.LoadOp):
@@ -206,10 +268,20 @@ class UpdateEngine:
         return load_rdf(self.spark, path, graph)
 
     # ---- constant quad blocks (insert_rasqal_triple, update.c:117-156)
-    def _const_quads(self, quads: list) -> DataFrame:
+    def _minus_split(self, store: DataFrame, removed: DataFrame) -> DataFrame:
+        """quads_minus, routing WILDCARD_GRAPH rows through the
+        any-graph triple delete (reference wildcard model)."""
+        if not self.wildcard_delete:
+            return quads_minus(store, removed)
+        store = quads_minus_any_graph(
+            store, removed.where(F.col("g") == WILDCARD_GRAPH)
+        )
+        return quads_minus(store, removed.where(F.col("g") != WILDCARD_GRAPH))
+
+    def _const_quads(self, quads: list, bare_g: str = DEFAULT_GRAPH) -> DataFrame:
         rows = []
         for q in quads:
-            g = q.g.value if isinstance(q.g, A.Iri) else DEFAULT_GRAPH
+            g = q.g.value if isinstance(q.g, A.Iri) else bare_g
             if isinstance(q.s, A.Iri):
                 s, s_kind = q.s.value, KIND_URI
             elif isinstance(q.s, A.BNode):
@@ -248,8 +320,11 @@ class UpdateEngine:
         sol = tr.translate(op.where, graph=graph_ctx)
         default_g = op.with_graph or DEFAULT_GRAPH
         if op.delete:
-            deletes = self._instantiate(op.delete, sol, default_g, bnodes_error=True)
-            store = quads_minus(store, deletes)
+            del_g = default_g
+            if self.wildcard_delete and not op.with_graph:
+                del_g = WILDCARD_GRAPH  # un-GRAPHed template, no WITH
+            deletes = self._instantiate(op.delete, sol, del_g, bnodes_error=True)
+            store = self._minus_split(store, deletes)
         if op.insert:
             inserts = self._instantiate(op.insert, sol, default_g, bnodes_error=False)
             store = quads_add(store, inserts)

@@ -43,6 +43,13 @@ _VER_QUERY = re.compile(r" v[0-9]\.[.0-9a-z-]*")  # sparql() sed
 _VER_ANY = re.compile(r" v[.0-9a-z-]*")  # put/post/delete sed
 
 
+def _sed_version(body: str, pat: re.Pattern) -> str:
+    """sed 's/PAT/ [VERSION]/' — no /g: FIRST occurrence on EACH line
+    (the r6 whole-body count=1 under-replaced multi-line bodies)."""
+    return "\n".join(pat.sub(" [VERSION]", ln, count=1)
+                     for ln in body.split("\n"))
+
+
 def _net_query(q: str) -> str:
     """The bytes the server decodes from a uriescape'd query."""
     return q.replace("\n", " ").replace("\r", " ").replace("&", "8")
@@ -73,11 +80,18 @@ _SQ = re.compile(r"'([^']*)'", re.S)
 
 
 def _args(cmd: str) -> list[str]:
-    """Split a helper invocation into arguments (single-quoted spans or
-    bare words), dropping the function name and $EPR."""
+    """Split a helper invocation into arguments (single- or double-
+    quoted spans or bare words). Double-quoted spans lose their
+    backslashes the way bash does for \\<newline> continuations (the
+    join already replaced those with spaces)."""
     out = []
-    for m in re.finditer(r"'([^']*)'|(\S+)", cmd):
-        out.append(m.group(1) if m.group(1) is not None else m.group(2))
+    for m in re.finditer(r"'([^']*)'|\"([^\"]*)\"|(\S+)", cmd):
+        if m.group(1) is not None:
+            out.append(m.group(1))
+        elif m.group(2) is not None:
+            out.append(m.group(2))
+        else:
+            out.append(m.group(3))
     return out
 
 
@@ -85,8 +99,10 @@ def parse_script(path: str) -> Script:
     sc = Script(name=os.path.basename(path))
     with open(path) as fh:
         body = fh.read()
-    # join backslash-continued lines (the curl invocations)
-    body = re.sub(r"\\\n\s*", " ", body)
+    # join backslash-continued lines the way bash does: backslash-newline
+    # vanishes ENTIRELY — the next line's leading whitespace survives
+    # into the string (number-comparison's exemplar echoes "{     GRAPH")
+    body = re.sub(r"\\\n", "", body)
     tmpfile_empty = False
     lines = body.split("\n")
     i = 0
@@ -110,19 +126,34 @@ def parse_script(path: str) -> Script:
             i += 1
         first = ln.split()[0] if ln.split() else ""
         if first == "sparql":
+            # strip a trailing shell pipeline BEFORE arg-splitting: the
+            # bare "|"/"sed" tokens would otherwise leak into the extra
+            # cgi slot and corrupt the request URL
+            pipe_sort = False
+            sed_expr = None
+            mp = re.search(r"\|\s*sort\s*$", ln)
+            if mp:
+                pipe_sort = True
+                ln = ln[: mp.start()]
+            ms = re.search(r"\|\s*sed\s+[\"'](s/.*/.*?/)[\"']\s*$", ln, re.S)
+            if ms:
+                sed_expr = ms.group(1)
+                ln = ln[: ms.start()]
             a = _args(ln)  # [sparql, $EPR, query, extra?]
             st = Step(kind="sparql", text=a[2])
-            if len(a) > 3:
+            if len(a) > 3 and a[3].startswith("&"):
                 st.extra = a[3]
-            pipe_sort = ln.rstrip().endswith("| sort")
             st.headers["__sort"] = "1" if pipe_sort else ""
+            if sed_expr:
+                st.headers["__sed"] = sed_expr
             sc.steps.append(st)
         elif first == "update":
             a = _args(ln)
             sc.steps.append(Step(kind="update", text=a[2]))
         elif first in ("put", "put-old"):
             a = _args(ln)  # [put, $EPR, file, mime, graph]
-            fpath = a[2].replace("$TESTPATH", REF_HTTPD_DIR)
+            fpath = a[2].strip('"')  # put "$EPR" "$TEMPFILE" ... quotes
+            fpath = fpath.replace("$TESTPATH", REF_HTTPD_DIR)
             fpath = fpath.replace("../../data", REF_DATA_DIR)
             if fpath == "$TEMPFILE":
                 sc.steps.append(
@@ -201,20 +232,32 @@ def run_script(base: str, sc: Script) -> str:
             q = _net_query(st.text)
             qs = urllib.parse.urlencode({"query": q})
             extra = st.extra
-            out.append(f"Query: {st.text}\n")
             _, _, body = _http(
                 base, "GET", f"/sparql/?{qs}{extra}",
                 {"Accept": "text/plain"},
             )
-            body = _VER_QUERY.sub(" [VERSION]", body)
+            body = _sed_version(body, _VER_QUERY)
+            if st.headers.get("__sed"):
+                # basic-regex sed like s/0\.[0-9]\{17\}e0/RANDOM_NUMBER/:
+                # BRE escaped braces/parens -> python re, first
+                # occurrence per line (no /g in any checked-in script)
+                _, pat, repl = st.headers["__sed"].split("/")[:3]
+                pat = (pat.replace(r"\{", "{").replace(r"\}", "}")
+                          .replace(r"\(", "(").replace(r"\)", ")"))
+                body = "\n".join(
+                    re.sub(pat, repl.replace("\\", "\\\\"), ln_, count=1)
+                    for ln_ in body.split("\n")
+                )
             if st.headers.get("__sort"):
-                lines = body.split("\n")
+                # the script-level pipe sorts sparql()'s WHOLE stdout —
+                # the echoed "Query:" line sorts WITH the payload
+                lines = (f"Query: {st.text}\n" + body).split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
-                # the echo'd Query line sorts with the payload in the
-                # script's pipeline? No: only the curl output is piped.
-                body = "\n".join(sorted(lines)) + "\n"
-            out.append(body)
+                out.append("\n".join(sorted(lines)) + "\n")
+            else:
+                out.append(f"Query: {st.text}\n")
+                out.append(body)
         elif st.kind == "update":
             out.append(f"Update: {st.text}\n")
             form = urllib.parse.urlencode({"update": st.text.replace("&", "8")})
@@ -223,7 +266,7 @@ def run_script(base: str, sc: Script) -> str:
                 {"Content-Type": "application/x-www-form-urlencoded"},
                 form.encode(),
             )
-            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+            out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "put":
             data = b""
             if st.path:
@@ -233,11 +276,14 @@ def run_script(base: str, sc: Script) -> str:
                 path = "/data/" + urllib.parse.quote(st.graph, safe="")
             else:
                 path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
+            # sparql.sh's put passes the script's mime verbatim — an EMPTY
+            # mime (badslot-construct) suppresses the header and the
+            # server sniffs, like curl -H "Content-Type:" + raptor guess
             _, _, body = _http(
-                base, "PUT", path, {"Content-Type": st.mime or "text/plain"},
+                base, "PUT", path, {"Content-Type": st.mime},
                 data,
             )
-            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+            out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "post":
             form = urllib.parse.urlencode(
                 {"mime-type": st.mime, "graph": st.graph,
@@ -249,14 +295,14 @@ def run_script(base: str, sc: Script) -> str:
                  "Content-Type": "application/x-www-form-urlencoded"},
                 form.encode(),
             )
-            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+            out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "delete":
             if st.old_style:
                 path = "/data/" + urllib.parse.quote(st.graph, safe="")
             else:
                 path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
             _, _, body = _http(base, "DELETE", path, {})
-            out.append(_VER_ANY.sub(" [VERSION]", body, count=1))
+            out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "curl":
             path = st.path.replace("$escaped", "")
             # the cors scripts interpolate $escaped from a prior
@@ -275,14 +321,40 @@ def run_script(base: str, sc: Script) -> str:
     return "".join(out)
 
 
-_BN = re.compile(r"_:[A-Za-z0-9]+")
+_BN = re.compile(r"_:[A-Za-z0-9_]+")
+
+
+# language tags compare case-insensitively (RDF Concepts §3.3; the
+# reference itself is internally inconsistent: import.c:796 uppercases
+# the stored tag while the update path hashes an uppercase COPY and
+# keeps the original — its own exemplars mix "@EN-GB and "@fr)
+_LANG = re.compile(r'(?<=")@([A-Za-z0-9-]+)')
+
+
+def _norm_lang(text: str) -> str:
+    return _LANG.sub(lambda m: "@" + m.group(1).lower(), text)
+
+
+# a computed double prints as "<%f digits>e0"; past 17 significant
+# digits Java's Formatter rounds to the shortest-repr decimal while C
+# expands the exact binary value ("...770.000000" vs "...768.000000" —
+# the SAME IEEE double). Compare those tokens by VALUE.
+_DBL_TOKEN = re.compile(r"-?\d+\.\d+e0\b")
+
+
+def _norm_dbl(text: str) -> str:
+    return _DBL_TOKEN.sub(
+        lambda m: repr(float(m.group(0)[:-2])) + "e0", text
+    )
 
 
 def compare_output(got: str, want: str) -> tuple[bool, str]:
     if got == want:
         return True, ""
-    g = _BN.sub("_:b", got)
-    w = _BN.sub("_:b", want)
+    g = _norm_dbl(_norm_lang(_BN.sub("_:b", got)))
+    w = _norm_dbl(_norm_lang(_BN.sub("_:b", want)))
+    if g == w:
+        return True, "normalized"
     if sorted(g.splitlines()) == sorted(w.splitlines()):
         return True, "line-multiset"
     import difflib

@@ -1,0 +1,96 @@
+"""Replay of the reference's OWN end-to-end HTTP protocol tests.
+
+The reference's tests/httpd/run.pl starts ONE 4s-httpd over a fresh
+store and runs every script in tests/httpd/scripts/* against it in ls
+order — state accumulates across scripts by design — byte-diffing each
+script's stdout against exemplar/<name>.
+fourstore_spark.testing.golden_httpd replays the same scripts against a
+live SparqlHttpServer over real HTTP with sparql.sh's exact escaping
+quirks.
+
+Excuses follow the reference's own excuses.txt discipline (mirroring
+tests/test_golden_query.py): every entry states WHY, and an excused
+script that unexpectedly passes fails the sweep as a stale excuse.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fourstore_spark.httpd import SparqlHttpServer
+from fourstore_spark.testing.golden_httpd import REF_HTTPD_DIR, replay
+
+EXCUSES: dict[str, str] = {
+    "count-sum-avg-distinct": (
+        "avg(DISTINCT 1..5): the reference's fixed-point decimal division "
+        "renders 2.9999999999999999985 (decimal.c reciprocal rounding); "
+        "SPARQL §18.5.1.5 Avg is Sum/Count = exactly 3.0 — the engine "
+        "computes the exact decimal (every other row in the script "
+        "matches)"
+    ),
+    "limit": (
+        "LIMIT 1 without ORDER BY returns an implementation-defined row; "
+        "the reference's RID-ordered pick (<.../ze>) is not reproducible "
+        "(every other row in the script matches, including the RAND() "
+        "lexical shape the script's sed normalizes)"
+    ),
+    "subselect": (
+        "the reference answers '400 Parser error / SubSELECTs are not "
+        "implemented'; the engine implements SPARQL 1.1 subselects and "
+        "returns the rows (same class as DELETE WHERE in the CLI suite: "
+        "engine exceeds reference)"
+    ),
+    "functions": (
+        "single-argument CONCAT: the reference's rasqal errors per row "
+        "and 4store drops error rows, so the exemplar has 0 rows; "
+        "SPARQL §17.4.3.12 defines CONCAT for any arity — the engine "
+        "returns 'CC' per solution (the script's other 7 queries match, "
+        "including YEAR/MONTH on date-only xsd:dateTime and CONCAT over "
+        "numeric operands)"
+    ),
+    "functions-substr": (
+        "SUBSTR/STRBEFORE/STRAFTER on non-string operands: the reference "
+        "DROPS rows whose select expression errors; spec §18.5 Extend "
+        "keeps the row with the variable unbound — the engine keeps the "
+        "integer/decimal/float rows with ?ss unbound (the string rows "
+        "match byte-for-byte)"
+    ),
+}
+
+# scripts golden_httpd cannot replay (shell control flow); run.pl runs
+# them, but their output is inherently unscriptable here
+SKIP_OK = {
+    "describe": "shell control flow in script (OUTPUT= capture)",
+    "functions-rand": "shell control flow in script (OUTPUT= capture)",
+}
+
+
+@pytest.mark.usefixtures("spark")
+def test_reference_httpd_scripts(spark):
+    srv = SparqlHttpServer(spark, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        names = sorted(os.listdir(os.path.join(REF_HTTPD_DIR, "scripts")))
+        assert len(names) >= 41, names
+        report, failures = [], []
+        for n in names:
+            status, detail = replay(base, n)
+            report.append((n, status))
+            if n in SKIP_OK:
+                if status == "fail":
+                    failures.append((n, "skip-listed script FAILED", detail))
+                continue
+            if n in EXCUSES:
+                if status == "pass":
+                    failures.append((n, "STALE EXCUSE — passes now", ""))
+                continue
+            if status != "pass":
+                failures.append((n, status, detail[:1200]))
+        passed = sum(1 for _, s in report if s == "pass")
+        assert passed >= 34, report
+        assert not failures, failures
+    finally:
+        srv.stop()
