@@ -708,16 +708,28 @@ def is_computed_numeric(e) -> bool:
 
 def reg_lex_term(t: Column) -> Column:
     """Rewrite a computed numeric term's float/double lexical to %g for
-    SELECT-expression output position (fs_value_to_row parity)."""
-    needs = (
-        _is_lit(t)
-        & t["dt"].isin([XSD_DOUBLE, XSD_FLOAT])
-        & t["num"].isNotNull()
-    )
-    return F.when(
-        needs,
-        term_struct(t["kind"], g_lex(t["num"]), t["dt"], t["lang"], t["num"]),
-    ).otherwise(t)
+    SELECT-expression output position (fs_value_to_row parity).
+
+    The whole rewrite runs under a _let: it references the operand ~20
+    times (g_lex alone fans the num column into every %g branch), and
+    the operand here is a FULL compiled select-expression tree — inline
+    references would clone it per use and the analyzer melts on one
+    nesting level."""
+
+    def body(tt: Column) -> Column:
+        needs = (
+            _is_lit(tt)
+            & tt["dt"].isin([XSD_DOUBLE, XSD_FLOAT])
+            & tt["num"].isNotNull()
+        )
+        return F.when(
+            needs,
+            term_struct(
+                tt["kind"], g_lex(tt["num"]), tt["dt"], tt["lang"], tt["num"]
+            ),
+        ).otherwise(tt)
+
+    return _let(t, body)
 
 
 def _compile_call(e: A.ECall, ctx: ExprContext) -> Column:
