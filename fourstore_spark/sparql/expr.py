@@ -392,11 +392,17 @@ def compile_bool(e, ctx: ExprContext) -> Column:
             ),
         )
     if isinstance(e, A.EIn):
-        t = compile_expr(e.expr, ctx)
-        out = F.lit(False)
-        for o in e.options:
-            out = out | _compare("=", t, compile_expr(o, ctx))
-        return ~out if e.negated else out
+        # _bind like compile_expr's EIn: _compare references the tested
+        # term ~6x per option, so an inlined compound operand multiplies
+        # compiled size ~6*|options|x per nesting level (caught by
+        # tests/test_plan_size.py's `in` tower)
+        def _in_bool_body(t):
+            out = F.lit(False)
+            for o in e.options:
+                out = out | _compare("=", t, compile_expr(o, ctx))
+            return ~out if e.negated else out
+
+        return _bind(e.expr, compile_expr(e.expr, ctx), _in_bool_body)
     return ebv(compile_expr(e, ctx))
 
 
@@ -448,12 +454,23 @@ def compile_expr(e, ctx: ExprContext) -> Column:
         if e.op == "!":
             # same tree-size rationale as EAnd/EOr above
             return make_bool(~compile_bool(e.arg, ctx))
-        t = compile_expr(e.arg, ctx)
+        # _bind, exactly like EArith: the bodies below reference the
+        # operand struct 3-8x (make_num alone references num/dt ~14x),
+        # so an inlined compound operand multiplies compiled size per
+        # nesting level — depth-4 `-(-(-(-8)))` OOMed the analyzer
         if e.op == "-":
-            return F.when(t["num"].isNotNull(), make_num(-t["num"], t["dt"])).otherwise(
-                null_term()
+            return _bind(
+                e.arg,
+                compile_expr(e.arg, ctx),
+                lambda t: F.when(
+                    t["num"].isNotNull(), make_num(-t["num"], t["dt"])
+                ).otherwise(null_term()),
             )
-        return F.when(t["num"].isNotNull(), t).otherwise(null_term())
+        return _bind(
+            e.arg,
+            compile_expr(e.arg, ctx),
+            lambda t: F.when(t["num"].isNotNull(), t).otherwise(null_term()),
+        )
     if isinstance(e, A.ECall):
         return _compile_call(e, ctx)
     if isinstance(e, A.EExists):
