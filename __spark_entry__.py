@@ -87,13 +87,17 @@ WHERE {
       <urn:col:lineitem#l_discount> ?disc }
 GROUP BY ?rf ?ls
 """
-_FLAGSHIP_TYPES = dict(sum_qty="num", sum_price="num", avg_disc="num", cnt="int")
+_FLAGSHIP_TYPES = dict(
+    sum_qty="long6", sum_price="long6", avg_disc="long6", cnt="int"
+)
 
+# driver-window entries hash only integers/strings (see _l6): every
+# aggregate lands as a scaled BIGINT on both sides
 _FLAGSHIP_SQL = """
 SELECT l_returnflag AS rf, l_linestatus AS ls,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) * 1000000) AS BIGINT) AS sum_qty,
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) * 1000000) AS BIGINT) AS sum_price,
+       CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) * 1000000) AS BIGINT) AS avg_disc,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -192,7 +196,10 @@ def _op_jaccard(spark, sf_dir):
     b = d.select(F.col("doc_id").alias("__idb"), F.col("text").alias("__tb"))
     return a.join(b, a["__nbr"] == b["__idb"]).select(
         "id_a",
-        F.round(charset_jaccard(F.col("__ta"), F.col("__tb")), 6).alias("j"),
+        # scaled-BIGINT contract surface (see _l6)
+        F.round(charset_jaccard(F.col("__ta"), F.col("__tb")) * 1000000.0, 0)
+        .cast("long")
+        .alias("j"),
     )
 
 
@@ -275,7 +282,10 @@ def _op_text_stats_full(spark, sf_dir):
     lq = d.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
+        # scaled-BIGINT contract surface (see _l6)
+        F.round(quality_score(F.col("text")) * 1000000.0, 0)
+        .cast("long")
+        .alias("quality"),
     )
     return ts.join(lq, "doc_id")
 
@@ -306,7 +316,11 @@ def _op_embedding_neardup_exact(spark, sf_dir):
 
     # threshold 0.4 has real pairs in the synthetic corpus (59 at sf0.01);
     # k=64 is ~10x the densest neighborhood, so topk-based = exact
-    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4, k=64)
+    pairs = cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4, k=64)
+    # scaled-BIGINT contract surface (see _l6)
+    return pairs.withColumn(
+        "cos", F.round(F.col("cos") * 1000000.0, 0).cast("long")
+    )
 
 
 def _op_embedding_neardup_lsh(spark, sf_dir):
@@ -320,8 +334,9 @@ def _op_embedding_neardup_lsh(spark, sf_dir):
 # to 6 dp on both sides makes the float comparison hash-stable
 _EMB_NEARDUP_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) * 1000000)
+            AS BIGINT) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
@@ -387,7 +402,13 @@ def _op_multimodal_decode(spark, sf_dir):
     media = ids.mapInPandas(synth, "media_id long, payload binary")
     # doc_id sorts alphabetically before every nullable column, and is
     # unique — row ordering never compares NULLs across modalities
-    return decode_features(media).withColumnRenamed("media_id", "doc_id")
+    out = decode_features(media).withColumnRenamed("media_id", "doc_id")
+    # scaled-BIGINT contract surface (see _l6); NULL stays NULL
+    for c in ("rms", "peak", "mean_r", "mean_g", "mean_b"):
+        out = out.withColumn(
+            c, F.round(F.col(c) * 1000000.0, 0).cast("long")
+        )
+    return out
 
 
 _MULTIMODAL_DECODE_SQL = """
@@ -401,16 +422,19 @@ SELECT d AS doc_id, 'audio' AS kind, CAST(44 + nf*2 AS BIGINT) AS n_bytes,
        CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
        CAST(nf // 8 AS BIGINT) AS duration_ms,
        CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
-       ROUND(amp / 32768.0, 6) AS rms, ROUND(amp / 32768.0, 6) AS peak,
-       CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
-       CAST(NULL AS DOUBLE) AS mean_b, CAST(NULL AS VARCHAR) AS err
+       CAST(ROUND(ROUND(amp / 32768.0, 6) * 1000000) AS BIGINT) AS rms,
+       CAST(ROUND(ROUND(amp / 32768.0, 6) * 1000000) AS BIGINT) AS peak,
+       CAST(NULL AS BIGINT) AS mean_r, CAST(NULL AS BIGINT) AS mean_g,
+       CAST(NULL AS BIGINT) AS mean_b, CAST(NULL AS VARCHAR) AS err
 FROM wav
 UNION ALL
 SELECT d, 'image', CAST(54 + ((w*3+3)//4)*4*h AS BIGINT),
        CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       ROUND(r / 255.0, 6), ROUND(g / 255.0, 6), ROUND(b / 255.0, 6),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(ROUND(ROUND(r / 255.0, 6) * 1000000) AS BIGINT),
+       CAST(ROUND(ROUND(g / 255.0, 6) * 1000000) AS BIGINT),
+       CAST(ROUND(ROUND(b / 255.0, 6) * 1000000) AS BIGINT),
        CAST(NULL AS VARCHAR)
 FROM bmp
 """
@@ -922,7 +946,8 @@ def _op_stream_window(spark, sf_dir):
         F.unix_timestamp("window_end").alias("we"),
         "event_type",
         "n",
-        "total",
+        # scaled-BIGINT contract surface (see _l6)
+        F.round(F.col("total") * 1000000.0, 0).cast("long").alias("total"),
     )
 
 
@@ -961,6 +986,15 @@ def _op_stream_sessionize(spark, sf_dir):
 # oracle SQL helpers
 def _sum6(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def _l6(expr: str) -> str:
+    """Oracle-side scaled-BIGINT surface, mirroring the engine's 'long6'
+    flatten kind: driver-window entries never hash doubles/decimals
+    (their rendering/object shape is a per-build freedom — the r2-r6
+    hash saga), only 64-bit integers. Guarded by
+    tests/test_contract_types.py over every _HEAD entry schema."""
+    return f"CAST(ROUND(({expr}) * 1000000) AS BIGINT)"
 
 
 # lineitem's key cols aren't unique in the synthetic data; the mapping adds
@@ -1046,10 +1080,11 @@ def _registry() -> dict[str, tuple]:
                   ?c <{P}customer#c_name> ?name ;
                      <{P}customer#c_mktsegment> ?seg ;
                      <{P}customer#c_acctbal> ?bal }}""",
-            bal="num",
+            bal="long6",
         ),
         "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
-        "c_name AS name, c_mktsegment AS seg, c_acctbal AS bal FROM customer",
+        "c_name AS name, c_mktsegment AS seg, "
+        f"{_l6('c_acctbal')} AS bal FROM customer",
     )
 
     # ---- projections / filters (P1-P5) --------------------------------
@@ -1199,10 +1234,10 @@ def _registry() -> dict[str, tuple]:
                 WHERE {{ ?c <{P}customer#c_nationkey> ?nat ;
                             <{P}customer#c_acctbal> ?bal ;
                             <{P}customer#c_name> ?name }} GROUP BY ?nat""",
-            minbal="num",
+            minbal="long6",
         ),
         "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
-        "MIN(c_acctbal) AS minbal, MAX(c_name) AS maxname "
+        f"{_l6('MIN(c_acctbal)')} AS minbal, MAX(c_name) AS maxname "
         "FROM customer GROUP BY c_nationkey",
     )
     r["a5_sample"] = (
@@ -1557,7 +1592,8 @@ def _registry() -> dict[str, tuple]:
     r["dedup_simhash"] = (_op_simhash, None)  # hash-specific: rows-only
     r["dedup_jaccard_verify"] = (
         _op_jaccard,
-        "SELECT a.doc_id AS id_a, ROUND(jaccard(a.text, b.text), 6) AS j "
+        "SELECT a.doc_id AS id_a, "
+        "CAST(ROUND(jaccard(a.text, b.text) * 1000000) AS BIGINT) AS j "
         "FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id",
     )
     r["text_stats"] = (
@@ -1711,10 +1747,10 @@ def _registry() -> dict[str, tuple]:
                   ?e <{P}events#ts> ?t
                   BIND(FLOOR(TO_UNIXTIME(?t) / 3600) AS ?bucket) }}
                 GROUP BY ?bucket""",
-            bucket="num", n="int",
+            bucket="int", n="int",
         ),
-        "SELECT FLOOR(epoch(date_trunc('second', ts)) / 3600.0) AS bucket, "
-        "COUNT(*) AS n FROM events GROUP BY 1",
+        "SELECT CAST(FLOOR(epoch(date_trunc('second', ts)) / 3600.0) "
+        "AS BIGINT) AS bucket, COUNT(*) AS n FROM events GROUP BY 1",
     )
 
     # ---- write path / import / serializers / full-text / store ---------
@@ -1861,7 +1897,8 @@ _WINDOW_ORACLE_SQL = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
        CAST(floor(epoch(date_trunc('hour', ts))) + 3600 AS BIGINT) AS we,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  * 1000000) AS BIGINT) AS total
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -1883,9 +1920,10 @@ def _round3_entries() -> dict[str, tuple]:
                   FILTER(?bal > 1000 && ?bal < 9500)
                   FILTER(?seg IN ("BUILDING", "AUTOMOBILE", "MACHINERY",
                                   "HOUSEHOLD")) }}""",
-            bal="num",
+            bal="long6",
         ),
-        "SELECT c_name AS name, c_acctbal AS bal, c_mktsegment AS seg "
+        f"SELECT c_name AS name, {_l6('c_acctbal')} AS bal, "
+        "c_mktsegment AS seg "
         "FROM customer WHERE c_nationkey = 3 "
         "AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') "
         "AND c_acctbal > 1000 AND c_acctbal < 9500",
@@ -1931,12 +1969,12 @@ def _round3_entries() -> dict[str, tuple]:
             f"""SELECT ?nat (SUM(?bal) AS ?total) (AVG(?bal) AS ?avgbal)
                 WHERE {{ ?c <{P}customer#c_nationkey> ?nat ;
                             <{P}customer#c_acctbal> ?bal }} GROUP BY ?nat""",
-            total="num",
-            avgbal="num",
+            total="long6",
+            avgbal="long6",
         ),
         "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
-        f"{_sum6('c_acctbal')} AS total, "
-        f"{_sum6('c_acctbal')} / COUNT(c_acctbal) AS avgbal "
+        f"{_l6(_sum6('c_acctbal'))} AS total, "
+        f"{_l6(_sum6('c_acctbal') + ' / COUNT(c_acctbal)')} AS avgbal "
         "FROM customer GROUP BY c_nationkey",
     )
 
@@ -2205,7 +2243,8 @@ def _round3_entries() -> dict[str, tuple]:
         r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END "
         "+ length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) "
         f"AS n_bpeish_tokens, {_FP_SQL} AS fingerprint, "
-        "lq.lang_guess, lq.quality "
+        "lq.lang_guess, "
+        "CAST(ROUND(lq.quality * 1000000) AS BIGINT) AS quality "
         f"FROM documents d JOIN ({_lang_quality_sql()}) lq "
         "ON d.doc_id = lq.doc_id",
     )
@@ -2359,17 +2398,21 @@ def _round4_entries() -> dict[str, tuple]:
                             (AVG(DISTINCT ?size) AS ?ad)
                      WHERE {{ ?p <{P}part#p_size> ?size }} }} }}""",
             n="int",
-            total="num",
-            td="num",
-            ad="num",
+            total="long6",
+            td="long6",
+            ad="long6",
         ),
         "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
         "c_name AS sname, c_name AS names, g.n, g.total, g.td, g.ad "
         "FROM customer CROSS JOIN ("
-        f"SELECT COUNT(*) AS n, {_sum6('p_size')} AS total, "
-        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) AS td, "
-        "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE) "
-        "/ COUNT(DISTINCT p_size) AS ad FROM part) g",
+        f"SELECT COUNT(*) AS n, {_l6(_sum6('p_size'))} AS total, "
+        + _l6("CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE)")
+        + " AS td, "
+        + _l6(
+            "CAST(SUM(DISTINCT CAST(p_size AS DECIMAL(38,6))) AS DOUBLE)"
+            " / COUNT(DISTINCT p_size)"
+        )
+        + " AS ad FROM part) g",
     )
 
     # F-rand / F-now: nondeterministic functions graded by BOUNDED checks
@@ -2388,14 +2431,14 @@ def _round4_entries() -> dict[str, tuple]:
                 WHERE {{ ?p <{P}part#p_size> ?size
                          BIND(RAND() AS ?r) BIND(NOW() AS ?t) }}""",
             n="int",
-            bad="num",
+            bad="int",
             ndr="int",
             nts="int",
-            tbad="num",
+            tbad="int",
         ),
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS DOUBLE) AS bad, "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS bad, "
         "CAST(COUNT(*) AS BIGINT) AS ndr, CAST(1 AS BIGINT) AS nts, "
-        "CAST(0 AS DOUBLE) AS tbad FROM part",
+        "CAST(0 AS BIGINT) AS tbad FROM part",
     )
 
     # U1 UNION + O4 DISTINCT + O1 ORDER BY + O2 LIMIT/OFFSET composed
