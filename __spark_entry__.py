@@ -1000,12 +1000,27 @@ def _l6(expr: str) -> str:
 # lineitem's key cols aren't unique in the synthetic data; the mapping adds
 # a deterministic rank suffix (sources.relational.TableMap.rank_key) which
 # oracles referencing lineitem *subjects* must replicate:
-_LI_KEYED = (
-    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber "
-    "ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
-    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
-    "l_shipdate) AS __rn FROM lineitem)"
-)
+def _li_keyed() -> str:
+    # the mapping's own oracle-side FROM builder guarantees the rank
+    # suffix stays in lockstep with sources.relational.TableMap
+    from fourstore_spark.sources.relational import sql_from
+
+    return sql_from("lineitem")
+
+
+def _sql_subject(table: str) -> str:
+    from fourstore_spark.sources.relational import sql_subject
+
+    return sql_subject(table)
+
+
+def _sql_fk(reftable: str, column: str) -> str:
+    from fourstore_spark.sources.relational import sql_fk_object
+
+    return sql_fk_object(reftable, column)
+
+
+_LI_KEYED = _li_keyed()
 
 
 _FP_SQL = (
@@ -1082,7 +1097,7 @@ def _registry() -> dict[str, tuple]:
                      <{P}customer#c_acctbal> ?bal }}""",
             bal="long6",
         ),
-        "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+        f"SELECT {_sql_subject('customer')} AS c, "
         "c_name AS name, c_mktsegment AS seg, "
         f"{_l6('c_acctbal')} AS bal FROM customer",
     )
@@ -1972,7 +1987,7 @@ def _round3_entries() -> dict[str, tuple]:
             total="long6",
             avgbal="long6",
         ),
-        "SELECT 'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nat, "
+        f"SELECT {_sql_fk('nation', 'c_nationkey')} AS nat, "
         f"{_l6(_sum6('c_acctbal'))} AS total, "
         f"{_l6(_sum6('c_acctbal') + ' / COUNT(c_acctbal)')} AS avgbal "
         "FROM customer GROUP BY c_nationkey",

@@ -58,17 +58,24 @@ def _code_body(code_text: str) -> str:
     return f"{code_text}\n{SERVER_LINE}"
 
 
-_BASE_RE = re.compile(r"(?im)^\s*BASE\b")
+# a BASE of the request's own only counts in the PROLOGUE: whitespace,
+# comments and PREFIX declarations may precede it, but a line inside a
+# string literal that happens to start with "BASE" must not suppress
+# the default (r7 advice)
+_PROLOGUE_BASE_RE = re.compile(
+    r"(?is)^(?:\s|#[^\n]*\n?|PREFIX\s+[^\s<]*\s*<[^>]*>)*BASE\b"
+)
 
 
 def _with_default_base(text: str) -> str:
     """4s-httpd parses queries AND updates against base <local:local>
-    (httpd.c:1925), so relative IRIs like <A> resolve to <local:A>.
-    Mirror it by prepending the same default base 4s-query uses when the
-    request carries no BASE of its own (no-op for absolute IRIs)."""
-    if _BASE_RE.search(text):
+    (httpd.c:1925), so relative IRIs like <A> resolve to <local:A>
+    while fragment-only refs resolve to <local:local#x>. Mirror it by
+    prepending that exact base when the request's prologue carries no
+    BASE of its own (no-op for absolute IRIs)."""
+    if _PROLOGUE_BASE_RE.match(text):
         return text
-    return "BASE <local:>\n" + text
+    return "BASE <local:local>\n" + text
 
 
 _CONTENT_TYPES = {
@@ -278,11 +285,30 @@ class SparqlHttpServer:
                         default_graph_uri=mp.get("default-graph-uri"),
                         named_graph_uri=mp.get("named-graph-uri"),
                     )
-                    if res.form in ("CONSTRUCT", "DESCRIBE") and fmt not in (
-                        "rdfxml", "turtle"
-                    ):
-                        fmt = "ntriples"
-                    body = res.serialize(fmt)
+                    if res.form == "DESCRIBE" and fmt == "text":
+                        # text output: DESCRIBE streams through the
+                        # raptor turtle serializer with the query's
+                        # base while CONSTRUCT stays ntriples
+                        # (results.c:2037 handle_describe "turtle" vs
+                        # :2069 handle_construct "ntriples")
+                        from fourstore_spark.sparql.results_io import (
+                            graph_turtle_abbrev,
+                        )
+
+                        bm = re.match(
+                            r"(?is)^(?:\s|#[^\n]*\n?|PREFIX\s+[^\s<]*"
+                            r"\s*<[^>]*>)*BASE\s*<([^>]*)>",
+                            text,
+                        )
+                        body = graph_turtle_abbrev(
+                            res.df, base=bm.group(1) if bm else None
+                        )
+                    else:
+                        if res.form in (
+                            "CONSTRUCT", "DESCRIBE"
+                        ) and fmt not in ("rdfxml", "turtle"):
+                            fmt = "ntriples"
+                        body = res.serialize(fmt)
                 except Exception as exc:  # noqa: BLE001 — 4xx per httpd.c
                     return self._send(400, f"parser error: {exc}")
                 cb = params.get("callback")
@@ -510,19 +536,28 @@ class SparqlHttpServer:
                     ct or self.headers.get("Content-Type") or ""
                 ).split(";")[0].strip().lower()
                 generic = ct in ("", "application/octet-stream")
+                # raptor scores the GRAPH URI's file suffix above a
+                # generic media type: text/plain registers on the
+                # ntriples parser with a LOW quality, so a .ttl
+                # identifier wins and the body parses as Turtle
+                # (raptor_new_parser_for_content; the reference's
+                # describe script PUTs Turtle comma-lists as text/plain
+                # under <...test.ttl> and the exemplar shows them
+                # imported)
+                weak = generic or ct == "text/plain"
                 g = graph.lower()
                 if ct == "application/rdf+xml" or (
-                    generic and g.endswith((".rdf", ".xrdf", ".owl", ".xml"))
+                    weak and g.endswith((".rdf", ".xrdf", ".owl", ".xml"))
                 ):
                     return quads_from_rdfxml(
                         outer.spark, body, graph, base=graph
                     )
                 if ct == "application/trig" or (
-                    generic and g.endswith(".trig")
+                    weak and g.endswith(".trig")
                 ):
                     return quads_from_trig(outer.spark, body, graph)
                 if ct in ("text/turtle", "application/x-turtle") or (
-                    generic and g.endswith((".ttl", ".turtle"))
+                    weak and g.endswith((".ttl", ".turtle"))
                 ):
                     return quads_from_turtle(
                         outer.spark, body, graph, base=graph

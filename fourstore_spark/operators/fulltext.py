@@ -356,17 +356,6 @@ def _dmeta(word: str) -> tuple[str, str]:
 _UDF_CACHE: dict = {}
 
 
-def porter_stem_udf():
-    if "stem" not in _UDF_CACHE:
-
-        @pandas_udf("string")
-        def _stem(tokens: pd.Series) -> pd.Series:
-            return tokens.map(lambda t: _porter_stem(t) if t else t)
-
-        _UDF_CACHE["stem"] = _stem
-    return _UDF_CACHE["stem"]
-
-
 def lang_stem_udf():
     """(token, lang) -> stem, dispatching per the literal's language tag
     like the reference's buffer_stems (import.c:658-700): en->Porter,

@@ -43,9 +43,13 @@ def word_token_count(text: Column) -> Column:
     return (words + puncts).cast("long")
 
 
-def stopword_hits(text: Column, words: list[str]) -> Column:
-    toks = tokens(F.lower(text))
-    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of ``words`` present in a distinct-token array (one score
+    per candidate language inside lang_id; exposed for ad-hoc single-
+    language scoring)."""
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+    )
 
 
 def lang_id(text: Column) -> Column:
@@ -56,7 +60,7 @@ def lang_id(text: Column) -> Column:
     """
     toks = F.array_distinct(tokens(F.lower(text)))
     scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        lang: stopword_hits(toks, words)
         for lang, words in STOPWORDS.items()
     }
     best = F.greatest(*scores.values())

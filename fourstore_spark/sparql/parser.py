@@ -136,16 +136,23 @@ class Parser:
 
             out = urljoin(self.base, iri)
             # urljoin only resolves against schemes in urllib's
-            # uses_relative list; for other schemes (e.g. 4s-query's
-            # default BASE <local:>) it returns the ref unchanged.
-            # RFC 3986 5.3 merge for a base with empty path is simple
-            # concatenation: "y" against "local:" -> "local:y".
-            if out == iri and not iri.startswith(("#", "?")):
-                return self.base.split("#", 1)[0].split("?", 1)[0] + iri
-            if out == iri and iri.startswith("#"):
-                return self.base.split("#", 1)[0] + iri
-            if out == iri and iri.startswith("?"):
-                return self.base.split("#", 1)[0].split("?", 1)[0] + iri
+            # uses_relative list; for other schemes (e.g. 4s-httpd's
+            # default BASE <local:local>, httpd.c:1925) apply the RFC
+            # 3986 5.3 merge by hand, matching raptor: fragment-only
+            # keeps the whole base path (<#x> -> local:local#x),
+            # query-only keeps the path (<?y> -> local:local?y), a
+            # path ref replaces the base path's last segment
+            # (<A> -> local:A).
+            if out == iri:
+                if iri.startswith("#"):
+                    return self.base.split("#", 1)[0] + iri
+                b = self.base.split("#", 1)[0].split("?", 1)[0]
+                if iri.startswith("?"):
+                    return b + iri
+                scheme_end = b.index(":") + 1
+                path = b[scheme_end:]
+                cut = path.rfind("/") + 1  # 0 when no '/': drop path
+                return b[:scheme_end] + path[:cut] + iri
             return out
         return iri
 

@@ -410,3 +410,84 @@ def graph_turtle(df) -> str:
         for pos in [by_subject[s]]
     ]
     return "\n".join(blocks) + ("\n" if blocks else "")
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def graph_turtle_abbrev(df, base: str | None = None) -> str:
+    """Raptor's abbreviated Turtle, as 4s-httpd streams CONSTRUCT/
+    DESCRIBE bodies under Accept: text/plain (httpd.c:438 type "text" ->
+    the raptor turtle serializer): ``@base``/``@prefix rdf:`` header,
+    subject on its own line, 4-space-indented predicate lines joined
+    with `` ;``, objects comma-grouped, block terminated `` .`` plus a
+    blank line. Rows are emitted in sorted (s, p, o) order."""
+
+    def esc(v: str) -> str:
+        return (
+            v.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    def iri(v: str) -> str:
+        if v.startswith(_RDF_NS):
+            return "rdf:" + v[len(_RDF_NS):]
+        return f"<{v}>"
+
+    bn = _BnodeNamer()
+    triples = []
+    for row in df.toLocalIterator():
+        s = (
+            "_:" + bn(row["s"])
+            if row["s_kind"] == KIND_BNODE
+            else iri(row["s"])
+        )
+        p = iri(row["p"])
+        if row["o_kind"] == KIND_URI:
+            o = iri(row["o_lex"])
+        elif row["o_kind"] == KIND_BNODE:
+            o = "_:" + bn(row["o_lex"])
+        else:
+            o = f'"{esc(row["o_lex"])}"'
+            if row["o_lang"]:
+                o += f"@{row['o_lang']}"
+            elif row["o_dt"]:
+                o += f"^^{iri(row['o_dt'])}"
+        triples.append((s, p, o))
+    triples = sorted(set(triples))
+
+    out = []
+    if base:
+        out.append(f"@base <{base}> .\n")
+    out.append(f"@prefix rdf: <{_RDF_NS}> .\n\n")
+    cur_s = None
+    lines: list[str] = []
+    cur_p = None
+    objs: list[str] = []
+
+    def flush_pred():
+        nonlocal cur_p, objs
+        if cur_p is not None:
+            lines.append(f"    {cur_p} " + ", ".join(objs))
+        cur_p, objs = None, []
+
+    def flush_subj():
+        nonlocal cur_s, lines
+        flush_pred()
+        if cur_s is not None:
+            out.append(cur_s + "\n" + " ;\n".join(lines) + " .\n\n")
+        cur_s, lines = None, []
+
+    for s, p, o in triples:
+        if s != cur_s:
+            flush_subj()
+            cur_s = s
+        if p != cur_p:
+            flush_pred()
+            cur_p = p
+        objs.append(o)
+    flush_subj()
+    return "".join(out)

@@ -277,10 +277,37 @@ class Translator:
         if q.form == "ASK":
             return sol.df.limit(1)
         if q.form == "CONSTRUCT":
-            return self._construct(q, sol)
+            return self._construct(q, self._slice_solutions(q, sol))
         if q.form == "DESCRIBE":
-            return self._describe(q, sol)
+            return self._describe(q, self._slice_solutions(q, sol))
         raise ValueError(q.form)
+
+    def _slice_solutions(self, q: A.Query, sol: Sol) -> Sol:
+        """ORDER BY / OFFSET / LIMIT apply to the SOLUTION SEQUENCE of a
+        CONSTRUCT/DESCRIBE before template instantiation (§16.2: the
+        modifiers shape the sequence the template maps over — rasqal
+        does the same for the reference)."""
+        if not (q.order_by or q.offset or q.limit is not None):
+            return sol
+        df = sol.df
+        if q.order_by:
+            ctx = self._ctx(sol)
+            sort_cols = []
+            for expr, asc in q.order_by:
+                key = term_order_key(compile_expr(expr, ctx))
+                sort_cols.append(key.asc() if asc else key.desc())
+            df = df.orderBy(*sort_cols)
+        elif q.offset:
+            # stable window without ORDER BY (see _select)
+            df = df.orderBy(
+                *[term_order_key(F.col(c)) for c in df.columns
+                  if not c.startswith("__")]
+            )
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return Sol(df, sol.certain)
 
     # -------------------------------------------------------- patterns
     def translate(self, node, graph) -> Sol:
@@ -2336,6 +2363,13 @@ class Translator:
         subjects = terms.where(
             F.col("t")["kind"] != KIND_LITERAL
         ).select(F.col("t")["lex"].alias("__subj")).distinct()
-        return self.quads.join(
-            subjects, self.quads["s"] == subjects["__subj"], "left_semi"
+        src = self.quads
+        if self._has_dataset():
+            # §13.2: FROM/FROM NAMED define the dataset exactly — the
+            # description draws only from it (DESCRIBE <x> FROM
+            # <nonexistent> is empty; reference httpd golden 'describe')
+            gs = list(self.from_graphs or []) + list(self.from_named or [])
+            src = src.where(self._in_or_false(F.col("g"), gs))
+        return src.join(
+            subjects, src["s"] == subjects["__subj"], "left_semi"
         ).drop("g")

@@ -150,6 +150,14 @@ class UpdateEngine:
         messages: list[str] = []
         for op in ops:
             if isinstance(op, A.GraphCopyOp):
+                # materialize the pre-op state ONCE so the message
+                # count() and the op itself share it — counting on the
+                # raw lineage re-executed every prior op in this update
+                # per ADD/MOVE/COPY (r7 advice). SILENT does not
+                # suppress these lines: the reference's fs_add/fs_move/
+                # fs_copy call add_message unconditionally
+                # (update.c:732, :812, :910).
+                new = new.localCheckpoint(eager=True)
                 messages += self._graph_copy_messages(new, op)
             new = self._apply(new, op)
         self.quads = new

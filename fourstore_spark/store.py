@@ -561,10 +561,9 @@ def write_bucketed(
     )
 
 
-def analyze(spark: SparkSession, table: str) -> None:
-    """Column statistics for Catalyst's CBO (the reference fetches
-    (p,s)/(p,o) frequency histograms per bind — optimiser.c:445-524;
-    ANALYZE gives Catalyst the same cardinality grounding)."""
-    spark.sql(
-        f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS g, s, p, o_lex"
-    )
+# (an ANALYZE TABLE helper lived here through r7 but was never wired:
+# write_store's _stats_pass computes richer per-predicate statistics —
+# row counts, exact distinct subjects, (p,s) fan-out — directly into
+# the manifest, which is the fs_bind_freq/optimiser.c:445-524
+# grounding the planner actually reads; catalog-table ANALYZE had no
+# caller and was dropped per the r7 verdict)

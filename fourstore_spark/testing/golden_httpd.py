@@ -76,6 +76,61 @@ class Script:
     unsupported: str | None = None
 
 
+def _run_for_block(lines: list[str], i: int, env: dict, files: dict) -> int:
+    """Interpret a bash ``for VAR in a b c; do ... done`` block whose
+    body is echo-append data generation (describe's 5200-line TTL
+    build) or a nested for. Returns the index just past ``done``."""
+    head = lines[i].strip().rstrip(";")
+    m = re.match(r"for\s+(\w+)\s+in\s+(.*?);?\s*do$", head)
+    if not m:
+        raise ValueError(f"unparsed for: {head[:60]!r}")
+    var, tokens = m.group(1), m.group(2).split()
+    # collect body lines up to the MATCHING done
+    body_start = i + 1
+    depth = 1
+    j = body_start
+    while j < len(lines):
+        s = lines[j].strip()
+        if re.match(r"for\s+\w+\s+in\s", s):
+            depth += 1
+        elif s.rstrip(";") == "done":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise ValueError("for without done")
+    body = lines[body_start:j]
+
+    def run_body_rec(blines: list[str], env2: dict) -> None:
+        k = 0
+        while k < len(blines):
+            s = blines[k].strip()
+            if not s:
+                k += 1
+                continue
+            if re.match(r"for\s+\w+\s+in\s", s):
+                k = _run_for_block(blines, k, env2, files)
+                continue
+            em = re.match(r'echo\s+"(.*)"\s*>>\s*\$(\w+);?$', s)
+            if not em:
+                raise ValueError(f"unparsed loop body: {s[:60]!r}")
+            text, fvar = em.group(1), em.group(2)
+            text = re.sub(
+                r"\$\{(\w+)\}|\$(\w+)",
+                lambda mm: env2.get(mm.group(1) or mm.group(2), ""),
+                text,
+            )
+            text = text.replace('\\"', '"').replace("\\\\", "\\")
+            files.setdefault(fvar, []).append(text)
+            k += 1
+
+    for tok in tokens:
+        env[var] = tok
+        run_body_rec(body, env)
+    return j + 1
+
+
 _SQ = re.compile(r"'([^']*)'", re.S)
 
 
@@ -104,6 +159,7 @@ def parse_script(path: str) -> Script:
     # into the string (number-comparison's exemplar echoes "{     GRAPH")
     body = re.sub(r"\\\n", "", body)
     tmpfile_empty = False
+    gen_files: dict[str, list[str]] = {}  # mktemp var -> echoed lines
     lines = body.split("\n")
     i = 0
     while i < len(lines):
@@ -119,6 +175,47 @@ def parse_script(path: str) -> Script:
             continue
         if ln.startswith("TEMPFILE=") or ln == "touch $TEMPFILE" or ln.startswith("rm "):
             tmpfile_empty = ln != "rm $TEMPFILE" or tmpfile_empty
+            continue
+        # file=`mktemp ...`: start an in-memory generated data file
+        fm = re.match(r"(\w+)=`mktemp\b", ln)
+        if fm:
+            gen_files[fm.group(1)] = []
+            continue
+        if re.match(r"for\s+\w+\s+in\s", ln):
+            # data-generation loop (describe): execute at parse time
+            try:
+                i = _run_for_block(lines, i - 1, {}, gen_files)
+            except ValueError as exc:
+                sc.unsupported = str(exc)
+                return sc
+            continue
+        # VAR=`sparql "$EPR" '...' | pipeline`: run-time capture
+        cm = re.match(
+            r"(\w+)=`sparql\s+\"\$EPR\"\s+'([^']*)'\s*\|\s*(.+)`\s*$", ln
+        )
+        if cm:
+            sc.steps.append(
+                Step(kind="capture", graph=cm.group(1), text=cm.group(2),
+                     extra=cm.group(3))
+            )
+            continue
+        # if [ $VAR = VALUE ] / then / echo A / else / echo B / fi
+        im = re.match(r"if\s+\[\s+\$(\w+)\s+=\s+(\S+)\s+\]", ln)
+        if im:
+            block = [ln]
+            while i < len(lines) and lines[i].strip() != "fi":
+                block.append(lines[i].strip())
+                i += 1
+            i += 1  # past fi
+            texts = re.findall(r'echo\s+"([^"]*)"', "\n".join(block))
+            has_else = any(b == "else" for b in block)
+            if len(texts) != (2 if has_else else 1):
+                sc.unsupported = f"unparsed if block: {block!r}"
+                return sc
+            sc.steps.append(
+                Step(kind="cond_echo", graph=im.group(1), mime=im.group(2),
+                     text=texts[0], extra=texts[1] if has_else else "")
+            )
             continue
         # multi-line single-quoted argument: accumulate
         while ln.count("'") % 2 == 1 and i < len(lines):
@@ -160,6 +257,14 @@ def parse_script(path: str) -> Script:
                     Step(kind="put", text="", mime=a[3], graph=a[4],
                          old_style=first == "put-old")
                 )
+            elif fpath.startswith("$") and fpath[1:] in gen_files:
+                # loop-generated data file: inline its content
+                sc.steps.append(
+                    Step(kind="put",
+                         text="\n".join(gen_files[fpath[1:]]) + "\n",
+                         path="__inline__", mime=a[3], graph=a[4],
+                         old_style=first == "put-old")
+                )
             elif fpath.startswith("$"):
                 sc.unsupported = f"dynamic data file: {a[2]!r}"
                 return sc
@@ -198,11 +303,10 @@ def parse_script(path: str) -> Script:
         elif first == "echo":
             q = _SQ.search(ln) or re.search(r'"([^"]*)"', ln)
             sc.steps.append(Step(kind="echo", text=q.group(1) if q else ""))
-        elif first in ("if", "then", "else", "fi") or ln.startswith("OUTPUT="):
+        elif first in ("if", "then", "else", "fi") or re.match(
+            r"\w+=`", ln
+        ):
             sc.unsupported = f"shell control flow: {ln[:50]!r}"
-            return sc
-        elif first in ("for", "file=`mktemp"):
-            sc.unsupported = f"shell loop/mktemp: {ln[:50]!r}"
             return sc
         else:
             sc.unsupported = f"unsupported command: {ln[:60]!r}"
@@ -225,9 +329,42 @@ def _http(base: str, method: str, path: str, headers: dict,
 
 def run_script(base: str, sc: Script) -> str:
     out: list[str] = []
+    env: dict[str, str] = {}  # VAR=`...` captures
     for st in sc.steps:
         if st.kind == "echo":
             out.append(st.text + "\n")
+        elif st.kind == "capture":
+            # VAR=`sparql "$EPR" 'Q' | tail -1 | grep -c "BRE"`: run the
+            # query but capture instead of emitting; apply the pipeline
+            q = _net_query(st.text)
+            qs = urllib.parse.urlencode({"query": q})
+            _, _, body = _http(
+                base, "GET", f"/sparql/?{qs}", {"Accept": "text/plain"}
+            )
+            captured = f"Query: {st.text}\n" + body
+            lines = captured.split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            for stage in st.extra.split("|"):
+                stage = stage.strip()
+                tm = re.match(r"tail\s+-(\d+)$", stage)
+                gm = re.match(r'grep\s+-c\s+"(.*)"$', stage)
+                if tm:
+                    lines = lines[-int(tm.group(1)):]
+                elif gm:
+                    pat = (gm.group(1)
+                           .replace(r"\{", "{").replace(r"\}", "}")
+                           .replace(r"\(", "(").replace(r"\)", ")"))
+                    lines = [str(sum(1 for l in lines if re.search(pat, l)))]
+                else:
+                    raise ValueError(f"unsupported pipeline: {stage!r}")
+            env[st.graph] = lines[-1] if lines else ""
+        elif st.kind == "cond_echo":
+            # if [ $VAR = VALUE ]; then echo A; else echo B; fi
+            out.append(
+                (st.text if env.get(st.graph) == st.mime else st.extra)
+                + "\n"
+            )
         elif st.kind == "sparql":
             q = _net_query(st.text)
             qs = urllib.parse.urlencode({"query": q})
@@ -269,7 +406,9 @@ def run_script(base: str, sc: Script) -> str:
             out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "put":
             data = b""
-            if st.path:
+            if st.path == "__inline__":
+                data = st.text.encode("utf-8")
+            elif st.path:
                 with open(st.path, "rb") as fh:
                     data = fh.read()
             if st.old_style:

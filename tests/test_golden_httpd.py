@@ -59,12 +59,9 @@ EXCUSES: dict[str, str] = {
     ),
 }
 
-# scripts golden_httpd cannot replay (shell control flow); run.pl runs
-# them, but their output is inherently unscriptable here
-SKIP_OK = {
-    "describe": "shell control flow in script (OUTPUT= capture)",
-    "functions-rand": "shell control flow in script (OUTPUT= capture)",
-}
+# every script replays since r8 (OUTPUT=`...` capture, if/then/else,
+# mktemp + for-loop data generation are all interpreted now)
+SKIP_OK: dict[str, str] = {}
 
 
 @pytest.mark.usefixtures("spark")
@@ -78,7 +75,7 @@ def test_reference_httpd_scripts(spark):
         report, failures = [], []
         for n in names:
             status, detail = replay(base, n)
-            report.append((n, status))
+            report.append((n, status, detail if status == "pass" else ""))
             if n in SKIP_OK:
                 if status == "fail":
                     failures.append((n, "skip-listed script FAILED", detail))
@@ -89,8 +86,20 @@ def test_reference_httpd_scripts(spark):
                 continue
             if status != "pass":
                 failures.append((n, status, detail[:1200]))
-        passed = sum(1 for _, s in report if s == "pass")
-        assert passed >= 34, report
+        passed = sum(1 for _, s, _ in report if s == "pass")
+        # exact = byte-for-byte with NO normalization (lang-tag case,
+        # double-token value equivalence, bnode renaming, line
+        # multiset): counted separately so a regression from exact to
+        # merely-normalized is visible (r7 advice). Current census:
+        # 29 exact; line-multiset (row order under no ORDER BY):
+        # add-copy-move, badslot-construct, bind-with-xsd-type,
+        # number-comparison, union-logic; normalized (bnode labels /
+        # double token shape): bind, insert-delete.
+        exact = sum(
+            1 for _, s, d in report if s == "pass" and d == ""
+        )
+        assert passed >= 36, report
+        assert exact >= 29, report
         assert not failures, failures
     finally:
         srv.stop()

@@ -172,6 +172,24 @@ def test_multimodal_plumbing(docs):
     }
 
 
+def test_multimodal_frame_sample_plan(spark):
+    """Video frame-sampling plan: one row per (media_id, sampled ts) —
+    explode of the timestamp sequence, no shuffle (the decode itself is
+    the stubbed codec slot)."""
+    from fourstore_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, "video", 3500), (2, "video", 0), (3, "audio", 9000),
+         (4, "video", None)],
+        "media_id long, kind string, duration_ms long",
+    )
+    rows = frame_sample_plan(media, every_ms=1000).collect()
+    got = sorted((r["media_id"], r["frame_ts_ms"]) for r in rows)
+    # 3500ms @1000 -> ts 0,1000,2000,3000; 0/None duration -> just ts 0;
+    # audio rows are not sampled at all
+    assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0), (4, 0)]
+
+
 def test_multimodal_stub_raises(docs):
     from fourstore_spark.operators.multimodal import documents_as_media, extract_features
 
