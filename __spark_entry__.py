@@ -3105,6 +3105,41 @@ def _op_asof_join(spark, sf_dir):
     )
 
 
+def _op_asof_join_salted(spark, sf_dir):
+    """asof_join_salted (temporal.py): the skew path — per-(key, chunk)
+    windows plus a per-chunk carry table — must reproduce the plain
+    operator's DuckDB-ASOF-verified results. Hour chunks split the
+    events table's multi-day span into many buckets."""
+    from fourstore_spark.operators.temporal import asof_join_salted
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    return asof_join_salted(
+        left, right, ["user_id"], "ts", "ts", chunk_seconds=3600
+    ).select(
+        F.col("event_id").alias("a_id"),
+        "user_id", "ts", "click_id_r", "value_r",
+    )
+
+
+def _op_sessionize_salted(spark, sf_dir):
+    """sessionize_salted (temporal.py): two-phase chunked session
+    numbering equals the single-window lag-gap oracle."""
+    from fourstore_spark.operators.temporal import sessionize_salted
+
+    out = sessionize_salted(
+        _events(spark, sf_dir), gap_seconds=1800, chunk_seconds=3600
+    )
+    return out.select(
+        F.col("event_id").alias("a_id"), "user_id", "session_no"
+    )
+
+
 def _op_session_stats(spark, sf_dir):
     """Batch gap-sessionization + per-session rollup (operators/
     temporal.py session_stats): lag()-gap window pass then one groupBy;
@@ -3270,6 +3305,37 @@ WITH l AS (SELECT event_id, ts, user_id FROM events
 SELECT l.event_id AS a_id, l.user_id, l.ts,
        r.click_id AS click_id_r, r.value AS value_r
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+    )
+    # skew-hardened two-phase variants (temporal.py *_salted): same
+    # semantics, timeline-chunked so a hot key spreads over many tasks —
+    # verified against the SAME oracles as the single-window operators
+    r["asof_join_salted"] = (
+        _op_asof_join_salted,
+        """
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts AS r_ts, event_id AS click_id, value
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id AS a_id, l.user_id, l.ts,
+       r.click_id AS click_id_r, r.value AS value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+    )
+    r["sessionize_salted"] = (
+        _op_sessionize_salted,
+        """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id AS a_id, user_id,
+  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_no
+FROM s
 """,
     )
     # batch sessionization: identical lag-gap + running-sum windows

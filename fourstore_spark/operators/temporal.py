@@ -131,6 +131,172 @@ def sessionize(
     )
 
 
+def sessionize_salted(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """``sessionize`` for SKEWED keys: identical output, two phases.
+
+    The plain operator windows over ``partitionBy(key)`` — a hot entity
+    (one user with 10^8 events) lands on ONE task and AQE cannot split
+    a window exchange the way it splits skewed joins.  Here the hot
+    key's timeline is salted into ``chunk_seconds`` buckets:
+
+    1. local pass — window over (key, chunk): per-chunk 0-based session
+       ordinals.  The hot key now spreads over range/chunk_seconds
+       tasks.
+    2. boundary reconciliation — ONE ROW PER (key, chunk) summary
+       (first/last ts, local session count); a window over this tiny
+       table decides which chunk-initial sessions merge with the
+       previous chunk's final session (gap <= gap_seconds) and assigns
+       each chunk a global session offset.  The summary joins back on
+       (key, chunk) — broadcast-sized in practice, an AQE-skew-splittable
+       equi-join otherwise.
+
+    global session_no = offset(chunk) + local_no - merges_with_prev.
+    Equivalence with ``sessionize`` is property-tested
+    (tests/test_fuzz_temporal.py) and the skew win is bounded in
+    tests/test_skew_temporal.py.
+    """
+    ep = _epoch_s(F.col(ts_col))
+    ev = events.withColumn("__chunk", F.floor(ep / chunk_seconds))
+
+    w_local = Window.partitionBy(key_col, "__chunk").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = ep - F.lag(ep).over(w_local)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    ev = ev.withColumn(
+        "__local_no",
+        (
+            F.sum(new_sess).over(
+                w_local.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - 1
+        ).cast("long"),
+    )
+
+    summary = ev.groupBy(key_col, "__chunk").agg(
+        F.min(ep).alias("__first"),
+        F.max(ep).alias("__last"),
+        (F.max("__local_no") + 1).alias("__n_local"),
+    )
+    w_key = Window.partitionBy(key_col).orderBy(F.col("__chunk").asc())
+    merge = F.when(
+        F.col("__first") - F.lag("__last").over(w_key) <= gap_seconds, 1
+    ).otherwise(0)
+    summary = summary.withColumn("__merge", merge.cast("long"))
+    summary = summary.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum(F.col("__n_local") - F.col("__merge")).over(
+                w_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select(key_col, "__chunk", "__merge", "__offset")
+
+    out = ev.join(summary, [key_col, "__chunk"]).withColumn(
+        "session_no",
+        (F.col("__offset") + F.col("__local_no") - F.col("__merge")).cast(
+            "long"
+        ),
+    )
+    return out.drop("__chunk", "__local_no", "__merge", "__offset")
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join`` for SKEWED keys: identical semantics, two phases.
+
+    Phase 1 runs the union + running-last window over (key, chunk)
+    instead of (key): the hot key spreads across its time range.  A row
+    whose most recent right match lives in an EARLIER chunk gets NULL
+    locally; phase 2 computes each chunk's final right payload on a
+    one-row-per-(key, chunk) summary, carries it forward with a window
+    over that tiny table, joins the carry back on (key, chunk) and
+    coalesces.  Carry ordering note: the per-chunk final payload is the
+    window's own (ts, payload)-max, so cross-chunk ties resolve exactly
+    like the unsalted operator.
+    """
+    if isinstance(on, str):
+        on = [on]
+    r_payload = [c for c in right.columns if c not in on]
+    if right_ts not in r_payload:
+        raise ValueError(f"right_ts {right_ts!r} must be a right column")
+
+    r1 = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    r_t = r1.schema["__r"].dataType
+    l1 = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    l_t = l1.schema["__l"].dataType
+
+    u = l1.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r_t)
+    ).unionByName(
+        r1.withColumn("__side", F.lit(0)).withColumn(
+            "__l", F.lit(None).cast(l_t)
+        )
+    )
+    u = u.withColumn(
+        "__chunk", F.floor(_epoch_s(F.col("__t")) / chunk_seconds)
+    )
+    w = (
+        Window.partitionBy(*on, "__chunk")
+        .orderBy(
+            F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m_local", F.last("__r", ignorenulls=True).over(w))
+
+    # one row per (key, chunk) — EVERY chunk, including right-less ones
+    # (their carry must still flow through): the chunk's final RIGHT
+    # payload is the (ts, payload)-max right row, exactly the value the
+    # unsalted running-last would carry out of the chunk
+    chunk_last = u.groupBy(*on, "__chunk").agg(
+        F.max(
+            F.when(F.col("__side") == 0, F.struct("__t", "__r"))
+        )["__r"].alias("__chunk_final")
+    )
+    w_key = Window.partitionBy(*on).orderBy(F.col("__chunk").asc())
+    carry = chunk_last.withColumn(
+        "__carry",
+        F.last("__chunk_final", ignorenulls=True).over(
+            w_key.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(*on, "__chunk", "__carry")
+
+    matched = (
+        u.where(F.col("__side") == 1)
+        .join(carry, [*on, "__chunk"])
+        .withColumn("__m", F.coalesce("__m_local", "__carry"))
+    )
+    out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
+    out_cols += [F.col("__m")[c].alias(c + suffix) for c in r_payload]
+    return matched.select(*out_cols)
+
+
 def session_stats(
     events: DataFrame,
     key_col: str = "user_id",

@@ -158,3 +158,66 @@ class TestSpanFuzz:
             for r in window_hash_spans(df, window=window).collect()
         }
         assert got == want
+
+
+# equivalence of the salted two-phase variants with the single-window
+# operators: same hypothesis input space, tiny chunk_seconds so the
+# chunking actually splits (timestamps span ~200s; 30s chunks give up
+# to 7 chunks per key) and boundary reconciliation is exercised hard
+class TestSaltedEquivalence:
+    @settings(**_SETTINGS)
+    @given(left=left_rows, right=right_rows)
+    def test_asof_salted_matches_plain(self, spark, left, right):
+        from fourstore_spark.operators.temporal import (
+            asof_join,
+            asof_join_salted,
+        )
+
+        ldf = spark.createDataFrame(
+            [(i, k, _ts(s)) for i, (k, s) in enumerate(left)],
+            "lid long, k long, ts timestamp",
+        )
+        if right:
+            rdf = spark.createDataFrame(
+                [(k, _ts(s), float(p)) for k, s, p in right],
+                "k long, ts timestamp, px double",
+            )
+        else:
+            rdf = spark.createDataFrame(
+                [], "k bigint, ts timestamp, px double"
+            )
+        plain = {
+            r["lid"]: (r["ts_r"], r["px_r"])
+            for r in asof_join(ldf, rdf, ["k"]).collect()
+        }
+        salted = {
+            r["lid"]: (r["ts_r"], r["px_r"])
+            for r in asof_join_salted(
+                ldf, rdf, ["k"], chunk_seconds=30
+            ).collect()
+        }
+        assert salted == plain
+
+    @settings(**_SETTINGS)
+    @given(rows=left_rows, gap=st.integers(5, 60))
+    def test_sessionize_salted_matches_plain(self, spark, rows, gap):
+        from fourstore_spark.operators.temporal import (
+            sessionize,
+            sessionize_salted,
+        )
+
+        ev = spark.createDataFrame(
+            [(i, k, _ts(s)) for i, (k, s) in enumerate(rows)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        plain = {
+            r["event_id"]: r["session_no"]
+            for r in sessionize(ev, gap_seconds=gap).collect()
+        }
+        salted = {
+            r["event_id"]: r["session_no"]
+            for r in sessionize_salted(
+                ev, gap_seconds=gap, chunk_seconds=30
+            ).collect()
+        }
+        assert salted == plain
