@@ -1305,6 +1305,360 @@ def russian_stem(word: str) -> str:
     return word
 
 
+# -------------------------------------------------------------- Finnish
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"
+_FI_AEI = "aäei"
+_FI_PARTICLE_END = _FI_V1 + "nt"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = sorted(
+    [("pa", 1), ("sti", 2), ("kaan", 1), ("han", 1), ("kin", 1),
+     ("hän", 1), ("kään", 1), ("ko", 1), ("pä", 1), ("kö", 1)],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_FI_POSS = sorted(
+    [("nsa", 3), ("mme", 3), ("nne", 3), ("ni", 2), ("si", 1),
+     ("an", 4), ("en", 6), ("än", 5), ("nsä", 3)],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_FI_AN_PRE = ("lla", "na", "ssa", "ta", "lta", "sta")
+_FI_AEN_PRE = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+_FI_EN_PRE = ("lle", "ine")
+# kind 10 = gated by VI ('i' after a V2 vowel), 11 = gated by a long
+# vowel; a FAILED GATE backtracks to the next-longest candidate
+# (find_among_b semantics), unlike a failed result condition
+_FI_CASES = sorted(
+    [("a", 8), ("lla", 0), ("na", 0), ("ssa", 0), ("ta", 0),
+     ("lta", 0), ("sta", 0), ("tta", 9), ("lle", 0), ("ine", 0),
+     ("ksi", 0), ("n", 7), ("han", 1), ("den", 10), ("seen", 11),
+     ("hen", 2), ("tten", 10), ("hin", 3), ("siin", 10), ("hon", 4),
+     ("hän", 5), ("hön", 6), ("ä", 8), ("llä", 0), ("nä", 0),
+     ("ssä", 0), ("tä", 0), ("ltä", 0), ("stä", 0), ("ttä", 9)],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_FI_CASE_HVN = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+_FI_OTHER = sorted(
+    [("eja", 0), ("mma", 1), ("imma", 0), ("mpa", 1), ("impa", 0),
+     ("mmi", 1), ("immi", 0), ("mpi", 1), ("impi", 0), ("ejä", 0),
+     ("mmä", 1), ("immä", 0), ("mpä", 1), ("impä", 0)],
+    key=lambda p: len(p[0]), reverse=True,
+)
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish — independent port of the published algorithm
+    (snowballstem.org), oracle-exact vs the reference's libstemmer
+    (tests/data/stem_golden_fi.tsv). Steps: particle, possessive, case
+    ending (sets ending_removed), comparative/other endings, then
+    i-plural OR t-plural depending on the flag, then tidy."""
+    word = word.lower()
+    r1, r2 = _r_regions(word, _FI_V1)
+
+    def ends_long(w: str, limit: int) -> bool:
+        return len(w) >= 2 and len(w) - 2 >= limit and w[-2:] in _FI_LONG
+
+    # step 1: particles (match within R1; lookbacks unlimited)
+    for suf, kind in _FI_PARTICLES:
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            pos = len(word) - len(suf)
+            if kind == 1:
+                if pos >= 1 and word[pos - 1] in _FI_PARTICLE_END:
+                    word = word[:pos]
+            else:  # sti
+                if pos >= r2:
+                    word = word[:pos]
+            break
+
+    # step 2: possessives (match within R1)
+    for suf, kind in _FI_POSS:
+        if not (word.endswith(suf) and len(word) - len(suf) >= r1):
+            continue
+        pos = len(word) - len(suf)
+        if kind == 1:  # si, not preceded by k
+            if not (pos >= 1 and word[pos - 1] == "k"):
+                word = word[:pos]
+        elif kind == 2:  # ni; kse -> ksi
+            word = word[:pos]
+            if word.endswith("kse"):
+                word = word[:-1] + "i"
+        elif kind == 3:
+            word = word[:pos]
+        elif kind == 4:
+            if word[:pos].endswith(_FI_AN_PRE):
+                word = word[:pos]
+        elif kind == 5:
+            if word[:pos].endswith(_FI_AEN_PRE):
+                word = word[:pos]
+        elif kind == 6:
+            if word[:pos].endswith(_FI_EN_PRE):
+                word = word[:pos]
+        break
+
+    ending_removed = False
+    # step 3: case endings (match within R1)
+    for suf, kind in _FI_CASES:
+        if not (word.endswith(suf) and len(word) - len(suf) >= r1):
+            continue
+        pos = len(word) - len(suf)
+        if kind == 10:
+            # VI gate, limited: i at pos-1 >= r1, its V2 vowel >= r1
+            if not (
+                pos - 2 >= r1
+                and word[pos - 1] == "i"
+                and word[pos - 2] in _FI_V2
+            ):
+                continue  # gate failure: try the next-longest entry
+            word = word[:pos]
+            ending_removed = True
+        elif kind == 11:
+            # LONG gate, limited
+            if not (pos - 2 >= r1 and word[pos - 2: pos] in _FI_LONG):
+                continue
+            word = word[:pos]
+            ending_removed = True
+        elif kind == 0:
+            word = word[:pos]
+            ending_removed = True
+        elif kind in _FI_CASE_HVN:  # hVn: preceded by its vowel
+            v = _FI_CASE_HVN[kind]
+            if word[:pos].endswith(v):
+                word = word[:pos]
+                ending_removed = True
+        elif kind == 7:  # n: eat one more char after LONG or 'ie'
+            # (conditions run with the limit RELEASED, like all
+            # case-ending conditions — only the suffix match is R1-bound)
+            head = word[:pos]
+            if head[-2:] in _FI_LONG or head.endswith("ie"):
+                pos -= 1
+            word = word[:pos]
+            ending_removed = True
+        elif kind == 8:  # a/ä preceded by consonant+V1
+            if (
+                pos >= 2
+                and word[pos - 1] in _FI_V1
+                and word[pos - 2] not in _FI_V1
+            ):
+                word = word[:pos]
+                ending_removed = True
+        elif kind == 9:  # tta/ttä preceded by e
+            if word[:pos].endswith("e"):
+                word = word[:pos]
+                ending_removed = True
+        break
+
+    # step 4: other endings (match within R2)
+    for suf, kind in _FI_OTHER:
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            pos = len(word) - len(suf)
+            if kind == 1:  # not preceded by 'po'
+                if not word[:pos].endswith("po"):
+                    word = word[:pos]
+            else:
+                word = word[:pos]
+            break
+
+    if ending_removed:
+        # step 5a: i-plural (final i/j within R1)
+        if word and word[-1] in "ij" and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        # step 5b: t-plural: final t within R1, the V1 test still
+        # inside the limit (t strictly past r1 so the vowel is >= r1)
+        if (
+            word.endswith("t")
+            and len(word) - 1 > r1
+            and word[-2] in _FI_V1
+        ):
+            word = word[:-1]
+            # then mma/imma within R2 ('mma' not preceded by 'po')
+            for suf, kind in (("imma", 0), ("mma", 1)):
+                if word.endswith(suf) and len(word) - len(suf) >= r2:
+                    pos = len(word) - len(suf)
+                    if not (kind == 1 and word[:pos].endswith("po")):
+                        word = word[:pos]
+                    break
+
+    # step 6: tidy — the four trims run inside the R1 limit (every
+    # touched char >= r1), the consonant undouble does not
+    if ends_long(word, r1):
+        word = word[:-1]
+    if (
+        len(word) >= 2
+        and len(word) - 2 >= r1
+        and word[-1] in _FI_AEI
+        and word[-2] not in _FI_V1
+    ):
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and len(word) - 2 >= r1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 2 >= r1:
+        word = word[:-1]
+    # undouble the last consonant (scanning past trailing vowels),
+    # UNLIMITED by R1
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and word[i - 1] == word[i]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
+# ------------------------------------------------------------ Hungarian
+# NOTE: the reference's libstemmer predates the ő/ű orthography fix —
+# its Hungarian tables use õ (U+00F5) and û (U+00FB); the port matches
+# that exactly (oracle parity beats modern spelling)
+_HU_V = "aeiouáéíóöõúüû"
+_HU_DIGRAPHS = ("cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = sorted(
+    ["bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+     "rr", "ccs", "ss", "zzs", "tt", "vv", "ggy", "lly", "nny", "tty",
+     "ssz", "zz"],
+    key=len, reverse=True,
+)
+
+_HU_CASE = sorted(
+    ["ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+     "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül", "n",
+     "an", "ban", "en", "ben", "képpen", "on", "ön", "képp", "kor",
+     "t", "at", "et", "ként", "anként", "enként", "onként", "ot",
+     "ért", "öt", "hez", "hoz", "höz", "vá", "vé"],
+    key=len, reverse=True,
+)
+_HU_CASE_SPECIAL = sorted(
+    [("ánként", "a"), ("án", "a"), ("én", "e")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_HU_CASE_OTHER = sorted(
+    [("astul", ""), ("estül", ""), ("ástul", "a"), ("éstül", "e"),
+     ("stul", ""), ("stül", "")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_HU_OWNED = sorted(
+    [("áéi", "a"), ("ééi", "e"), ("éi", ""), ("aké", ""), ("eké", ""),
+     ("oké", ""), ("öké", ""), ("áké", "a"), ("éké", "e"), ("ké", ""),
+     ("éé", "e"), ("é", "")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_HU_SING_OWNER = sorted(
+    [("unk", ""), ("ünk", ""), ("ánk", "a"), ("énk", "e"), ("nk", ""),
+     ("ájuk", "a"), ("éjük", "e"), ("juk", ""), ("jük", ""),
+     ("uk", ""), ("ük", ""), ("am", ""), ("em", ""), ("om", ""),
+     ("ám", "a"), ("ém", "e"), ("m", ""), ("ad", ""), ("ed", ""),
+     ("od", ""), ("öd", ""), ("ád", "a"), ("éd", "e"), ("d", ""),
+     ("ja", ""), ("je", ""), ("a", ""), ("e", ""), ("o", ""),
+     ("á", "a"), ("é", "e")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_HU_PLUR_OWNER = sorted(
+    [("jaim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+     ("aim", ""), ("eim", ""), ("im", ""), ("jaid", ""), ("jeid", ""),
+     ("áid", "a"), ("éid", "e"), ("aid", ""), ("eid", ""), ("id", ""),
+     ("jai", ""), ("jei", ""), ("ái", "a"), ("éi", "e"), ("ai", ""),
+     ("ei", ""), ("i", ""), ("jaink", ""), ("jeink", ""),
+     ("áink", "a"), ("éink", "e"), ("aink", ""), ("eink", ""),
+     ("ink", ""), ("jaitok", ""), ("jeitek", ""), ("áitok", "a"),
+     ("éitek", "e"), ("aitok", ""), ("eitek", ""), ("itek", ""),
+     ("jaik", ""), ("jeik", ""), ("áik", "a"), ("éik", "e"),
+     ("aik", ""), ("eik", ""), ("ik", "")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+_HU_PLURAL = sorted(
+    [("ák", "a"), ("ék", "e"), ("ök", ""), ("ak", ""), ("ok", ""),
+     ("ek", ""), ("k", "")],
+    key=lambda p: len(p[0]), reverse=True,
+)
+
+
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian (the reference's pre-ő/ű-era tables) —
+    oracle-exact vs its compiled libstemmer
+    (tests/data/stem_golden_hu.tsv)."""
+    word = word.lower()
+    n = len(word)
+    # R1: word starts with a vowel -> after the first consonant run's
+    # digraph-or-single-char; consonant start -> after the first vowel
+    r1 = n
+    if n and word[0] in _HU_V:
+        i = 1
+        while i < n and word[i] in _HU_V:
+            i += 1
+        if i < n:
+            if word[i: i + 3] == "dzs":
+                r1 = i + 3
+            elif word[i: i + 2] in _HU_DIGRAPHS:
+                r1 = i + 2
+            else:
+                r1 = i + 1
+    else:
+        for i in range(n):
+            if word[i] in _HU_V:
+                r1 = i + 1
+                break
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def ends_double(w: str) -> bool:
+        return any(w.endswith(d) for d in _HU_DOUBLES)
+
+    def undouble(w: str) -> str:
+        # delete the char just before the last one ('toll'->'tol',
+        # 'ssz'->'sz')
+        return w[:-2] + w[-1] if len(w) >= 2 else w
+
+    def v_ending(w: str) -> str:
+        if w.endswith("á") and in_r1(len(w) - 1):
+            return w[:-1] + "a"
+        if w.endswith("é") and in_r1(len(w) - 1):
+            return w[:-1] + "e"
+        return w
+
+    # instrum: al/el in R1, preceded by a double consonant
+    for suf in ("al", "el"):
+        if word.endswith(suf) and in_r1(len(word) - 2):
+            if ends_double(word[:-2]):
+                word = undouble(word[:-2])
+            break
+
+    # case endings: longest among, R1, delete, then á/é -> a/e
+    for suf in _HU_CASE:
+        if word.endswith(suf):
+            if in_r1(len(word) - len(suf)):
+                word = v_ending(word[: -len(suf)])
+            break
+
+    # case_special: án/én/ánként -> a/e
+    for suf, rep in _HU_CASE_SPECIAL:
+        if word.endswith(suf):
+            if in_r1(len(word) - len(suf)):
+                word = word[: -len(suf)] + rep
+            break
+
+    # case_other: stul/stül family
+    for suf, rep in _HU_CASE_OTHER:
+        if word.endswith(suf):
+            if in_r1(len(word) - len(suf)):
+                word = word[: -len(suf)] + rep
+            break
+
+    # factive: á/é in R1 preceded by a double consonant
+    for suf in ("á", "é"):
+        if word.endswith(suf) and in_r1(len(word) - 1):
+            if ends_double(word[:-1]):
+                word = undouble(word[:-1])
+            break
+
+    # owned / sing_owner / plur_owner / plural
+    for table in (_HU_OWNED, _HU_SING_OWNER, _HU_PLUR_OWNER, _HU_PLURAL):
+        for suf, rep in table:
+            if word.endswith(suf):
+                if in_r1(len(word) - len(suf)):
+                    word = word[: -len(suf)] + rep
+                break
+    return word
+
+
 # ------------------------------------------------------------- Romanian
 _RO_VOWELS = "aăâeiîou"
 
@@ -1812,6 +2166,8 @@ _reg(norwegian_stem, "norwegian", "no", "nor")
 _reg(swedish_stem, "swedish", "sv", "swe")
 _reg(dutch_stem, "dutch", "nl", "dut", "nld")
 _reg(romanian_stem, "romanian", "ro", "rum", "ron")
+_reg(finnish_stem, "finnish", "fi", "fin")
+_reg(hungarian_stem, "hungarian", "hu", "hun")
 
 
 def stemmer_for(lang: str | None):
@@ -1820,9 +2176,9 @@ def stemmer_for(lang: str | None):
     -> "en"; an unknown language yields NO stemmer (import.c:676-679
     sb_stemmer_new returns NULL and the literal gets no stem quads).
     The classic-Porter port stays registered for the 'porter' module
-    alias; fi/hu/tr remain unported (those tags currently behave like
-    unknown languages — a documented delta vs the reference, which
-    ships Snowball Finnish/Hungarian/Turkish)."""
+    alias; only Turkish remains unported (tr currently behaves like an
+    unknown tag — a documented delta vs the reference, which ships
+    Snowball Turkish)."""
     from fourstore_spark.operators.fulltext import _porter_stem
 
     if not lang:

@@ -33,6 +33,8 @@ PORTS = {
     "sv": S.swedish_stem,
     "nl": S.dutch_stem,
     "ro": S.romanian_stem,
+    "fi": S.finnish_stem,
+    "hu": S.hungarian_stem,
 }
 
 
@@ -66,6 +68,8 @@ def test_dispatch_aliases():
     assert S.stemmer_for("pt-BR") is S.portuguese_stem
     assert S.stemmer_for("ron") is S.romanian_stem
     assert S.stemmer_for("porter") is _porter_stem
+    assert S.stemmer_for("fi") is S.finnish_stem
+    assert S.stemmer_for("hun") is S.hungarian_stem
     # unported / unknown tags -> no stemmer, literal gets no stem quads
     assert S.stemmer_for("xx") is None
-    assert S.stemmer_for("fi") is None
+    assert S.stemmer_for("tr") is None
