@@ -2170,15 +2170,22 @@ _reg(finnish_stem, "finnish", "fi", "fin")
 _reg(hungarian_stem, "hungarian", "hu", "hun")
 
 
+def _turkish(word: str) -> str:
+    from fourstore_spark.operators.turkish import turkish_stem
+
+    return turkish_stem(word)
+
+
+_reg(_turkish, "turkish", "tr", "tur")
+
+
 def stemmer_for(lang: str | None):
     """Language tag -> stem function, the reference's buffer_stems way:
     lowercase, truncate at the first non-letter ("it-GB" -> "it"), None
     -> "en"; an unknown language yields NO stemmer (import.c:676-679
     sb_stemmer_new returns NULL and the literal gets no stem quads).
-    The classic-Porter port stays registered for the 'porter' module
-    alias; only Turkish remains unported (tr currently behaves like an
-    unknown tag — a documented delta vs the reference, which ships
-    Snowball Turkish)."""
+    All 16 libstemmer modules have byte-exact ports (the classic
+    Porter port answers the 'porter' module alias)."""
     from fourstore_spark.operators.fulltext import _porter_stem
 
     if not lang:

@@ -17,6 +17,7 @@ import pytest
 
 from fourstore_spark.operators import stemmers as S
 from fourstore_spark.operators.fulltext import _porter_stem
+from fourstore_spark.operators.turkish import turkish_stem
 
 DATA = Path(__file__).parent / "data"
 
@@ -35,6 +36,7 @@ PORTS = {
     "ro": S.romanian_stem,
     "fi": S.finnish_stem,
     "hu": S.hungarian_stem,
+    "tr": turkish_stem,
 }
 
 
@@ -70,6 +72,8 @@ def test_dispatch_aliases():
     assert S.stemmer_for("porter") is _porter_stem
     assert S.stemmer_for("fi") is S.finnish_stem
     assert S.stemmer_for("hun") is S.hungarian_stem
-    # unported / unknown tags -> no stemmer, literal gets no stem quads
+    assert S.stemmer_for("tr")("kitaplarımız") == turkish_stem(
+        "kitaplarımız"
+    )
+    # unknown tags -> no stemmer, the literal gets no stem quads
     assert S.stemmer_for("xx") is None
-    assert S.stemmer_for("tr") is None
