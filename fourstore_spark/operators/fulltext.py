@@ -51,9 +51,10 @@ def tokens_of(lex: Column) -> Column:
 
 # ------------------------------------------------------- porter stemmer
 def _porter_stem(w: str) -> str:
-    """Porter stemming algorithm (M.F. Porter, 1980) — English."""
-    if len(w) <= 2:
-        return w
+    """Porter stemming algorithm (M.F. Porter, 1980) — the 'porter'
+    libstemmer module (en routes to stemmers.english_stem, Porter2).
+    No short-word guard: Snowball porter stems 2-letter words too
+    ('as' -> 'a'), oracle-verified (stem_golden_porter.tsv)."""
     w = w.lower()
 
     def is_cons(word, i):
@@ -99,12 +100,9 @@ def _porter_stem(w: str) -> str:
     elif w.endswith("ss"):
         pass
     elif w.endswith("s"):
-        # Porter2/libstemmer refinement (the reference's "english"
-        # stemmer): delete the s only when the preceding part contains
-        # a vowel NOT immediately before it — "this"/"has"/"gas" keep
-        # their s, "dogs"/"metaphones" lose it
-        if any(not is_cons(w, i) for i in range(len(w) - 2)):
-            w = w[:-1]
+        # classic Porter step 1a: bare *s -> delete, unconditionally
+        # (the vowel-refinement lives in Porter2 = stemmers.english_stem)
+        w = w[:-1]
     # step 1b
     flag = False
     if w.endswith("eed"):

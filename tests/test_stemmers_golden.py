@@ -52,15 +52,15 @@ def test_port_matches_reference_exactly(code):
     assert not bad, f"{code}: {len(bad)}/{len(pairs)} mismatches, e.g. {bad[:5]}"
 
 
-def test_classic_porter_close_to_module():
-    """The 'porter' module (classic Porter) port is near-exact; the
-    known deltas are <=2-letter words and bare-y edge forms."""
+def test_classic_porter_module_exact():
+    """The 'porter' module (classic Porter) port is byte-exact too —
+    all 16 libstemmer modules plus porter match the oracle."""
     pairs = [
         line.rstrip("\n").split("\t")
         for line in (DATA / "stem_golden_porter.tsv").open(encoding="utf-8")
     ]
     bad = [(w, _porter_stem(w), s) for w, s in pairs if _porter_stem(w) != s]
-    assert len(bad) / len(pairs) < 0.005, bad[:10]
+    assert not bad, bad[:10]
 
 
 def test_dispatch_aliases():
