@@ -693,6 +693,41 @@ def _op_fulltext_stem(spark, sf_dir):
     )
 
 
+def _op_fulltext_stem_multilang(spark, sf_dir):
+    """Every ported Snowball language through the real import path:
+    one tagged literal per language, stem quads derived by the T3
+    machinery (buffer_stems parity), projected as (lang, stem)."""
+    from fourstore_spark.operators.fulltext import (
+        FS_TEXT_INDEX,
+        FS_TEXT_STEM,
+        with_fulltext,
+    )
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+
+    words = {
+        "da": "følelserne", "de": "aufrichtigkeit", "en": "connections",
+        "es": "cantando", "fi": "taloissa", "fr": "continuations",
+        "hu": "asztalokon", "it": "pronunciare", "nl": "lichamelijke",
+        "no": "hetene", "pt": "propagandas", "ro": "copilului",
+        "ru": "важности", "sv": "fortsättningarna", "tr": "kitaplarımız",
+    }
+    nt = "".join(
+        f'<urn:w:{code}> <urn:p> "{w}"@{code} <urn:g:t> .\n'
+        for code, w in sorted(words.items())
+    ) + f"<urn:p> <{FS_TEXT_INDEX}> <{FS_TEXT_STEM}> <system:config> .\n"
+    quads = with_fulltext(quads_from_nt_text(spark, nt))
+    eng = SparqlEngine(spark, quads)
+    df = eng.select(
+        "SELECT ?s ?stem WHERE { ?s <http://4store.org/fulltext#stem> "
+        "?stem }"
+    )
+    return df.select(
+        F.regexp_extract(F.col("s"), r"urn:w:(\w+)", 1).alias("a_lang"),
+        "stem",
+    )
+
+
 def _op_fulltext_dmetaphone(spark, sf_dir):
     """Double-metaphone index (T2, import.c:603-657): phonetic search for
     'window' via its primary metaphone key."""
@@ -1827,6 +1862,20 @@ def _registry() -> dict[str, tuple]:
         "SELECT 'urn:documents:' || CAST(doc_id AS VARCHAR) AS d "
         "FROM documents WHERE list_contains("
         f"regexp_split_to_array(lower(text), '{_FT_BOUNDARY_SQL}'), 'merge')",
+    )
+    r["fulltext_stem_multilang"] = (
+        # one literal per ported Snowball language; expected stems are
+        # the REFERENCE's own libstemmer outputs (tests/data/
+        # stem_golden_*.tsv oracle) hardcoded as VALUES — the driver
+        # gate then cross-checks the whole 16-language dispatch
+        _op_fulltext_stem_multilang,
+        "SELECT * FROM (VALUES "
+        "('da', 'føl'), ('de', 'aufricht'), ('en', 'connect'), "
+        "('es', 'cant'), ('fi', 'talo'), ('fr', 'continu'), "
+        "('hu', 'asztal'), ('it', 'pronunc'), ('nl', 'licham'), "
+        "('no', 'het'), ('pt', 'propagand'), ('ro', 'copil'), "
+        "('ru', 'важност'), ('sv', 'fortsättning'), ('tr', 'kitap')"
+        ") AS t(a_lang, stem)",
     )
     r["fulltext_dmetaphone"] = (
         # 'window' is the only corpus word with metaphone key WNTW
