@@ -61,10 +61,13 @@ def _code_body(code_text: str) -> str:
 # a BASE of the request's own only counts in the PROLOGUE: whitespace,
 # comments and PREFIX declarations may precede it, but a line inside a
 # string literal that happens to start with "BASE" must not suppress
-# the default (r7 advice)
-_PROLOGUE_BASE_RE = re.compile(
-    r"(?is)^(?:\s|#[^\n]*\n?|PREFIX\s+[^\s<]*\s*<[^>]*>)*BASE\b"
-)
+# the default (r7 advice). The comment alternative must consume its
+# newline unconditionally — `#[^\n]*\n?` overlaps `\s` on the newline
+# and backtracks exponentially on comment-heavy prologues without a
+# BASE (r8 advice), so every comment match ends at `\n` or EOF.
+_PROLOGUE_PREFIX = r"(?is)^(?:\s|#[^\n]*(?:\n|$)|PREFIX\s+[^\s<]*\s*<[^>]*>)*"
+_PROLOGUE_BASE_RE = re.compile(_PROLOGUE_PREFIX + r"BASE\b")
+_PROLOGUE_BASE_IRI_RE = re.compile(_PROLOGUE_PREFIX + r"BASE\s*<([^>]*)>")
 
 
 def _with_default_base(text: str) -> str:
@@ -295,11 +298,7 @@ class SparqlHttpServer:
                             graph_turtle_abbrev,
                         )
 
-                        bm = re.match(
-                            r"(?is)^(?:\s|#[^\n]*\n?|PREFIX\s+[^\s<]*"
-                            r"\s*<[^>]*>)*BASE\s*<([^>]*)>",
-                            text,
-                        )
+                        bm = _PROLOGUE_BASE_IRI_RE.match(text)
                         body = graph_turtle_abbrev(
                             res.df, base=bm.group(1) if bm else None
                         )

@@ -18,16 +18,9 @@ from __future__ import annotations
 
 VOWELS = "aeıioöuü"
 U_VOWELS = "ıiuü"
-_HARMONY_PAIRS = [
-    ("a", "aıou" and "aıou"), ]  # placeholder, replaced below
 
 # harmony: last suffix vowel -> the grouping the PREVIOUS vowel must
-# belong to (turkish.sbl check_vowel_harmony)
-_HARMONY = {
-    "a": "aıou"[0:2] + "ou"[0:0] or "aı",  # vowel3? see below
-}
-# explicit, per the sbl: 'a' after vowel1(aıou)? No: the sbl checks
-# ('a' goto vowel1) etc. — vowel groupings:
+# belong to (turkish.sbl check_vowel_harmony) — vowel groupings:
 _V1 = "aıou"   # vowel1
 _V2 = "eiöü"   # vowel2
 _V3 = "aı"     # vowel3
