@@ -2737,8 +2737,7 @@ SELECT doc_id FROM (
 _HEAD = [
     "o3_soft_limit_exact",      # S1 scan through the O3 soft-limit path
     "s2_star_join",             # S2/J5 star scan
-    "p3_repeated_var",          # P3
-    "p_filter_pushdown",        # P2+P4+P5+F-in
+    "p_filter_pushdown",        # P2+P4+P5+F-in (P3 repeated-var: local gate)
     "j2_two_hop",               # J1+J2 chained joins
     "optional_filter_scope",    # J3 + filter-before-join nuance
     "j4_minus_variants",        # J4/U2 both compatible-mapping corners
@@ -2751,11 +2750,11 @@ _HEAD = [
     "o1_u1_order_union",        # O1+O2+U1+O4 (merged)
     "q2_q5_ask_explain",        # Q2+Q5 (merged)
     "q3_q4_graph_forms",        # Q3+Q4 (merged; singles past window)
-    "f_rand_now_bounds",        # F-rand+F-now bounded checks (promoted)
+    "fulltext_stem_multilang",  # T3: all 16 Snowball stemmers (r8)
     "graph_from_dataset",       # GRAPH slot + dataset clause (merged)
     "b1_bind",                  # B1
-    "path_seq",                 # property paths: sequence (beyond ref)
     "path_plus",                # property paths: + closure fixpoint
+                                #   (path_seq: local gate)
     "store_append",             # incremental store append
     "service_federated",        # SPARQL 1.1 SERVICE (live endpoint)
     "subselect_join",           # Q1 subselect
@@ -2766,7 +2765,8 @@ _HEAD = [
     "f_terms",                  # F-extract/strdt/same/cmp/ispred/langm
     "f_cond",                   # F-bound/if/coalesce
     "f_date_hash",              # F-date/hash/uuid
-    "events_hour_window",       # F-unix + window rollup (batch shape)
+    "sessionize_salted",        # skew-hardened sessionize (r8)
+    "asof_join_salted",         # skew-hardened as-of join (r8)
     "update_all",               # W1-W9 (merged r6; parts past window)
     "http_acl_query",           # S7 HTTP protocol + X1 graph ACLs
     "rdf_import_nt",            # S3
@@ -2777,13 +2777,15 @@ _HEAD = [
     "corpus_clean_full",        # LLM: corpus-cleaning composition
                                 #   (quality + repetition + decontaminate
                                 #   + fingerprint dedup, exact oracle)
-    "dedup_jaccard_verify",     # LLM: pairwise verifier
-    "dedup_minhash_lsh",        # LLM: MinHash LSH (verified, oracle)
+    "dedup_minhash_lsh",        # LLM: MinHash LSH (verified, oracle;
+                                #   jaccard verifier entry: local gate)
     "dedup_simhash",            # LLM: SimHash (verified, oracle)
     "text_stats_full",          # LLM: text analysis family
     "sim_cosine_topk",          # LLM: exact ANN baseline
     "sim_ivf_exact",            # LLM: IVF probe search
     "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
+    "semdedup",                 # LLM: within-cell cosine dedup (promoted)
+    "duplicate_spans",          # LLM: Lee-2022 window-hash spans (promoted)
     "stream_window_counts",     # streaming windowed rollup (oracle)
     "stream_sessionize",        # streaming stateful sessionize (oracle)
     "multimodal_decode",        # LLM: real WAV/BMP decode (exact oracle)
@@ -3172,7 +3174,10 @@ def _op_asof_join_salted(spark, sf_dir):
         left, right, ["user_id"], "ts", "ts", chunk_seconds=3600
     ).select(
         F.col("event_id").alias("a_id"),
-        "user_id", "ts", "click_id_r", "value_r",
+        "user_id", "ts", "click_id_r",
+        # scaled-BIGINT contract surface (see _l6); NULL stays NULL
+        F.round(F.col("value_r") * 1000000.0, 0)
+        .cast("long").alias("value_r"),
     )
 
 
@@ -3361,13 +3366,13 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
     # verified against the SAME oracles as the single-window operators
     r["asof_join_salted"] = (
         _op_asof_join_salted,
-        """
+        f"""
 WITH l AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'error'),
      r AS (SELECT user_id, ts AS r_ts, event_id AS click_id, value
            FROM events WHERE event_type = 'click')
 SELECT l.event_id AS a_id, l.user_id, l.ts,
-       r.click_id AS click_id_r, r.value AS value_r
+       r.click_id AS click_id_r, {_l6('r.value')} AS value_r
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
 """,
     )

@@ -39,6 +39,59 @@ def _epoch_s(c: Column) -> Column:
     return c.cast("timestamp").cast("long")
 
 
+def _auto_chunk_seconds(
+    df: DataFrame,
+    key_cols: list[str],
+    ep: Column,
+    target_rows: int = 200_000,
+) -> int:
+    """Derive a salting chunk width from the data instead of assuming
+    the hot key spans many days (r8 verdict: a key with 10^8 events
+    inside ONE day still landed one task under the fixed 86400 default).
+
+    One cheap pre-pass — a map-side-combined per-key (min, max, count)
+    aggregate folded to a single driver row — picks chunk_seconds so
+    the DENSEST key's (key, chunk) groups hold ~``target_rows`` rows,
+    assuming roughly uniform density over that key's span:
+    ``chunk_seconds = min over hot keys of span_k * target / n_k``.
+    Keys under ``target_rows`` never constrain the width; if no key is
+    hot the whole span becomes one chunk (the salted operator then
+    degenerates to the plain one plus a tiny summary join).
+
+    Floor of 1 second: a sub-second burst (10^6 events sharing one
+    timestamp) is un-splittable by TIME chunking by definition — at
+    that point the key needs a value-based salt, not a temporal one.
+    """
+    row = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min(ep).alias("__mn"),
+            F.max(ep).alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__n") > target_rows,
+                    F.greatest(
+                        F.lit(1),
+                        (
+                            (F.col("__mx") - F.col("__mn") + 1)
+                            * target_rows
+                            / F.col("__n")
+                        ).cast("long"),
+                    ),
+                )
+            ).alias("cs"),
+            (F.max("__mx") - F.min("__mn") + 1).alias("span"),
+        )
+        .collect()[0]
+    )
+    if row["cs"] is not None:
+        return int(row["cs"])
+    return max(1, int(row["span"] or 1))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -137,9 +190,16 @@ def sessionize_salted(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_seconds: int = 1800,
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | None = None,
+    target_rows_per_chunk: int = 200_000,
 ) -> DataFrame:
     """``sessionize`` for SKEWED keys: identical output, two phases.
+
+    ``chunk_seconds=None`` (default) derives the chunk width from a
+    cheap per-key (min, max, count) pre-pass so the densest key's
+    chunks hold ~``target_rows_per_chunk`` rows (see
+    ``_auto_chunk_seconds`` — this runs one eager aggregate job at
+    construction time); pass an explicit width to stay fully lazy.
 
     The plain operator windows over ``partitionBy(key)`` — a hot entity
     (one user with 10^8 events) lands on ONE task and AQE cannot split
@@ -163,6 +223,10 @@ def sessionize_salted(
     tests/test_skew_temporal.py.
     """
     ep = _epoch_s(F.col(ts_col))
+    if chunk_seconds is None:
+        chunk_seconds = _auto_chunk_seconds(
+            events, [key_col], ep, target_rows_per_chunk
+        )
     ev = events.withColumn("__chunk", F.floor(ep / chunk_seconds))
 
     w_local = Window.partitionBy(key_col, "__chunk").orderBy(
@@ -218,9 +282,14 @@ def asof_join_salted(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
-    chunk_seconds: int = 86400,
+    chunk_seconds: int | None = None,
+    target_rows_per_chunk: int = 200_000,
 ) -> DataFrame:
     """``asof_join`` for SKEWED keys: identical semantics, two phases.
+
+    ``chunk_seconds=None`` (default) derives the chunk width from the
+    two sides' combined per-key density (``_auto_chunk_seconds``, one
+    eager pre-aggregate); pass an explicit width to stay fully lazy.
 
     Phase 1 runs the union + running-last window over (key, chunk)
     instead of (key): the hot key spreads across its time range.  A row
@@ -258,6 +327,10 @@ def asof_join_salted(
             "__l", F.lit(None).cast(l_t)
         )
     )
+    if chunk_seconds is None:
+        chunk_seconds = _auto_chunk_seconds(
+            u, on, _epoch_s(F.col("__t")), target_rows_per_chunk
+        )
     u = u.withColumn(
         "__chunk", F.floor(_epoch_s(F.col("__t")) / chunk_seconds)
     )

@@ -69,6 +69,87 @@ def test_sessionize_salted_skewed_within_bound(skewed):
     assert "__chunk" in plan
 
 
+@pytest.fixture(scope="module")
+def skewed_one_day(spark):
+    # r8 verdict corner: the hot key's WHOLE timeline fits in a single
+    # 86400s day, so the old fixed day-wide default would put every hot
+    # row back on one task; auto-derived chunk_seconds must split it.
+    # 50% of rows on key 0, all timestamps inside one day (~0.086s apart).
+    df = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise((F.col("id") % 10_000) + 1)
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") * 86_400) / N
+            ).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        .persist()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_auto_chunk_seconds_splits_single_day_hot_key(skewed_one_day):
+    from fourstore_spark.operators.temporal import (
+        _auto_chunk_seconds,
+        _epoch_s,
+    )
+
+    cs = _auto_chunk_seconds(
+        skewed_one_day, ["user_id"], _epoch_s(F.col("ts")), 200_000
+    )
+    # hot key: 500k rows over 86400s -> ~34.5ks chunks (>=2 buckets);
+    # must be far below the old day-wide default AND at least 1
+    assert 1 <= cs < 86_400, cs
+    hot_rows = N // 2
+    assert cs <= 86_400 * 200_000 // hot_rows + 1
+
+
+def test_sessionize_salted_auto_single_day_within_bound(skewed_one_day):
+    from fourstore_spark.operators.temporal import sessionize_salted
+
+    t0 = time.time()
+    # default chunk_seconds=None -> auto-derived from the data
+    out = sessionize_salted(skewed_one_day, gap_seconds=1800)
+    n = out.count()
+    hot_sessions = (
+        out.where(F.col("user_id") == 0)
+        .agg(F.countDistinct("session_no"))
+        .collect()[0][0]
+    )
+    elapsed = time.time() - t0
+    assert n == N
+    # hot key events ~0.17s apart, gap 1800 -> one long session even
+    # across auto-chunk boundaries (the merge reconciliation)
+    assert hot_sessions == 1
+    assert elapsed < BOUND_S, f"auto-salted sessionize took {elapsed:.1f}s"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+
+
+def test_asof_salted_auto_single_day_matches_plain(spark, skewed_one_day):
+    from fourstore_spark.operators.temporal import asof_join, asof_join_salted
+
+    left = skewed_one_day.select("event_id", "user_id", "ts").where(
+        F.col("event_id") % 100 == 0
+    )
+    right = skewed_one_day.select(
+        "user_id", "ts", F.col("value").alias("px")
+    ).where(F.col("event_id") % 7 == 0)
+    t0 = time.time()
+    got = asof_join_salted(left, right, ["user_id"])  # auto chunks
+    want = asof_join(left, right, ["user_id"])
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    elapsed = time.time() - t0
+    assert diff == 0
+    assert elapsed < BOUND_S, f"auto-salted asof took {elapsed:.1f}s"
+
+
 def test_asof_salted_skewed_within_bound(spark, skewed):
     from fourstore_spark.operators.temporal import asof_join_salted
 
