@@ -644,6 +644,34 @@ def _op_serialize_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, "s string, name string")
 
 
+def _op_trix_roundtrip(spark, sf_dir):
+    """TriX dump -> TriX restore (dump.c:134-249 / restore-trix.c
+    parity): the region+nation name/FK quads serialize to a TriX
+    document and parse back; the oracle replays the same rows straight
+    from the relational tables, so any loss or mangling in EITHER
+    direction of the XML path breaks the value hash."""
+    from fourstore_spark.sources.rdfio import (
+        quads_from_trix,
+        trix_from_quads,
+    )
+
+    preds = [
+        "urn:col:region#r_name",
+        "urn:col:nation#n_name",
+        "urn:col:nation#n_regionkey",
+    ]
+    q = _engine(spark, sf_dir).quads.where(F.col("p").isin(preds))
+    back = quads_from_trix(
+        spark, trix_from_quads(q), namespace_bnodes=False
+    )
+    return back.select(
+        F.col("g").alias("a_g"),
+        F.col("s").alias("b_s"),
+        F.col("p").alias("c_p"),
+        F.col("o_lex").alias("d_lex"),
+    )
+
+
 _FT_BOUNDARY_SQL = r'[ \n\t\r!@$%^&*()\-_=+\[\]{};:"\\|<>,./?#]+'
 
 
@@ -1892,6 +1920,21 @@ def _registry() -> dict[str, tuple]:
         _op_serialize_roundtrip,
         "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS s, "
         "r_name AS name FROM region",
+    )
+    r["trix_roundtrip"] = (
+        _op_trix_roundtrip,
+        """
+SELECT 'urn:g:region' AS a_g,
+       'urn:region:' || CAST(r_regionkey AS VARCHAR) AS b_s,
+       'urn:col:region#r_name' AS c_p, r_name AS d_lex FROM region
+UNION ALL
+SELECT 'urn:g:nation', 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+       'urn:col:nation#n_name', n_name FROM nation
+UNION ALL
+SELECT 'urn:g:nation', 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+       'urn:col:nation#n_regionkey',
+       'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+""",
     )
     r["fulltext_token"] = (
         _op_fulltext_token,

@@ -383,14 +383,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "restore":
         # 4s-restore (src/utilities/4s-restore): rebuild a store from
-        # N-Quads dump files (graph terms preserved)
-        from fourstore_spark.sources.rdfio import quads_from_nt, report_skips
+        # N-Quads dump files (graph terms preserved); .trix/.xml dumps
+        # route through the TriX reader (== 4s-restore-trix,
+        # src/frontend/restore-trix.c)
+        from fourstore_spark.sources.rdfio import (
+            load_rdf,
+            quads_from_nt,
+            report_skips,
+        )
         from fourstore_spark.sparql.update import empty_quads, quads_add
 
         quads = empty_quads(spark)
         loaded = []
         for f in args.dumps:
-            df = quads_from_nt(spark, f)
+            if f.lower().endswith((".trix", ".xml")):
+                df = load_rdf(spark, f)
+            else:
+                df = quads_from_nt(spark, f)
             loaded.append((f, df))
             quads = quads_add(quads, df)
         _swap_store(spark, quads, args.store)
@@ -470,9 +479,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dump":
-        from fourstore_spark.sources.rdfio import quads_to_nq_lines
+        from fourstore_spark.sources.rdfio import (
+            quads_to_nq_lines,
+            trix_from_quads,
+        )
         from fourstore_spark.store import read_store
 
+        if args.out.lower().endswith(".trix"):
+            # == 4s-dump's TriX writer (src/frontend/dump.c:243-249):
+            # driver-side single file; N-Quads stays the scale path
+            with open(args.out, "w", encoding="utf-8") as fh:
+                fh.write(trix_from_quads(read_store(spark, args.store)))
+            return 0
         quads_to_nq_lines(read_store(spark, args.store)).write.mode(
             "overwrite"
         ).text(args.out)
