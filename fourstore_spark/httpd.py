@@ -583,14 +583,12 @@ class SparqlHttpServer:
 
             def _load(self, graph: str, body: str, replace: bool,
                       ct: str | None = None):
-                from fourstore_spark.sparql.update import quads_add
-
                 try:
                     quads = self._parse_rdf_body(body, graph, ct=ct)
                     with outer._write_lock:
                         if replace:
                             outer.ue.update(f"CLEAR SILENT GRAPH <{graph}>")
-                        outer.ue.quads = quads_add(outer.ue.quads, quads)
+                        outer.ue.add_quads(quads)  # tracked: O(delta) commit
                         # import-time full-text derivation (T1-T3): when
                         # the system:config graph directs indexing, the
                         # INCOMING triples grow fs:token/stem/dmetaphone
@@ -607,9 +605,7 @@ class SparqlHttpServer:
                         if cfg:
                             derived = derive_fulltext_quads(quads, cfg)
                             if derived is not None:
-                                outer.ue.quads = quads_add(
-                                    outer.ue.quads, derived
-                                )
+                                outer.ue.add_quads(derived)
                         outer.ue.commit()  # bound lineage (see /update/)
                 except Exception as exc:  # noqa: BLE001
                     # http_error("400 RDF parser reported errors") shape,

@@ -98,6 +98,14 @@ def quads_minus_any_graph(store: DataFrame, removed: DataFrame) -> DataFrame:
 
 def quads_add(store: DataFrame, added: DataFrame) -> DataFrame:
     """Set union: only quads not already present are appended."""
+    return quads_add_parts(store, added)[0]
+
+
+def quads_add_parts(store: DataFrame, added: DataFrame):
+    """``quads_add`` exposing the deduplicated delta: returns
+    ``(store ∪ fresh, fresh)`` so an incremental commit can checkpoint
+    only ``fresh`` instead of the whole union (the in-memory analogue
+    of store.py append_quads writing one delta file)."""
     fresh = (
         added.dropDuplicates(QCOLS)
         .alias("__delta")
@@ -107,7 +115,7 @@ def quads_add(store: DataFrame, added: DataFrame) -> DataFrame:
             "left_anti",
         )
     )
-    return store.unionByName(fresh)
+    return store.unionByName(fresh), fresh
 
 
 class UpdateEngine:
@@ -131,12 +139,34 @@ class UpdateEngine:
         model). Default False = SPARQL 1.1 (default graph only); the
         HTTP server — the 4store-parity surface — turns it on."""
         self.spark = spark
-        self.quads = quads if quads is not None else empty_quads(spark)
+        self._quads = quads if quads is not None else empty_quads(spark)
         self.union_default_graph = union_default_graph
         self.wildcard_delete = wildcard_delete
         self._bnode_seq = 0
         # LOAD resolver: uri -> quads DataFrame; default reads local files
         self._load_fn = load_fn or self._default_load
+        # incremental-commit bookkeeping (r8 verdict: commit() was
+        # O(store) per HTTP write): _base is the last fully materialized
+        # store, _parts the checkpointed deltas since, _pending the
+        # not-yet-committed delta frames of purely-additive updates, and
+        # _dirty forces the full-materialization path after any
+        # destructive or untracked mutation
+        self._base = self._quads
+        self._parts: list[DataFrame] = []
+        self._pending: list[DataFrame] = []
+        self._dirty = False
+
+    @property
+    def quads(self) -> DataFrame:
+        return self._quads
+
+    @quads.setter
+    def quads(self, df: DataFrame) -> None:
+        # external replacement: nothing is known about the new frame, so
+        # the next commit() takes the full-materialization path
+        self._quads = df
+        self._pending = []
+        self._dirty = True
 
     # ------------------------------------------------------------ public
     def update(self, text: str) -> list[str]:
@@ -146,8 +176,10 @@ class UpdateEngine:
         silent. The HTTP endpoint serves the joined messages as the
         response body (http_import_start, httpd.c:512-525)."""
         ops = parse_update(text)
-        new = self.quads
+        new = self._quads
         messages: list[str] = []
+        pending: list[DataFrame] = []
+        dirty = False
         for op in ops:
             if isinstance(op, A.GraphCopyOp):
                 # materialize the pre-op state ONCE so the message
@@ -159,9 +191,42 @@ class UpdateEngine:
                 # (update.c:732, :812, :910).
                 new = new.localCheckpoint(eager=True)
                 messages += self._graph_copy_messages(new, op)
-            new = self._apply(new, op)
-        self.quads = new
+            # purely-additive ops record their deduplicated delta so
+            # commit() can checkpoint O(delta) instead of O(store)
+            if isinstance(op, A.InsertDataOp):
+                new, fresh = quads_add_parts(new, self._const_quads(op.quads))
+                pending.append(fresh)
+            elif isinstance(op, A.LoadOp):
+                try:
+                    loaded = self._load_fn(
+                        op.source, op.graph or DEFAULT_GRAPH
+                    )
+                except Exception:
+                    if op.silent:
+                        continue
+                    raise
+                new, fresh = quads_add_parts(new, loaded)
+                pending.append(fresh)
+            elif isinstance(op, A.CreateOp):
+                pass  # graphs exist implicitly (update.c:225-226)
+            else:
+                new = self._apply(new, op)
+                dirty = True
+        self._quads = new
+        if dirty:
+            self._dirty = True
+            self._pending = []
+        else:
+            self._pending += pending
         return messages
+
+    def add_quads(self, added: DataFrame) -> None:
+        """Tracked additive write (the HTTP PUT/POST /data/ path): the
+        deduplicated delta is recorded so the next :meth:`commit` stays
+        proportional to it."""
+        new, fresh = quads_add_parts(self._quads, added)
+        self._quads = new
+        self._pending.append(fresh)
 
     @staticmethod
     def _graph_copy_messages(store: DataFrame, op) -> list[str]:
@@ -182,10 +247,34 @@ class UpdateEngine:
         removed = "0" if op.kind == "add" else "??"
         return [head, f"{n} triples added, {removed} removed"]
 
-    def commit(self) -> None:
-        """Cut the op lineage (the in-memory analogue of a Delta commit):
-        materializes the current store on the executors."""
-        self.quads = self.quads.localCheckpoint(eager=True)
+    def commit(self, compact_every: int = 64) -> None:
+        """Cut the op lineage (the in-memory analogue of a Delta/Iceberg
+        commit).
+
+        Additive-only windows (INSERT DATA / LOAD / :meth:`add_quads`,
+        the common HTTP write traffic) checkpoint ONLY their
+        deduplicated deltas and keep the store as a lazy
+        ``base ∪ delta₁ ∪ … ∪ deltaₖ`` — per-write materialization is
+        proportional to the delta, mirroring store.py append_quads'
+        one-delta-file discipline. Every ``compact_every`` delta parts
+        (or after any destructive/untracked mutation) the whole union
+        folds into one full materialization, bounding both lineage
+        depth and read-side union width — the compact_store analogue."""
+        if self._dirty:
+            self._quads = self._quads.localCheckpoint(eager=True)
+            self._base, self._parts = self._quads, []
+            self._dirty = False
+        elif self._pending:
+            for f in self._pending:
+                self._parts.append(f.localCheckpoint(eager=True))
+            q = self._base
+            for d in self._parts:
+                q = q.unionByName(d)
+            self._quads = q
+            if len(self._parts) >= compact_every:
+                self._quads = self._quads.localCheckpoint(eager=True)
+                self._base, self._parts = self._quads, []
+        self._pending = []
         self._txn_base = None
 
     # ---- transactions (4store.h:55-58 begin/pre-commit/commit/rollback;
@@ -196,12 +285,16 @@ class UpdateEngine:
     def begin(self) -> None:
         if getattr(self, "_txn_base", None) is not None:
             raise RuntimeError("transaction already in progress")
-        self._txn_base = self.quads
+        self._txn_base = self._quads
 
     def rollback(self) -> None:
         if getattr(self, "_txn_base", None) is None:
             raise RuntimeError("no transaction in progress")
-        self.quads = self._txn_base
+        # O(1) pointer restore; the delta bookkeeping may reference the
+        # discarded lineage, so the next commit takes the full path
+        self._quads = self._txn_base
+        self._pending = []
+        self._dirty = True
         self._txn_base = None
 
     def transaction(self):
