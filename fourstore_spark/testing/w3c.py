@@ -566,7 +566,21 @@ def _run_csv_eval(spark, t: W3CTest):
     g, w = got[1:], want[1:]
     if not ordered:
         g, w = sorted(g), sorted(w)
-    if g == w:
+
+    def canon_bnodes(rows):
+        # bnode labels carry no cross-document meaning (csv-tsv-res
+        # spec §3/§4): relabel by first appearance so the comparison is
+        # a label bijection, like solutions_match for SELECT results
+        m: dict = {}
+        return [
+            tuple(
+                m.setdefault(c, f"_:c{len(m)}") if c.startswith("_:") else c
+                for c in row
+            )
+            for row in rows
+        ]
+
+    if canon_bnodes(g) == canon_bnodes(w):
         return ("pass", "")
     return ("fail", f"rows differ: got {g!r} want {w!r}")
 
