@@ -337,8 +337,9 @@ class UpdateEngine:
 
     # ------------------------------------------------------------ ops
     def _apply(self, store: DataFrame, op) -> DataFrame:
-        if isinstance(op, A.InsertDataOp):
-            return quads_add(store, self._const_quads(op.quads))
+        """Destructive / store-rewriting ops. The additive ops
+        (INSERT DATA, LOAD, CREATE) are handled inline in :meth:`update`
+        so their deltas feed the O(delta) commit tracking."""
         if isinstance(op, A.DeleteDataOp):
             bare_g = WILDCARD_GRAPH if self.wildcard_delete else DEFAULT_GRAPH
             return self._minus_split(
@@ -346,18 +347,8 @@ class UpdateEngine:
             )
         if isinstance(op, A.ModifyOp):
             return self._modify(store, op)
-        if isinstance(op, A.LoadOp):
-            try:
-                loaded = self._load_fn(op.source, op.graph or DEFAULT_GRAPH)
-            except Exception:
-                if op.silent:
-                    return store
-                raise
-            return quads_add(store, loaded)
         if isinstance(op, A.ClearOp):
             return self._clear(store, op)
-        if isinstance(op, A.CreateOp):
-            return store  # graphs exist implicitly (update.c:225-226)
         if isinstance(op, A.GraphCopyOp):
             return self._graph_copy(store, op)
         raise TypeError(f"unknown update op {op!r}")

@@ -16,7 +16,12 @@ reproducible:
 - embeddings are per-copy dimension-ROTATED: norms and within-copy
   geometry are preserved, cross-copy cosine similarity decorrelates.
 
-Usage: python scripts/gen_sf1.py [out_dir]  (default /tmp/sfdata/sf1)
+Usage: python scripts/gen_sf1.py [out_dir] [copies]
+       (defaults /tmp/sfdata/sf1, 10 copies; 30 copies ~= sf3 for the
+       r9 scale-trend measurement — the key spans keep 30 copies
+       collision-free and the 64-dim embedding rotation stays
+       injective; text permutations extend past 26 copies via affine
+       alphabet maps so no copy pair is ever an exact text duplicate)
 """
 
 from __future__ import annotations
@@ -30,6 +35,10 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+# multipliers coprime to 26: affine maps (a, b) -> idx*a+b give 12*26
+# distinct alphabet permutations; copies 0-25 keep the original pure
+# rotations (a=1) so the published sf1 recipe is byte-identical
+_UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 
 # key column -> shift span (next power-of-10 above the sf0.1 max key,
 # so shifted ranges never collide and keys stay readable)
@@ -55,7 +64,8 @@ TABLES = [
 
 
 def rotated(i: int) -> str:
-    return ALPHA[i:] + ALPHA[:i]
+    a, b = _UNITS[i // 26 % len(_UNITS)], i % 26
+    return "".join(ALPHA[(a * k + b) % 26] for k in range(26))
 
 
 def copy_select(table: str, cols: list[str], i: int) -> str:
@@ -80,7 +90,9 @@ def copy_select(table: str, cols: list[str], i: int) -> str:
     return f"SELECT {', '.join(parts)} FROM src WHERE TRUE"
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, copies: int = COPIES) -> None:
+    global COPIES
+    COPIES = copies
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -109,4 +121,7 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else COPIES,
+    )
