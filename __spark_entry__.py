@@ -3630,6 +3630,95 @@ ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
     return r
 
 
+def _op_lm_perplexity(spark, sf_dir):
+    """CCNet-style corpus quality scoring: add-0.5 bigram LM trained on
+    the corpus itself, per-doc perplexity as an exact integer micro-nat
+    sum, head/middle/tail split at the exact perplexity terciles
+    (Wenzek 2020 §4.3). Doubles stay out of the hashed payload — the
+    contract surface is (n_bigrams, logprob_micro, bucket)."""
+    from fourstore_spark.operators.lm import ccnet_partition, lm_score
+
+    scored = lm_score(_docs(spark, sf_dir))
+    return ccnet_partition(scored).select(
+        "doc_id", "n_bigrams", "logprob_micro", "bucket"
+    )
+
+
+def _op_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed bag-of-terms
+    query over documents; per-term contributions are micro-quantized
+    before the integer per-doc sum (order-independent)."""
+    from fourstore_spark.operators.lm import bm25_score
+
+    return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
+
+
+_LM_TOKS_SQL = r"""
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+"""
+
+
+def _round9_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    # bigram-LM perplexity buckets: full count/score/tercile replay
+    r["lm_perplexity_ccnet"] = (
+        _op_lm_perplexity,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+), v AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         for i in range(1, len(t))]) AS p
+  FROM toks WHERE len(t) >= 2
+), bp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY 1, 2),
+sc AS (
+  SELECT bp.doc_id,
+         CAST(round(ln((bc.c12 + 0.5) / (uni.c1 + 0.5 * v.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bp JOIN uni USING (w1) JOIN bc USING (w1, w2), v
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         SUM(lp) AS logprob_micro
+  FROM sc GROUP BY doc_id
+), t AS (
+  SELECT quantile_cont(-logprob_micro / n_bigrams,
+                       [1.0/3.0, 2.0/3.0]) AS t
+  FROM agg
+)
+SELECT doc_id, n_bigrams, logprob_micro,
+  CASE WHEN -logprob_micro / n_bigrams <= t[1] THEN 'head'
+       WHEN -logprob_micro / n_bigrams <= t[2] THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM agg, t
+""",
+    )
+    # BM25: identical idf/saturation formula, micro-quantized per term
+    r["bm25_search"] = (
+        _op_bm25_search,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(t) AS dl, term, count(*) AS tf FROM (
+    SELECT doc_id, t,
+           unnest(list_filter(t, x -> x IN ('merge', 'spark', 'table')))
+             AS term
+    FROM toks) GROUP BY 1, 2, 3
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+  SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      * 1000000) AS BIGINT)) AS score_micro
+FROM tf JOIN df USING (term), corpus GROUP BY doc_id
+""",
+    )
+    return r
+
+
 _REG = None
 
 
@@ -3641,6 +3730,7 @@ def _reg() -> dict[str, tuple]:
         full.update(_round4_entries())
         full.update(_round5_entries())
         full.update(_round6_entries())
+        full.update(_round9_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

@@ -1,0 +1,254 @@
+"""N-gram language-model quality scoring and BM25 ranked retrieval.
+
+Extends the reference's free-text machinery (token derived quads,
+src/frontend/import.c:603-700) with the two classic corpus-scoring
+primitives a training-data pipeline runs at scale:
+
+- **CCNet-style LM perplexity filtering** (Wenzek et al. 2020): train an
+  add-k-smoothed bigram LM on the corpus itself, score every document's
+  perplexity under it, and split the corpus into head/middle/tail
+  quality buckets at the perplexity terciles.
+- **BM25 ranked retrieval** (Robertson/Sparck Jones): score documents
+  against a bag-of-terms query with the standard k1/b saturation and
+  length normalization.
+
+Scale shape (100 TB): counting is one explode + one map-side-combined
+groupBy; scoring joins doc bigrams to the count table on (w1, w2) — a
+plain equi-join Catalyst can shuffle-hash, or a broadcast when the LM is
+pruned to a top-N vocabulary (`prune_top`, the CCNet deployment mode:
+a pruned KenLM is a few GB against petabytes of text). BM25's document
+frequencies and average length are tiny aggregates; the per-term scan
+filters to query terms before the explode so non-matching tokens never
+leave the scan projection.
+
+Determinism discipline: every logarithm is quantized to integer
+micro-nats (round(ln(...) * 1e6)) BEFORE summation, so per-document
+totals are exact integer sums — order-independent across Spark/DuckDB
+partitionings — and safe for the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "lm_tokens",
+    "unigram_counts",
+    "bigram_counts",
+    "lm_score",
+    "ccnet_partition",
+    "bm25_score",
+]
+
+MICRO = 1_000_000.0
+
+
+def lm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty/blank text -> empty array)."""
+    t = F.trim(F.lower(text))
+    return F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(w1, c1) occurrence counts over the whole corpus — one explode +
+    one groupBy; partial aggregation combines map-side before the single
+    shuffle on the token."""
+    return (
+        _tokenized(df, text_col, id_col)
+        .select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+
+
+def _bigrams(toks: DataFrame) -> DataFrame:
+    """doc_id, w1, w2 for every adjacent token pair (docs with < 2
+    tokens contribute nothing). The pair array is built inside the scan
+    projection (sequence + transform, whole-stage codegen) — tokens are
+    never shuffled, only the pairs that survive downstream filters."""
+    pairs = F.expr(
+        "transform(sequence(0, size(t) - 2), "
+        "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+    )
+    return (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(w1, w2, c12) adjacent-pair counts over the whole corpus."""
+    return (
+        _bigrams(_tokenized(df, text_col, id_col))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+    *,
+    k: float = 0.5,
+    vocab_size: int | None = None,
+    prune_top: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document add-k bigram-LM score: (doc_id, n_bigrams,
+    logprob_micro, ppl).
+
+    logp(w2|w1) = ln((c12 + k) / (c1 + k * V)); V = distinct unigrams.
+    Each bigram's logp is quantized to micro-nats (BIGINT) before the
+    per-document sum, so `logprob_micro` is an exact integer total.
+    `ppl` = exp(-logprob_micro / 1e6 / n_bigrams) is the conventional
+    per-bigram perplexity (double, derived — compare on the integers).
+
+    Train-on-self by default (the CCNet bootstrap); pass pre-trained
+    `unigrams`/`bigrams` to score against a held LM. `prune_top` keeps
+    only the N most frequent bigrams (ties broken by (w1, w2)) — the
+    dropped mass falls back to the smoothed floor ln(k / (c1 + k*V)),
+    and the now-small LM broadcasts instead of shuffling the corpus.
+    """
+    if unigrams is None:
+        unigrams = unigram_counts(df, text_col, id_col)
+    if bigrams is None:
+        bigrams = bigram_counts(df, text_col, id_col)
+    if vocab_size is None:
+        vocab_size = unigrams.count()  # one tiny job; pass it to avoid
+    if prune_top is not None:
+        bigrams = (
+            bigrams.orderBy(F.desc("c12"), "w1", "w2").limit(prune_top)
+        )
+        bigrams = F.broadcast(bigrams)
+        unigrams = F.broadcast(unigrams)
+
+    toks = _tokenized(df, text_col, id_col)
+    big = _bigrams(toks)
+    denom = F.col("c1") + F.lit(k) * F.lit(float(vocab_size))
+    logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k)) / denom)
+    scored = (
+        big.join(unigrams, "w1")  # every w1 occurs, so inner is total
+        .join(bigrams, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.round(logp * MICRO, 0).cast("long").alias("lp_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+    )
+    return scored.withColumn(
+        "ppl",
+        F.exp(-(F.col("logprob_micro") / MICRO) / F.col("n_bigrams")),
+    )
+
+
+def ccnet_partition(
+    scored: DataFrame,
+    *,
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """Split LM-scored docs into head/middle/tail by perplexity terciles
+    (CCNet §4.3: lower perplexity = cleaner text = 'head').
+
+    Thresholds come from one exact `percentile` over the per-bigram
+    average micro-nats (an integer-derived double, so both engines
+    interpolate identical values); the bucket assignment itself is a
+    pure column expression. At scale swap `percentile` for
+    `approx_percentile` — the split stays a two-job pattern (tiny
+    threshold aggregate + one scan)."""
+    avg = (-F.col("logprob_micro") / F.col("n_bigrams")).alias("avg_nll")
+    base = scored.select("doc_id", "n_bigrams", "logprob_micro", avg)
+    lo, hi = fractions
+    t = base.agg(
+        F.expr(
+            f"percentile(avg_nll, array({lo!r}, {hi!r}))"
+        ).alias("t")
+    ).head()["t"]
+    return base.withColumn(
+        "bucket",
+        F.when(F.col("avg_nll") <= float(t[0]), F.lit("head"))
+        .when(F.col("avg_nll") <= float(t[1]), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scores for a bag-of-terms query: (doc_id, n_hits,
+    score_micro) for every document matching >= 1 term.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)); per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), quantized to
+    micro units per term then integer-summed (same determinism
+    discipline as lm_score). N/avgdl/df are three tiny aggregates; the
+    per-doc tf explode filters to the query terms inside the scan, so
+    corpus tokens that match no term are never materialized."""
+    terms = sorted(set(terms))
+    tarr = F.array(*[F.lit(t) for t in terms])
+    toks = _tokenized(df, text_col, id_col).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    corpus = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).head()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+
+    tf = (
+        toks.select(
+            "doc_id", "dl",
+            # keep only query-term occurrences: the filter runs inside
+            # the scan projection, so non-matching tokens never explode
+            F.explode(
+                F.filter(F.col("t"), lambda x: F.array_contains(tarr, x))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    return (
+        tf.join(docfreq, "term")
+        .select(
+            "doc_id",
+            F.round(contrib * MICRO, 0).cast("long").alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum("c_micro").alias("score_micro"),
+        )
+    )
