@@ -3653,6 +3653,34 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary induction: 24 merges learned from the
+    documents word-frequency table. Iterative (each merge depends on the
+    previous argmax) -> rows-only driver check; the full differential
+    oracle vs a pure-Python reference runs in tests/test_bpe.py on the
+    same real data."""
+    from fourstore_spark.operators.bpe import (
+        bpe_train, merges_df, word_counts,
+    )
+
+    merges = bpe_train(word_counts(_docs(spark, sf_dir)), 24)
+    return merges_df(spark, merges)
+
+
+def _op_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the learned merges: (doc_id, n_pieces) —
+    the tokenizer-budget surface. Sequential per-word inner loop ->
+    Arrow-batched pandas UDF with a per-worker word memo; rows-only
+    driver check (tests/test_bpe.py carries the exact oracle)."""
+    from fourstore_spark.operators.bpe import (
+        bpe_encode, bpe_train, word_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_train(word_counts(d), 24)
+    return bpe_encode(d, merges).select("doc_id", "n_pieces")
+
+
 _LM_TOKS_SQL = r"""
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM documents WHERE length(trim(text)) > 0
@@ -3716,6 +3744,10 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
 FROM tf JOIN df USING (term), corpus GROUP BY doc_id
 """,
     )
+    # iterative trainer: rows-only by design (the per-merge argmax is
+    # not SQL-expressible); tests/test_bpe.py replays it exactly
+    r["bpe_train_merges"] = (_op_bpe_train, None)
+    r["bpe_encode_pieces"] = (_op_bpe_encode, None)
     return r
 
 
