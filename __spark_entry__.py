@@ -3653,6 +3653,27 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_ann_recall_int8(spark, sf_dir):
+    """recall@5 of exact search over int8-quantized embeddings vs the
+    float baseline — the index-quality gauge for the 4x-smaller store."""
+    from fourstore_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = cosine_topk(
+        dequantize_embeddings(quantize_embeddings(emb)), queries, k=5
+    )
+    return ann_recall(exact, approx)
+
+
 def _op_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary induction: 24 merges learned from the
     documents word-frequency table. Iterative (each merge depends on the
@@ -3748,6 +3769,45 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # recall@k of int8-quantized search vs the float baseline — the
+    # oracle replays quantize -> dequantize -> topk -> recall in full
+    r["ann_recall_int8"] = (
+        _op_ann_recall_int8,
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM e
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN
+           list_transform(v, x -> CAST(CAST(floor(x / s + 0.5) AS BIGINT)
+                                       * s AS FLOAT)::DOUBLE)
+         ELSE list_transform(v, x -> 0.0) END AS v
+  FROM sc
+), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+ex AS (
+  SELECT qid AS query_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY list_cosine_similarity(c.v, qv) DESC,
+                    c.vec_id ASC) AS rank
+  FROM q, e AS c WHERE c.vec_id != qid QUALIFY rank <= 5
+), ap AS (
+  SELECT qid AS query_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY list_cosine_similarity(c.v, qv) DESC,
+                    c.vec_id ASC) AS rank
+  FROM q, dq AS c WHERE c.vec_id != qid QUALIFY rank <= 5
+)
+SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hits,
+       CAST(round(count(ap.vec_id) / count(*) * 1000000.0)
+            AS BIGINT) AS recall_micro
+FROM ex LEFT JOIN ap USING (query_id, vec_id)
+GROUP BY ex.query_id
+""",
+    )
     return r
 
 

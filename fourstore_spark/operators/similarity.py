@@ -467,3 +467,44 @@ def dequantize_embeddings(
             lambda x: (x.cast("double") * F.col(scale_col)).cast("float"),
         ).alias("embedding"),
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k:
+    (query_id, n_exact, n_hits, recall_micro).
+
+    The standard index-quality gauge (recall@k) for tuning nprobe/nbits/
+    int8 against the brute-force baseline. Both inputs are top-k result
+    sets (k rows per query), so every join here is query-set-sized —
+    the evaluation never touches the corpus. recall_micro is the exact
+    integer round(n_hits / n_exact * 1e6) (hash-stable surface)."""
+    e = exact.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("vec_id")
+    )
+    a = approx.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("vec_id")
+    )
+    hits = (
+        e.join(a, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        e.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            n_hits.alias("n_hits"),
+            F.round(n_hits / F.col("n_exact") * 1_000_000.0, 0)
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )

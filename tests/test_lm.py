@@ -147,3 +147,39 @@ def test_no_cartesian_in_scoring_plan(docs):
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall(spark):
+    from fourstore_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "vec_id"]
+    )
+    same = ann_recall(exact, exact).collect()
+    assert all(r["recall_micro"] == 1_000_000 for r in same)
+    half = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 77), (2, 78)], ["query_id", "vec_id"]
+    )
+    rows = {r["query_id"]: r for r in ann_recall(exact, half).collect()}
+    assert rows[1]["n_hits"] == 1 and rows[1]["recall_micro"] == 500_000
+    assert rows[2]["n_hits"] == 0 and rows[2]["recall_micro"] == 0
+
+
+def test_int8_recall_on_real_embeddings(spark):
+    """int8 quantization keeps recall@5 high on the real vectors."""
+    from fourstore_spark.operators.similarity import (
+        ann_recall, cosine_topk, dequantize_embeddings, quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5)
+    approx = cosine_topk(
+        dequantize_embeddings(quantize_embeddings(emb)), q, k=5
+    )
+    rows = ann_recall(exact, approx).collect()
+    assert len(rows) == 5
+    avg = sum(r["recall_micro"] for r in rows) / len(rows)
+    assert avg >= 800_000  # int8 loses little recall
