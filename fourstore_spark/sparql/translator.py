@@ -1567,6 +1567,20 @@ class Translator:
             rdf = F.broadcast(rdf)
         elif l_small and how == "inner":
             ldf = F.broadcast(ldf)
+        elif (r_est is not None and r_est > self.broadcast_rows) or (
+            l_est is not None and l_est > self.broadcast_rows
+        ):
+            # the inverse guard: no side is provably small, and at least
+            # one is provably BIG. Spark's planner compares the build
+            # side's compressed FILE size against autoBroadcastJoinThreshold
+            # — a few-column property-table scan of millions of struct
+            # rows can slip under it, and the resulting broadcast (driver
+            # collects + every task builds a multi-GB hashed relation) is
+            # the one plan shape that collapses at scale (measured: q3 at
+            # sf1 went 4.3s -> 31s when the 6M-row lineitem side dipped
+            # under the 64m threshold). Force the scale-safe sort-merge
+            # join; estimated-small sides above keep their broadcasts.
+            rdf = rdf.hint("merge")
         ren = {c: self._fresh("r") for c in shared}
         for c, n in ren.items():
             rdf = rdf.withColumnRenamed(c, n)

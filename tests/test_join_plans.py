@@ -276,3 +276,43 @@ def test_unknown_predicate_short_circuits_to_broadcast(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_big_side_never_auto_broadcast(spark, tmp_path):
+    """The inverse guard: a side whose MANIFEST estimate is big must not
+    be broadcast even when its physical file size slips under
+    autoBroadcastJoinThreshold (a few-column property-table scan of
+    millions of struct rows compresses far below its hashed-relation
+    size; measured q3 at sf1: 4.3s SMJ -> 31s when Spark picked BHJ)."""
+    from fourstore_spark.sources.rdfio import quads_from_nt_text
+    from fourstore_spark.sparql.engine import SparqlEngine
+    from fourstore_spark.store import write_store
+
+    nt = "\n".join(
+        f'<urn:o:{i}> <urn:st> "s" .\n'
+        f'<urn:li:{i}> <urn:lok> <urn:o:{i}> .\n'
+        f'<urn:li:{i}> <urn:lpk> "{i}" .'
+        for i in range(40)
+    )
+    path = str(tmp_path / "store")
+    write_store(quads_from_nt_text(spark, nt), path, partitions=2)
+    eng = SparqlEngine.from_store(spark, path)
+    # simulate the sf1+ regime: stats say both sides exceed the
+    # broadcastable-row bound while the files stay tiny
+    for p in ("urn:st", "urn:lok", "urn:lpk"):
+        eng.pred_stats[p] = [10_000_000, 10_000_000]
+    q = """SELECT ?o ?pk WHERE {
+             ?o <urn:st> ?st .
+             OPTIONAL { ?li <urn:lok> ?o ; <urn:lpk> ?pk } }"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1g")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = eng.query(q).explain("simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert eng.select(q).count() == 40
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
