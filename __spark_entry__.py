@@ -3653,6 +3653,14 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_remove_spans(spark, sf_dir):
+    """Lee-2022 exact-substring dedup, removal step: cut every
+    corpus-duplicated maximal span (drop-all policy) and rebuild."""
+    from fourstore_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), window=12)
+
+
 def _op_ann_recall_int8(spark, sf_dir):
     """recall@5 of exact search over int8-quantized embeddings vs the
     float baseline — the index-quality gauge for the 4x-smaller store."""
@@ -3769,6 +3777,57 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # Lee-2022 span REMOVAL: full replay of detect + merge + cut
+    r["remove_duplicate_spans"] = (
+        _op_remove_spans,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), wh AS (
+  SELECT doc_id, u.g - 1 AS pos,
+         md5(array_to_string(t[u.g:u.g+11], ' ')) AS h
+  FROM toks, LATERAL unnest(range(1, len(t) - 12 + 2)) AS u(g)
+  WHERE len(t) >= 12
+), dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) + 12
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged
+), merged AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 12 AS e
+  FROM isl GROUP BY doc_id, g
+), sp AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM merged GROUP BY doc_id
+)
+SELECT toks.doc_id,
+  CASE WHEN spans IS NULL THEN array_to_string(t, ' ')
+       ELSE COALESCE(array_to_string(
+         [t[i] for i in range(1, len(t) + 1)
+          if len(list_filter(spans,
+                 x -> x.s <= i - 1 AND i - 1 < x.e)) = 0], ' '), '')
+  END AS text,
+  COALESCE(n_spans, 0) AS n_spans,
+  CAST(CASE WHEN spans IS NULL THEN 0
+       ELSE len(t) - len([t[i] for i in range(1, len(t) + 1)
+          if len(list_filter(spans,
+                 x -> x.s <= i - 1 AND i - 1 < x.e)) = 0])
+  END AS BIGINT) AS n_tokens_removed
+FROM toks LEFT JOIN sp USING (doc_id)
+""",
+    )
     # recall@k of int8-quantized search vs the float baseline — the
     # oracle replays quantize -> dequantize -> topk -> recall in full
     r["ann_recall_int8"] = (

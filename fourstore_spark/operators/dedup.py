@@ -649,3 +649,79 @@ def window_hash_spans(
         )
         .drop("__isl")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every corpus-duplicated span out of the text (the removal
+    step of Lee et al. 2022 exact-substring dedup, completing
+    window_hash_spans' detection): tokens covered by any maximal
+    duplicated span are dropped from EVERY occurrence (the conservative
+    C4-style drop-all policy — boilerplate and licence blocks vanish
+    entirely), the survivors re-join in original order.
+
+    Scale shape: detection is window_hash_spans (text never shuffles;
+    one count groupBy + one per-document window); the removal itself is
+    one spans-per-doc aggregation joined back to the corpus by id, with
+    the token filter running as a codegen'd array expression — tokens x
+    spans comparisons per document, no extra shuffle beyond the
+    detector's.
+
+    Output: (id, text, n_spans, n_tokens_removed); docs without
+    duplicated spans pass through unchanged (rebuilt text is
+    whitespace-normalized, consistent with the token-level family).
+    """
+    from .textstats import tokens
+
+    spans = (
+        window_hash_spans(df, id_col, text_col, window, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("__spans"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).join(
+        spans, id_col, "left"
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+    )
+    # sequence(0, -1) would count DOWN on empty docs: guard explicitly
+    idxs = F.when(
+        F.size("__t") > 0, F.sequence(F.lit(0), F.size("__t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            idxs,
+            lambda i: F.struct(
+                F.element_at("__t", i + 1).alias("w"),
+                covered(i).alias("c"),
+            ),
+        ),
+        lambda x: ~x["c"],
+    )
+    no_spans = F.col("__spans").isNull()
+    rebuilt = F.when(no_spans, F.concat_ws(" ", "__t")).otherwise(
+        F.concat_ws(
+            " ", F.transform(kept, lambda x: x["w"])
+        )
+    )
+    removed = F.when(no_spans, F.lit(0)).otherwise(
+        F.size("__t") - F.size(kept)
+    )
+    return base.select(
+        F.col(id_col),
+        rebuilt.alias(text_col),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        removed.cast("long").alias("n_tokens_removed"),
+    )

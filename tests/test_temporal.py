@@ -263,6 +263,45 @@ class TestSpansQuantize:
         got = sorted((r["span_start"], r["span_end"]) for r in rows)
         assert got == [(0, 3), (5, 8)]
 
+
+    def test_remove_duplicate_spans(self, spark):
+        from fourstore_spark.operators.dedup import remove_duplicate_spans
+
+        mk = lambda *w: " ".join(w)
+        shared = [f"s{i}" for i in range(6)]
+        df = spark.createDataFrame(
+            [
+                (1, mk(*shared, "a1", "a2", "a3")),
+                (2, mk("b0", *shared, "b1", "b2")),
+                (3, mk("c0", "c1", "c2", "c3")),
+                (4, "   "),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_spans"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(df, window=3).collect()
+        }
+        # the shared 6-token run is cut from BOTH docs (drop-all)
+        assert out[1] == ("a1 a2 a3", 1, 6)
+        assert out[2] == ("b0 b1 b2", 1, 6)
+        # untouched docs pass through (whitespace-normalized)
+        assert out[3] == ("c0 c1 c2 c3", 0, 0)
+        assert out[4] == ("", 0, 0)
+
+    def test_remove_duplicate_spans_whole_doc(self, spark):
+        from fourstore_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "x y z"), (2, "x y z")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in remove_duplicate_spans(df, window=3).collect()
+        }
+        # fully-duplicated docs empty out on both sides
+        assert out[1] == ("", 3) and out[2] == ("", 3)
+
     def test_quantize_roundtrip_bound(self, spark, sf_dir):
         from fourstore_spark.operators.similarity import (
             dequantize_embeddings,
