@@ -2784,10 +2784,14 @@ _HEAD = [
     "j2_two_hop",               # J1+J2 chained joins
     "optional_filter_scope",    # J3 + filter-before-join nuance
     "j4_minus_variants",        # J4/U2 both compatible-mapping corners
-    "j6_values",                # J6 VALUES
+    "lm_perplexity_ccnet",      # LLM: bigram-LM perplexity buckets (r9)
+                                #   (j6_values: local gate after 6 green
+                                #   driver rounds)
     "a1_count_having",          # A1+A8
     "a2_sum_avg",               # A2+A3
-    "a4_min_max",               # A4 term-order min/max
+    "bm25_search",              # LLM: BM25 ranked retrieval (r9)
+                                #   (a4_min_max: local gate, term-order
+                                #   min/max also fuzzed in pytest)
     "a5_a6_a9_aggregates",      # A5+A6+A9+DISTINCT aggregates (merged)
     "a7_groupby_multi",         # A7 flagship
     "o1_u1_order_union",        # O1+O2+U1+O4 (merged)
@@ -2804,7 +2808,9 @@ _HEAD = [
     "exists_not_exists",        # EXISTS/NOT EXISTS
     "f_strings",                # F-str1/str2/regex/enc/replace/log
     "f_numeric_cast",           # F-arith/num/cast (doubles, DEC(38,6) grid)
-    "f_decimal_exact",          # exact 20-digit xsd:decimal (own slot r6)
+    "remove_duplicate_spans",   # LLM: Lee-2022 span removal (r9)
+                                #   (f_decimal_exact: local gate, pinned
+                                #   by tests/test_contract_types.py)
     "f_terms",                  # F-extract/strdt/same/cmp/ispred/langm
     "f_cond",                   # F-bound/if/coalesce
     "f_date_hash",              # F-date/hash/uuid
@@ -2828,7 +2834,10 @@ _HEAD = [
     "sim_ivf_exact",            # LLM: IVF probe search
     "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
     "semdedup",                 # LLM: within-cell cosine dedup (promoted)
-    "duplicate_spans",          # LLM: Lee-2022 window-hash spans (promoted)
+    "ann_recall_int8",          # LLM: recall@k eval, int8 vs float (r9)
+                                #   (duplicate_spans detector: local gate —
+                                #   its full logic replays inside
+                                #   remove_duplicate_spans' oracle)
     "stream_window_counts",     # streaming windowed rollup (oracle)
     "stream_sessionize",        # streaming stateful sessionize (oracle)
     "multimodal_decode",        # LLM: real WAV/BMP decode (exact oracle)
@@ -3653,6 +3662,45 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_media_neardup(spark, sf_dir):
+    """Multimodal near-dup: deterministic gradient BMPs synthesized on
+    the executors (params closed-form in doc_id; 16 groups of 4 with
+    small base perturbations), REAL decode -> integer average-hash ->
+    Hamming-band candidate join -> exact bit_count verify. The hash is
+    pure integer arithmetic (ahash_bmp), so the oracle replays every
+    bit; banding is pigeonhole-complete at max_hamming<=7, so the
+    all-pairs oracle equals the banded plan's output exactly."""
+    import pandas as pd
+
+    from fourstore_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synth_bmp_gradient,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 64)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, t = d % 16, d // 16
+                rows.append(
+                    (
+                        d,
+                        synth_bmp_gradient(
+                            8 + g % 6, 6 + g % 5,
+                            16 * g + t, 3 + g % 7, 5 + g % 5,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return ahash_neardup_pairs(image_ahash(media), max_hamming=6)
+
+
 def _op_remove_spans(spark, sf_dir):
     """Lee-2022 exact-substring dedup, removal step: cut every
     corpus-duplicated maximal span (drop-all policy) and rebuild."""
@@ -3777,6 +3825,42 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # multimodal near-dup: closed-form replay of synth -> integer
+    # ahash -> all-pairs hamming (== the banded plan by pigeonhole)
+    r["media_ahash_neardup"] = (
+        _op_media_neardup,
+        """
+WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id < 64),
+p AS (
+  SELECT d, 16 * (d % 16) + (d // 16) AS base,
+         3 + (d % 16) % 7 AS sx, 5 + (d % 16) % 5 AS sy,
+         8 + (d % 16) % 6 AS w, 6 + (d % 16) % 5 AS h
+  FROM ids
+), L AS (
+  SELECT d, [1000 * ((base + (((x % 8) * w) // 8) * sx
+                          + (((x // 8) * h) // 8) * sy) % 256)
+             for x in range(0, 64)] AS lum
+  FROM p
+), S AS (SELECT d, lum, list_sum(lum) AS tot FROM L),
+B AS (
+  SELECT d, [CASE WHEN 64 * lum[i + 1] >= tot THEN 1 ELSE 0 END
+             for i in range(0, 64)] AS bits
+  FROM S
+), H AS (
+  SELECT d,
+    CAST(list_sum([bits[i + 1] * (1::BIGINT << i)
+                   for i in range(0, 32)]) AS BIGINT) AS lo,
+    CAST(list_sum([bits[i + 33] * (1::BIGINT << i)
+                   for i in range(0, 32)]) AS BIGINT) AS hi
+  FROM B
+)
+SELECT a.d AS id_a, b.d AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM H AS a JOIN H AS b ON a.d < b.d
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+""",
+    )
     # Lee-2022 span REMOVAL: full replay of detect + merge + cut
     r["remove_duplicate_spans"] = (
         _op_remove_spans,

@@ -446,3 +446,161 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+def synth_bmp_gradient(
+    width: int, height: int, base: int, sx: int, sy: int
+) -> bytes:
+    """Deterministic grayscale-gradient 24-bit BMP: the pixel at storage
+    row j, column x has r=g=b=(base + x*sx + j*sy) % 256. Closed-form in
+    its parameters, so perceptual-hash oracles can replay every bit."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for j in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            v = (base + x * sx + j * sy) % 256
+            row[x * 3 : x * 3 + 3] = bytes((v, v, v))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def ahash_bmp(b: bytes, hash_size: int = 8) -> tuple:
+    """Average-hash of a 24-bit BMP in PURE INTEGER arithmetic:
+    nearest-neighbor sample to hash_size x hash_size (the resize_bmp
+    index mapping), integer luma L = 299r + 587g + 114b per sample, and
+    bit (j*hash_size + x) set iff n*L >= sum(L) (n = hash_size^2) — no
+    float mean, so the identical bits fall out of any engine.
+
+    Returns (hi, lo): the upper/lower 32 bits as two non-negative ints
+    (a single 64-bit int would overflow BIGINT construction in SQL
+    replays; two halves band and XOR just as well)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = abs(h)
+    arr = (
+        np.frombuffer(b, dtype="u1", count=stride * rows, offset=data_off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)
+        .astype("int64")
+    )
+    yi = (np.arange(hash_size) * rows) // hash_size
+    xi = (np.arange(hash_size) * w) // hash_size
+    s = arr[yi][:, xi]  # (hash_size, hash_size, 3) BGR
+    luma = 299 * s[:, :, 2] + 587 * s[:, :, 1] + 114 * s[:, :, 0]
+    total = int(luma.sum())
+    n = hash_size * hash_size
+    bits = (n * luma.reshape(-1) >= total).astype("int64")
+    hi = lo = 0
+    for i, bit in enumerate(bits.tolist()):
+        if not bit:
+            continue
+        if i < 32:
+            lo |= 1 << i
+        else:
+            hi |= 1 << (i - 32)
+    return hi, lo
+
+
+def image_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash per image payload: (media_id, ahash_hi,
+    ahash_lo, err). Arrow-batched; non-BMP payloads soft-error like
+    decode_features. The hash is integer-exact (see ahash_bmp), so
+    near-duplicate detection over it is engine-portable end-to-end."""
+    import pandas as pd
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": mid, "ahash_hi": None,
+                       "ahash_lo": None, "err": None}
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    hi, lo = ahash_bmp(bytes(payload), hash_size)
+                    row["ahash_hi"], row["ahash_lo"] = hi, lo
+                except NotImplementedError as exc:
+                    row["err"] = f"unsupported: {exc}"
+                except Exception as exc:  # malformed payload: soft error
+                    row["err"] = str(exc)[:200]
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        process,
+        "media_id long, ahash_hi long, ahash_lo long, err string",
+    )
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the 64-bit
+    average-hash: (id_a, id_b, hamming), id_a < id_b.
+
+    Pigeonhole banding (the SimHash trick, dedup.py simhash family): the
+    64 bits split into 8 byte-bands; any pair within max_hamming <= 7
+    differs in at most 7 bands, so it collides on >= 1 band — candidate
+    generation is a band equi-join, never an all-pairs scan. The exact
+    bit_count(XOR) verify runs on candidates only."""
+    h = hashes.where(F.col("ahash_lo").isNotNull()).select(
+        F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
+    )
+    bands = [
+        (i, ("ahash_hi" if i >= 4 else "ahash_lo"), (i % 4) * 8)
+        for i in range(8)
+    ]
+    banded = None
+    for bi, col, shift in bands:
+        part = h.select(
+            "id", "ahash_hi", "ahash_lo",
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col(col), shift).bitwiseAND(
+                F.lit(255)
+            ).alias("key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.ahash_hi").alias("ha"), F.col("a.ahash_lo").alias("la"),
+            F.col("b.ahash_hi").alias("hb"), F.col("b.ahash_lo").alias("lb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

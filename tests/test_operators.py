@@ -508,3 +508,53 @@ def test_subtract_corpus_fingerprint_match(spark):
     assert kept == {3}
     out = subtract_corpus(corpus, ref)
     assert out.columns == ["doc_id", "text"]
+
+
+def test_image_ahash_and_neardup(spark):
+    """Integer average-hash: determinism, upscale invariance through the
+    real resize path, soft errors, and banded near-dup == brute force."""
+    from fourstore_spark.operators.multimodal import (
+        ahash_bmp,
+        ahash_neardup_pairs,
+        image_ahash,
+        resize_bmp,
+        synth_bmp_gradient,
+    )
+
+    imgs = {
+        1: synth_bmp_gradient(9, 7, 10, 20, 35),
+        2: synth_bmp_gradient(9, 7, 10, 20, 35),   # exact dup of 1
+        3: synth_bmp_gradient(9, 7, 14, 20, 35),   # near dup (ham 2)
+        4: synth_bmp_gradient(12, 9, 200, 3, 90),  # unrelated
+        5: resize_bmp(synth_bmp_gradient(9, 7, 10, 20, 35), 18, 14),
+    }
+    media = spark.createDataFrame(
+        [(k, v) for k, v in imgs.items()] + [(9, b"not a bmp")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_ahash(media).collect()}
+    assert rows[9]["err"] and rows[9]["ahash_lo"] is None
+    h1 = (rows[1]["ahash_hi"], rows[1]["ahash_lo"])
+    assert h1 == (rows[2]["ahash_hi"], rows[2]["ahash_lo"])
+    # 2x nearest-neighbor upscale preserves every sampled bit
+    assert h1 == (rows[5]["ahash_hi"], rows[5]["ahash_lo"])
+    assert h1 == ahash_bmp(imgs[1])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(image_ahash(media), max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    assert 0 < pairs[(1, 3)] <= 6
+    assert not any(4 in p or 9 in p for p in pairs)
+    # banded candidates == brute force at max_hamming <= 7 (pigeonhole)
+    import itertools
+    want = {}
+    ok = {k: (rows[k]["ahash_hi"], rows[k]["ahash_lo"]) for k in imgs}
+    for a, b in itertools.combinations(sorted(ok), 2):
+        ham = bin(ok[a][0] ^ ok[b][0]).count("1") + bin(
+            ok[a][1] ^ ok[b][1]
+        ).count("1")
+        if ham <= 6:
+            want[(a, b)] = ham
+    assert pairs == want
