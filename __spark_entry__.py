@@ -3662,6 +3662,16 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_stupid_backoff(spark, sf_dir):
+    """Trigram stupid-backoff LM (Brants 2007) trained on the 80% split
+    (doc_id % 5 != 0), scored over ALL docs — held-out docs exercise
+    every backoff tier including the unigram floor."""
+    from fourstore_spark.operators.lm import stupid_backoff_score
+
+    d = _docs(spark, sf_dir)
+    return stupid_backoff_score(d, d.where(F.col("doc_id") % 5 != 0))
+
+
 def _op_media_neardup(spark, sf_dir):
     """Multimodal near-dup: deterministic gradient BMPs synthesized on
     the executors (params closed-form in doc_id; 16 groups of 4 with
@@ -3825,6 +3835,51 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # trigram stupid-backoff: full replay, held-out split hits every tier
+    r["lm_stupid_backoff"] = (
+        _op_stupid_backoff,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+train AS (SELECT * FROM toks WHERE doc_id % 5 != 0),
+uni AS (SELECT w, count(*) AS c FROM
+        (SELECT unnest(t) AS w FROM train) GROUP BY w),
+n AS (SELECT SUM(c) AS n FROM uni),
+big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                   for i in range(1, len(t))]) AS p
+    FROM train WHERE len(t) >= 2) GROUP BY 1, 2
+), tri AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS c FROM (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2])
+                   for i in range(1, len(t) - 1)]) AS p
+    FROM train WHERE len(t) >= 3) GROUP BY 1, 2, 3
+), dt AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM (
+    SELECT doc_id,
+           unnest([struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2])
+                   for i in range(1, len(t) - 1)]) AS p
+    FROM toks WHERE len(t) >= 3)
+), sc AS (
+  SELECT dt.doc_id,
+    CAST(round(CASE
+      WHEN tri.c IS NOT NULL THEN ln(tri.c / b12.c)
+      WHEN b23.c IS NOT NULL THEN ln(0.4) + ln(b23.c / u2.c)
+      ELSE 2 * ln(0.4) + ln(COALESCE(u3.c, 0.5) / n.n)
+    END * 1000000) AS BIGINT) AS ls
+  FROM dt
+  LEFT JOIN tri ON tri.w1 = dt.w1 AND tri.w2 = dt.w2 AND tri.w3 = dt.w3
+  LEFT JOIN big AS b12 ON b12.w1 = dt.w1 AND b12.w2 = dt.w2
+  LEFT JOIN big AS b23 ON b23.w1 = dt.w2 AND b23.w2 = dt.w3
+  LEFT JOIN uni AS u2 ON u2.w = dt.w2
+  LEFT JOIN uni AS u3 ON u3.w = dt.w3
+  CROSS JOIN n
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       SUM(ls) AS logscore_micro
+FROM sc GROUP BY doc_id
+""",
+    )
     # multimodal near-dup: closed-form replay of synth -> integer
     # ahash -> all-pairs hamming (== the banded plan by pigeonhole)
     r["media_ahash_neardup"] = (

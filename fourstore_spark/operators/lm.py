@@ -36,8 +36,10 @@ __all__ = [
     "lm_tokens",
     "unigram_counts",
     "bigram_counts",
+    "trigram_counts",
     "lm_score",
     "ccnet_partition",
+    "stupid_backoff_score",
     "bm25_score",
 ]
 
@@ -250,5 +252,110 @@ def bm25_score(
         .agg(
             F.count("*").alias("n_hits"),
             F.sum("c_micro").alias("score_micro"),
+        )
+    )
+
+
+def trigram_counts(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(w1, w2, w3, c123) adjacent-triple counts over the corpus."""
+    toks = _tokenized(df, text_col, id_col)
+    triples = F.expr(
+        "transform(sequence(0, size(t) - 3), "
+        "i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+    )
+    return (
+        toks.where(F.size("t") >= 3)
+        .select(F.explode(triples).alias("p"))
+        .select("p.w1", "p.w2", "p.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document trigram stupid-backoff score (Brants 2007 — THE
+    web-scale LM: unnormalized count ratios with a fixed backoff
+    penalty, no discounting to estimate): for each position i >= 2,
+
+        S(w3|w1 w2) = c123/c12            if the trigram was seen
+                    = a * c23/c2          else if the bigram was seen
+                    = a^2 * c3/N          else (a^2 * 0.5/N floor when
+                                               even the unigram is new)
+
+    log S is quantized to integer micro-nats per position before the
+    per-document sum (the module's determinism discipline). Output:
+    (doc_id, n_trigrams, logscore_micro) — docs need >= 3 tokens.
+
+    Trained on `train_df` (default: the corpus itself); a held-out
+    corpus exercises every backoff tier including the unigram floor.
+    The count tables join on their n-gram keys — at scale prune to
+    top-N and broadcast exactly as lm_score's prune_top path."""
+    if train_df is None:
+        train_df = df
+    toks = _tokenized(df, text_col, id_col)
+    tri = F.expr(
+        "transform(sequence(0, size(t) - 3), "
+        "i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+    )
+    doc_tri = (
+        toks.where(F.size("t") >= 3)
+        .select("doc_id", F.explode(tri).alias("p"))
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    uni = unigram_counts(train_df, text_col, id_col)
+    big = bigram_counts(train_df, text_col, id_col)
+    tric = trigram_counts(train_df, text_col, id_col)
+    n_tokens = uni.agg(F.sum("c1")).head()[0]
+
+    c12 = big.select(
+        F.col("w1"), F.col("w2"), F.col("c12").alias("c12ctx")
+    )
+    c23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    c2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+    c3 = uni.select(F.col("w1").alias("w3"), F.col("c1").alias("c3"))
+
+    la = F.log(F.lit(alpha))
+    log_s = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.log(F.col("c123") / F.col("c12ctx")),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            la + F.log(F.col("c23") / F.col("c2")),
+        )
+        .otherwise(
+            la * 2
+            + F.log(
+                F.coalesce(F.col("c3").cast("double"), F.lit(0.5))
+                / F.lit(float(n_tokens))
+            )
+        )
+    )
+    return (
+        doc_tri.join(tric, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, "w2", "left")
+        .join(c3, "w3", "left")
+        .select(
+            "doc_id",
+            F.round(log_s * MICRO, 0).cast("long").alias("ls_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("ls_micro").alias("logscore_micro"),
         )
     )

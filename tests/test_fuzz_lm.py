@@ -103,3 +103,51 @@ def test_partitioning_invariance(spark):
         (r["doc_id"], r["logprob_micro"]) for r in lm_score(df2).collect()
     )
     assert a == b
+
+
+def _ref_backoff(score_docs, train_docs, a=0.4):
+    toks = {d: t.lower().split() for d, t in score_docs if t.split()}
+    ttoks = [t.lower().split() for _, t in train_docs if t.split()]
+    uni = Counter(w for t in ttoks for w in t)
+    n = sum(uni.values())
+    big = Counter((t[i], t[i + 1]) for t in ttoks for i in range(len(t) - 1))
+    tri = Counter(
+        (t[i], t[i + 1], t[i + 2]) for t in ttoks for i in range(len(t) - 2)
+    )
+    out = {}
+    for d, t in toks.items():
+        if len(t) < 3:
+            continue
+        s = 0
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i], t[i + 1], t[i + 2]
+            if tri[(w1, w2, w3)]:
+                ls = math.log(tri[(w1, w2, w3)] / big[(w1, w2)])
+            elif big[(w2, w3)]:
+                ls = math.log(a) + math.log(big[(w2, w3)] / uni[w2])
+            else:
+                ls = 2 * math.log(a) + math.log((uni[w3] or 0.5) / n)
+            s += round(ls * 1e6)
+        out[d] = (len(t) - 2, s)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_stupid_backoff_matches_reference(spark, seed):
+    """Held-out split: every backoff tier (trigram hit, bigram backoff,
+    unigram floor, unseen-word floor) exercised and exact."""
+    from fourstore_spark.operators.lm import stupid_backoff_score
+
+    docs = _corpus(seed + 50, n_docs=50)
+    # held-out docs get an extra unseen token sometimes
+    docs = [
+        (d, t + " zz" if d % 7 == 0 and t else t) for d, t in docs
+    ]
+    train = [(d, t) for d, t in docs if d % 3 != 0]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["logscore_micro"])
+        for r in stupid_backoff_score(df, tdf).collect()
+    }
+    assert got == _ref_backoff(docs, train), f"seed {seed}"
