@@ -3662,6 +3662,39 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_stream_lm_filter(spark, sf_dir):
+    """Streaming LM scoring: documents replayed through the file-stream
+    source, scored against the batch-trained bigram LM shipped in the
+    task closure (stateless projection — no state store). Output equals
+    batch lm_score exactly (micro-nat discipline), so the full batch
+    oracle applies."""
+    import os as _os
+
+    from fourstore_spark.operators.lm import bigram_counts, unigram_counts
+    from fourstore_spark.streaming import stream_lm_filter
+
+    d = _docs(spark, sf_dir)
+    path = f"/tmp/fourstore_docs_staged_{abs(hash(sf_dir)) % 10**8}"
+    if not _os.path.isdir(path):
+        d.select("doc_id", "text").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    uni, big = unigram_counts(d), bigram_counts(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        path
+    )
+    out = stream_lm_filter(stream, uni, big)
+    name = f"lmfilter_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await_stream(q)
+    return spark.sql(
+        f"SELECT doc_id, n_bigrams, logprob_micro FROM {name}"
+    )
+
+
 def _op_stupid_backoff(spark, sf_dir):
     """Trigram stupid-backoff LM (Brants 2007) trained on the 80% split
     (doc_id % 5 != 0), scored over ALL docs — held-out docs exercise
@@ -3835,6 +3868,31 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # streaming LM filter == batch lm_score: the batch oracle applies
+    r["stream_lm_filter"] = (
+        _op_stream_lm_filter,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+), v AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         for i in range(1, len(t))]) AS p
+  FROM toks WHERE len(t) >= 2
+), bp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY 1, 2),
+sc AS (
+  SELECT bp.doc_id,
+         CAST(round(ln((bc.c12 + 0.5) / (uni.c1 + 0.5 * v.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bp JOIN uni USING (w1) JOIN bc USING (w1, w2), v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       SUM(lp) AS logprob_micro
+FROM sc GROUP BY doc_id
+""",
+    )
     # trigram stupid-backoff: full replay, held-out split hits every tier
     r["lm_stupid_backoff"] = (
         _op_stupid_backoff,

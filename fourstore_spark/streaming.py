@@ -423,3 +423,74 @@ def stream_corpus_clean(
         .dropDuplicates(["__fp"])
         .drop("__fp")
     )
+
+
+def stream_lm_filter(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    *,
+    k: float = 0.5,
+    vocab_size: int | None = None,
+    max_avg_nll_micro: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time LM quality filtering (the streaming form of
+    operators.lm.lm_score + a fixed perplexity ceiling): score each
+    arriving document against a PRETRAINED pruned bigram LM and keep
+    docs whose average nll (micro-nats) is within `max_avg_nll_micro`
+    (None = score-only, keep all).
+
+    The LM is collected once and shipped in the task closure — the
+    CCNet deployment shape (a pruned LM artifact rides to every worker;
+    pass lm_score's prune_top output, NOT an unpruned web-scale count
+    table). Scoring is an Arrow-batched stateless projection: no
+    shuffle, no state store, so micro-batches stay append-only and the
+    same frame works batch or streaming (equivalence-fuzzed). Semantics
+    match lm_score exactly: micro-nat quantize-before-sum, unseen-w1
+    bigrams skipped, unseen-w2 at the smoothed floor; docs with no
+    scorable bigram are dropped (as lm_score omits them)."""
+    import math
+
+    import pandas as pd
+
+    uni = {r["w1"]: r["c1"] for r in unigrams.collect()}
+    big = {(r["w1"], r["w2"]): r["c12"] for r in bigrams.collect()}
+    if vocab_size is None:
+        vocab_size = len(uni)
+    kv = k * vocab_size
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                toks = str(text).lower().split() if text is not None else []
+                n = s = 0
+                for i in range(len(toks) - 1):
+                    c1 = uni.get(toks[i])
+                    if c1 is None:
+                        continue  # lm_score's inner unigram join
+                    c12 = big.get((toks[i], toks[i + 1]), 0)
+                    s += round(math.log((c12 + k) / (c1 + kv)) * 1e6)
+                    n += 1
+                if n:
+                    out.append((did, n, s))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bigrams", "logprob_micro"]
+            )
+
+    did_t = docs.select(F.col(id_col).alias("doc_id")).schema[
+        "doc_id"
+    ].dataType.simpleString()
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(
+        score, f"doc_id {did_t}, n_bigrams long, logprob_micro long"
+    )
+    if max_avg_nll_micro is not None:
+        scored = scored.where(
+            -F.col("logprob_micro") / F.col("n_bigrams")
+            <= F.lit(float(max_avg_nll_micro))
+        )
+    return scored

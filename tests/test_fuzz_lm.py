@@ -151,3 +151,67 @@ def test_stupid_backoff_matches_reference(spark, seed):
         for r in stupid_backoff_score(df, tdf).collect()
     }
     assert got == _ref_backoff(docs, train), f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_stream_lm_filter_matches_batch(spark, tmp_path_factory, seed):
+    """stream_lm_filter (pretrained pruned LM, stateless projection)
+    equals batch lm_score against the same LM, batch-split-invariant."""
+    from fourstore_spark.operators.lm import (
+        bigram_counts,
+        lm_score,
+        unigram_counts,
+    )
+    from fourstore_spark.streaming import stream_lm_filter
+
+    train = _corpus(seed, n_docs=40)
+    score_docs = _corpus(seed + 500, n_docs=30)
+    # some unseen words so the unseen-w1 skip path runs
+    score_docs = [
+        (d, (t + " unseen") if d % 5 == 0 and t else t)
+        for d, t in score_docs
+    ]
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    sdf = spark.createDataFrame(score_docs, ["doc_id", "text"])
+    uni, big = unigram_counts(tdf), bigram_counts(tdf)
+    v = uni.count()
+
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(sdf, uni, big, vocab_size=v).collect()
+    }
+
+    src = tmp_path_factory.mktemp(f"lmstream_{seed}")
+    for ci in range(3):
+        chunk = [p for p in score_docs if p[0] % 3 == ci]
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{ci}"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = stream_lm_filter(stream, uni, big, vocab_size=v)
+    name = f"lmf_{seed}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == batch
+
+    # ceiling filter: stream subset == batch rows within the ceiling
+    ceiling = 11_000_000
+    kept = {
+        r["doc_id"]
+        for r in stream_lm_filter(
+            sdf, uni, big, vocab_size=v, max_avg_nll_micro=ceiling
+        ).collect()
+    }
+    want = {
+        d for d, (n, s) in batch.items() if -s / n <= ceiling
+    }
+    assert kept == want
