@@ -3662,6 +3662,76 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the RDF entity graph (customer ->
+    nation -> region, supplier -> nation FK edges): 6 iterations of the
+    floor-division recurrence — deterministic on any partitioning, so
+    the chained-CTE oracle replays every rank bit."""
+    from fourstore_spark.operators.graph import pagerank, rdf_edges
+    from fourstore_spark.sources.relational import quads_from_sf_dir
+
+    quads = quads_from_sf_dir(spark, sf_dir)
+    edges = None
+    for p in (
+        "urn:col:nation#n_regionkey",
+        "urn:col:customer#c_nationkey",
+        "urn:col:supplier#s_nationkey",
+    ):
+        e = rdf_edges(quads, p)
+        edges = e if edges is None else edges.unionByName(e)
+    return pagerank(edges, iters=6).withColumnRenamed("node", "node_uri")
+
+
+def _op_degree_stats(spark, sf_dir):
+    from fourstore_spark.operators.graph import degree_stats, rdf_edges
+    from fourstore_spark.sources.relational import quads_from_sf_dir
+
+    quads = quads_from_sf_dir(spark, sf_dir)
+    e = rdf_edges(quads, "urn:col:nation#n_regionkey").unionByName(
+        rdf_edges(quads, "urn:col:customer#c_nationkey")
+    )
+    return degree_stats(e).withColumnRenamed("node", "node_uri")
+
+
+def _pagerank_oracle_sql(iters: int = 6, damping: int = 85,
+                         scale: int = 1_000_000_000) -> str:
+    """Chained-CTE replay of the integer PageRank recurrence."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""r{k + 1} AS (
+  SELECT n.node, (SELECT b FROM base)
+         + ({damping} * COALESCE(s.m, 0)) // 100 AS rank
+  FROM nodes AS n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r{k}.rank // d.deg) AS m
+    FROM edges AS e
+    JOIN r{k} ON r{k}.node = e.src
+    JOIN deg AS d ON d.node = e.src
+    GROUP BY e.dst) AS s ON s.node = n.node
+)""")
+    return f"""
+WITH edges AS (
+  SELECT 'urn:nation:' || n_nationkey AS src,
+         'urn:region:' || n_regionkey AS dst FROM nation
+  UNION ALL
+  SELECT 'urn:customer:' || c_custkey, 'urn:nation:' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'urn:supplier:' || s_suppkey, 'urn:nation:' || s_nationkey
+  FROM supplier
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+base AS (SELECT (100 - {damping}) * {scale}::BIGINT // (100 * n) AS b
+         FROM nn),
+r0 AS (SELECT node, (SELECT {scale}::BIGINT // n FROM nn) AS rank
+       FROM nodes),
+{", ".join(steps)}
+SELECT node AS node_uri, CAST(rank AS BIGINT) AS rank FROM r{iters}
+"""
+
+
 def _op_stream_lm_filter(spark, sf_dir):
     """Streaming LM scoring: documents replayed through the file-stream
     source, scored against the batch-trained bigram LM shipped in the
@@ -3868,6 +3938,25 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # integer-exact PageRank: chained-CTE full replay, 6 iterations
+    r["graph_pagerank"] = (_op_pagerank, _pagerank_oracle_sql())
+    r["graph_degree_stats"] = (
+        _op_degree_stats,
+        """
+WITH edges AS (
+  SELECT 'urn:nation:' || n_nationkey AS src,
+         'urn:region:' || n_regionkey AS dst FROM nation
+  UNION ALL
+  SELECT 'urn:customer:' || c_custkey, 'urn:nation:' || c_nationkey
+  FROM customer
+), o AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS idg FROM edges GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node_uri,
+       CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(idg, 0) AS BIGINT) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+""",
+    )
     # streaming LM filter == batch lm_score: the batch oracle applies
     r["stream_lm_filter"] = (
         _op_stream_lm_filter,
