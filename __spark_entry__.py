@@ -3662,6 +3662,32 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_ivf_indexed(spark, sf_dir):
+    """IVF written layout: corpus partitioned by cell on disk, probe =
+    partition-pruned scan + delegated exact scoring. nprobe == n_cells,
+    so the brute-force oracle applies exactly (the nprobe < cells path
+    is equality-tested against in-memory ivf_search in pytest)."""
+    import os as _os
+
+    from fourstore_spark.operators.similarity import (
+        ivf_probe_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb, k=8, iters=4)
+    path = f"/tmp/fourstore_ivf_{abs(hash(sf_dir)) % 10**8}"
+    if not _os.path.isdir(path):
+        write_ivf_index(emb, cents, path)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_probe_indexed(spark, path, queries, k=5, nprobe=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def _op_pagerank(spark, sf_dir):
     """Integer-exact PageRank over the RDF entity graph (customer ->
     nation -> region, supplier -> nation FK edges): 6 iterations of the
@@ -3938,6 +3964,19 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # written IVF layout, full probe == brute force
+    r["ivf_indexed_exact"] = (
+        _op_ivf_indexed,
+        """SELECT q.vec_id AS query_id, c.vec_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+           QUALIFY rank <= 5""",
+    )
     # integer-exact PageRank: chained-CTE full replay, 6 iterations
     r["graph_pagerank"] = (_op_pagerank, _pagerank_oracle_sql())
     r["graph_degree_stats"] = (

@@ -508,3 +508,84 @@ def ann_recall(
             .alias("recall_micro"),
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout the ivf_search docstring promises: the
+    corpus written partitioned by ``ivf_cell`` (one directory per cell,
+    probes become partition-PRUNED scans that never open non-probed
+    cells' files), with the centroids in a JSON sidecar so the index is
+    self-describing. One exchange on the cell key at write time buys
+    nprobe/|cells| I/O on every query after."""
+    import json
+    import os
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    (
+        assigned.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"centroids": centroids}, fh)
+
+
+def read_ivf_index(spark, path: str):
+    """(corpus DataFrame with ivf_cell partition column, centroids)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json"),
+              encoding="utf-8") as fh:
+        centroids = json.load(fh)["centroids"]
+    return spark.read.parquet(path), centroids
+
+
+def ivf_probe_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a written IVF index: compute each query's nprobe nearest
+    cells driver-side (centroids are tiny), scan ONLY those partitions
+    (the cell filter prunes at the parquet source — assert
+    PartitionFilters in .explain), then delegate scoring to ivf_search
+    on the pruned corpus. Results are identical to ivf_search over the
+    full corpus: every vector it would score for some query lies in
+    that query's probe cells, which are all inside the pruned union."""
+    import numpy as np
+
+    corpus, centroids = read_ivf_index(spark, path)
+    nprobe = min(nprobe, len(centroids))
+    C = np.array(centroids, dtype="float64")
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = np.nan
+    probe: set[int] = set()
+    for r in queries.select(vec_col).collect():
+        q = np.array(list(r[vec_col]), dtype="float64")
+        qn = np.linalg.norm(q)
+        if qn == 0.0:
+            continue
+        s = (C @ q) / (cn * qn)
+        # ties toward the higher cell index, as ivf_assign/ivf_search
+        order = np.lexsort((-np.arange(len(centroids)), -s))
+        probe.update(int(i) for i in order[:nprobe])
+    pruned = corpus.where(
+        F.col("ivf_cell").isin(sorted(probe)) if probe else F.lit(False)
+    ).drop("ivf_cell")
+    return ivf_search(
+        pruned, queries, centroids, k=k, nprobe=nprobe,
+        query_id_col=query_id_col, vec_col=vec_col,
+    )

@@ -124,3 +124,54 @@ def test_ivf_search_recall(spark, sf_dir):
     }
     recall = len(part & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivf_index_write_probe(spark, tmp_path):
+    """Written IVF layout: partition-pruned probe equals in-memory
+    ivf_search; the pruned scan shows a partition filter on ivf_cell."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.similarity import (
+        ivf_probe_indexed,
+        ivf_search,
+        read_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+
+    corpus, cents_back = read_ivf_index(spark, path)
+    assert cents_back == cents
+    assert "ivf_cell" in corpus.columns
+    # every row landed in a real partition directory
+    assert corpus.where(F.col("ivf_cell").isNull()).count() == 0
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for nprobe in (3, 8):
+        got = sorted(
+            map(
+                tuple,
+                ivf_probe_indexed(
+                    spark, path, queries, k=5, nprobe=nprobe
+                ).select("query_id", "vec_id", "rank").collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_search(emb, queries, cents, k=5, nprobe=nprobe)
+                .select("query_id", "vec_id", "rank").collect(),
+            )
+        )
+        assert got == want, f"nprobe={nprobe}"
+
+    # the probe scan is partition-pruned at the source
+    pruned = corpus.where(F.col("ivf_cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
