@@ -3662,6 +3662,33 @@ def _op_bm25_search(spark, sf_dir):
     return bm25_score(_docs(spark, sf_dir), ["table", "spark", "merge"])
 
 
+def _op_cap_per_source(spark, sf_dir):
+    """Domain-cap curation: at most 120 docs per source, chosen by the
+    engine-portable (md5(id), id) draw — stable under repartitioning."""
+    from fourstore_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir).select("doc_id", "source"), "source", 120
+    )
+
+
+def _op_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization ahead of dedup: docs get a combining
+    acute appended (doc_id % 3 == 0) that NFC folds into a precomposed
+    character — both engines' normalizers (unicodedata / utf8proc)
+    agree bit-for-bit."""
+    from fourstore_spark.operators.scrubbing import normalize_unicode
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("e\u0301")),  # decomposed e+acute
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_unicode(d)
+
+
 def _op_ivf_indexed(spark, sf_dir):
     """IVF written layout: corpus partitioned by cell on disk, probe =
     partition-pruned scan + delegated exact scoring. nprobe == n_cells,
@@ -3964,6 +3991,31 @@ FROM tf JOIN df USING (term), corpus GROUP BY doc_id
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
     r["bpe_encode_pieces"] = (_op_bpe_encode, None)
+    # per-group cap: identical md5 draw replayed by row_number
+    r["cap_per_source"] = (
+        _op_cap_per_source,
+        """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 120
+""",
+    )
+    # NFC normalization: utf8proc agrees with unicodedata bit-for-bit
+    r["normalize_unicode"] = (
+        _op_normalize_unicode,
+        """
+SELECT doc_id,
+       nfc_normalize(CASE WHEN doc_id % 3 = 0
+                          THEN text || 'e' || chr(769) ELSE text END)
+         AS text,
+       (doc_id % 3 = 0) AS changed
+FROM documents
+""",
+    )
     # written IVF layout, full probe == brute force
     r["ivf_indexed_exact"] = (
         _op_ivf_indexed,

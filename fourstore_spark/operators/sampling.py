@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _MOD = 1_000_000
 
@@ -206,4 +207,29 @@ def mix_corpus(
         )
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("__copies")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group row cap (the domain-cap step of corpus
+    curation: no single source/domain may contribute more than
+    ``max_rows`` documents): within each group keep the rows with the
+    smallest (md5(id), id) — an engine-portable pseudo-random draw,
+    stable under any partitioning, nested like sample_by_hash (raising
+    the cap only ADDS rows, never swaps the already-chosen ones).
+
+    One window shuffle keyed by the group; at heavy skew pre-filter
+    with a per-group count so only over-cap groups rank."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+        .drop("__rn")
     )

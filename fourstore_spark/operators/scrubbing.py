@@ -117,3 +117,48 @@ def strip_html(
     return df.withColumn(
         "is_htmlish", F.regexp_count(t, F.lit(_TAG_RE)) > 0
     ).withColumn(out_col or text_col, strip_html_text(t))
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (default NFC) ahead of fingerprinting/
+    dedup — the standard C4/Dolma hygiene step that makes byte-level
+    equality mean codepoint-level equality (é as U+00E9 vs e+U+0301
+    collide after NFC, so exact dedup stops missing visually identical
+    duplicates).
+
+    Arrow-batched stdlib unicodedata (Python is unavoidable: Spark SQL
+    exposes no ICU normalizer) — stateless projection, zero shuffle.
+    Output: (id, text, changed). The NFC form is bit-identical to
+    utf8proc's (DuckDB nfc_normalize), so the oracle is exact."""
+    import unicodedata
+
+    import pandas as pd
+
+    def norm(batches):
+        for pdf in batches:
+            texts = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf["__text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": texts,
+                    "changed": [
+                        t is not None and t != o
+                        for t, o in zip(texts, pdf["__text"])
+                    ],
+                }
+            )
+
+    did_t = df.select(F.col(id_col).alias("doc_id")).schema[
+        "doc_id"
+    ].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).mapInPandas(norm, f"doc_id {did_t}, text string, changed boolean")

@@ -115,3 +115,52 @@ def test_top_fraction_matches_row_number_model(spark, scores, frac):
     )
     want = sorted(i for i, _ in ranked[: math.ceil(frac * len(rows))])
     assert got == want, (rows, frac, got, want)
+
+
+def test_cap_per_group_deterministic_and_nested(spark):
+    import hashlib
+
+    from fourstore_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    cap10 = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(df, "source", 10).collect()
+    }
+    # replay: smallest (md5(str(id)), id) per group
+    by_group: dict = {}
+    for i, s in rows:
+        by_group.setdefault(s, []).append(i)
+    want = set()
+    for s, ids in by_group.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update((i, s) for i in ids[:10])
+    assert cap10 == want
+    # nested: raising the cap only adds rows
+    cap20 = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(df, "source", 20).collect()
+    }
+    assert cap10 <= cap20
+    # partitioning-invariant
+    cap10b = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(df.repartition(13), "source", 10).collect()
+    }
+    assert cap10b == cap10
+
+
+def test_normalize_unicode(spark):
+    from fourstore_spark.operators.scrubbing import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain ascii"), (3, None), (4, "é")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["text"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    assert out[1] == ("café", True)   # combining -> precomposed
+    assert out[2] == ("plain ascii", False)
+    assert out[3] == (None, False)
+    assert out[4] == ("é", False)     # already NFC
