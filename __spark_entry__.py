@@ -3953,7 +3953,7 @@ sc AS (
   FROM bp JOIN uni USING (w1) JOIN bc USING (w1, w2), v
 ), agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         SUM(lp) AS logprob_micro
+         CAST(SUM(lp) AS BIGINT) AS logprob_micro
   FROM sc GROUP BY doc_id
 ), t AS (
   SELECT quantile_cont(-logprob_micro / n_bigrams,
@@ -3981,9 +3981,9 @@ tf AS (
     FROM toks) GROUP BY 1, 2, 3
 ), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-  SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+  CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-      * 1000000) AS BIGINT)) AS score_micro
+      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
 FROM tf JOIN df USING (term), corpus GROUP BY doc_id
 """,
     )
@@ -4069,7 +4069,7 @@ sc AS (
   FROM bp JOIN uni USING (w1) JOIN bc USING (w1, w2), v
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       SUM(lp) AS logprob_micro
+       CAST(SUM(lp) AS BIGINT) AS logprob_micro
 FROM sc GROUP BY doc_id
 """,
     )
@@ -4114,7 +4114,7 @@ big AS (
   CROSS JOIN n
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-       SUM(ls) AS logscore_micro
+       CAST(SUM(ls) AS BIGINT) AS logscore_micro
 FROM sc GROUP BY doc_id
 """,
     )

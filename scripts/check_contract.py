@@ -59,6 +59,48 @@ def row_key(row):
     return tuple(norm(v) for v in row)
 
 
+# Spark dtype string -> the DuckDB type the driver's representation hash
+# would agree with. The r9 regression (VERDICT r9 #1/#2): DuckDB widens
+# bare SUM(BIGINT) to HUGEINT, Python ints erase the width, both entries
+# passed this gate locally yet hash-mismatched in the driver. Local red
+# must predict driver red, so compare DESCRIBE types against the Spark
+# schema column-by-column.
+_SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def type_mismatches(
+    spark_dtypes: list[tuple[str, str]], duck_types: dict[str, str]
+) -> list[str]:
+    """Columns whose oracle (DuckDB) type disagrees with the Spark
+    schema in a width/representation-visible way. HUGEINT vs BIGINT is
+    the motivating case; any unmapped Spark type with an oracle present
+    is also an error (extend the map deliberately, not by accident)."""
+    errs = []
+    for col, sdt in spark_dtypes:
+        ddt = duck_types.get(col)
+        if ddt is None:
+            continue  # column-name mismatch is reported separately
+        m = __import__("re").fullmatch(r"decimal\((\d+),(\d+)\)", sdt)
+        want = f"DECIMAL({m.group(1)},{m.group(2)})" if m else _SPARK_TO_DUCK.get(sdt)
+        if want is None:
+            errs.append(f"{col}: unmapped Spark dtype {sdt!r} (oracle {ddt})")
+        elif ddt != want:
+            errs.append(f"{col}: oracle type {ddt} != Spark {sdt} ({want})")
+    return errs
+
+
 def selftest() -> int:
     """Planted fixtures: the gate must distinguish what the driver's
     representation hash distinguishes."""
@@ -69,6 +111,24 @@ def selftest() -> int:
     )
     assert norm(float("nan")) == norm(float("nan")), "NaN equals NaN"
     assert denorm(norm(-0.0)) == 0.0 and math.copysign(1, denorm(norm(-0.0))) < 0
+    # planted HUGEINT fixture (VERDICT r9): a bare SUM(BIGINT) oracle
+    # widens to HUGEINT; the type gate must flag it against a Spark
+    # bigint column even though the VALUES compare identically.
+    import duckdb as _duck
+
+    desc = _duck.connect().execute(
+        "DESCRIBE SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)"
+    ).fetchall()
+    planted = {row[0]: row[1] for row in desc}
+    assert planted["s"] == "HUGEINT", planted
+    errs = type_mismatches([("s", "bigint")], planted)
+    assert errs and "HUGEINT" in errs[0], errs
+    assert type_mismatches([("s", "bigint")], {"s": "BIGINT"}) == []
+    assert type_mismatches([("d", "decimal(38,6)")], {"d": "DECIMAL(38,6)"}) == []
+    assert type_mismatches([("d", "decimal(38,6)")], {"d": "DECIMAL(38,9)"}) != []
+    assert type_mismatches([("a", "array<bigint>")], {"a": "BIGINT[]"}) != [], (
+        "unmapped Spark dtypes must fail loudly, not pass silently"
+    )
     print("selftest: ok")
     return 0
 
@@ -119,6 +179,10 @@ def main() -> int:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         try:
+            duck_types = {
+                row[0]: row[1]
+                for row in con.execute(f"DESCRIBE {oq[name]}").fetchall()
+            }
             res = con.execute(oq[name])
             dcols_full = [d[0] for d in res.description]
             drows_raw = res.fetchall()
@@ -132,6 +196,9 @@ def main() -> int:
         status = []
         if scols != dcols:
             status.append(f"cols {scols} != {dcols}")
+        terrs = type_mismatches(sdf.dtypes, duck_types)
+        if terrs:
+            status.append(f"TYPES {terrs}")
         if len(srows) != len(drows):
             status.append(f"rowcount {len(srows)} != {len(drows)}")
         elif srows != drows:
