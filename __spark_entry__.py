@@ -3704,7 +3704,21 @@ def _op_ivf_indexed(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb, k=8, iters=4)
-    path = f"/tmp/fourstore_ivf_{abs(hash(sf_dir)) % 10**8}"
+    # Cache key = content fingerprint (source stat + trained centroids +
+    # layout version), NOT hash(sf_dir): a stable path over regenerated
+    # testdata silently reused a stale index, and randomized hashing
+    # never hit (ADVICE r9). Same data -> same key -> reuse; anything
+    # else changes the key and triggers a fresh write.
+    import hashlib as _hashlib
+    import json as _json
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    fp = _hashlib.md5(
+        _json.dumps(
+            ["ivf-v1", sf_dir, st.st_mtime_ns, st.st_size, cents]
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/fourstore_ivf_{fp}"
     if not _os.path.isdir(path):
         write_ivf_index(emb, cents, path)
     queries = emb.where(F.col("vec_id") < 5).select(

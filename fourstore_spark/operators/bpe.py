@@ -37,12 +37,13 @@ END = "</w>"
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, wc) frequency table: lowercased whitespace words. The one
-    corpus-sized job — everything after runs on this reduction."""
-    t = F.trim(F.lower(F.col(text_col)))
-    toks = F.when(
-        F.length(t) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(t, r"\s+"))
+    """(word, wc) frequency table: lowercased whitespace words (the
+    shared `lm_tokens` expression — bpe_encode tokenizes with the same
+    one, so train and encode can never diverge). The one corpus-sized
+    job — everything after runs on this reduction."""
+    from .lm import lm_tokens
+
+    toks = lm_tokens(F.col(text_col))
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -130,9 +131,14 @@ def bpe_encode(
 ) -> DataFrame:
     """(doc_id, n_pieces, pieces) — encode each document with the
     learned merges. Lowest-rank pair merged first, greedy left-to-right,
-    identical to training semantics. Arrow-batched; a per-worker memo
-    makes repeated words free."""
+    identical to training semantics. Words come from the SAME Spark
+    split expression `word_counts` trains on (a Python
+    str.lower().split() re-tokenization diverges on tabs/NBSP/Unicode
+    whitespace — Java `\\s` is ASCII-only; ADVICE r9). Arrow-batched; a
+    per-worker memo makes repeated words free."""
     import pandas as pd
+
+    from .lm import lm_tokens
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
@@ -172,12 +178,10 @@ def bpe_encode(
             pieces = [
                 [
                     p
-                    for w in str(t).lower().split()
+                    for w in (list(ws) if ws is not None else [])
                     for p in encode_word(w, memo)
                 ]
-                if t is not None
-                else []
-                for t in pdf["__text"]
+                for ws in pdf["__words"]
             ]
             yield pd.DataFrame(
                 {
@@ -191,7 +195,8 @@ def bpe_encode(
         "doc_id"
     ].dataType.simpleString()
     return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        F.col(id_col).alias("doc_id"),
+        lm_tokens(F.col(text_col)).alias("__words"),
     ).mapInPandas(
         encode_batches,
         f"doc_id {vid_dt}, n_pieces long, pieces array<string>",

@@ -132,11 +132,15 @@ def lm_score(
     if vocab_size is None:
         vocab_size = unigrams.count()  # one tiny job; pass it to avoid
     if prune_top is not None:
+        # Only the PRUNED bigram table broadcasts — the unigram table is
+        # the distinct-token vocabulary, itself huge at web scale, and
+        # broadcasting it would driver-collect exactly the blowup the
+        # translator's big-side veto exists to prevent; its join stays
+        # whatever Catalyst picks from statistics (ADVICE r9).
         bigrams = (
             bigrams.orderBy(F.desc("c12"), "w1", "w2").limit(prune_top)
         )
         bigrams = F.broadcast(bigrams)
-        unigrams = F.broadcast(unigrams)
 
     toks = _tokenized(df, text_col, id_col)
     big = _bigrams(toks)
@@ -165,24 +169,36 @@ def ccnet_partition(
     scored: DataFrame,
     *,
     fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    max_exact_rows: int = 100_000_000,
 ) -> DataFrame:
     """Split LM-scored docs into head/middle/tail by perplexity terciles
     (CCNet §4.3: lower perplexity = cleaner text = 'head').
 
-    Thresholds come from one exact `percentile` over the per-bigram
-    average micro-nats (an integer-derived double, so both engines
-    interpolate identical values); the bucket assignment itself is a
-    pure column expression. At scale swap `percentile` for
-    `approx_percentile` — the split stays a two-job pattern (tiny
-    threshold aggregate + one scan)."""
+    Thresholds come from one `percentile` over the per-bigram average
+    micro-nats (an integer-derived double, so both engines interpolate
+    identical values); the bucket assignment itself is a pure column
+    expression. Exact `percentile` buffers every value in one
+    aggregation buffer, so it is driver/executor-memory-bound: above
+    `max_exact_rows` the exact path raises and `exact=False` switches
+    to `approx_percentile` (the split stays a two-job pattern — tiny
+    threshold aggregate + one scan). The exact path is the oracle
+    contract; the approx path is the 100 TB deployment mode."""
     avg = (-F.col("logprob_micro") / F.col("n_bigrams")).alias("avg_nll")
     base = scored.select("doc_id", "n_bigrams", "logprob_micro", avg)
     lo, hi = fractions
-    t = base.agg(
-        F.expr(
-            f"percentile(avg_nll, array({lo!r}, {hi!r}))"
-        ).alias("t")
-    ).head()["t"]
+    if exact:
+        n = base.limit(max_exact_rows + 1).count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"ccnet_partition(exact=True) over > {max_exact_rows} "
+                "rows buffers every avg_nll in one aggregation buffer — "
+                "pass exact=False to use approx_percentile at scale"
+            )
+        pct = f"percentile(avg_nll, array({lo!r}, {hi!r}))"
+    else:
+        pct = f"approx_percentile(avg_nll, array({lo!r}, {hi!r}), 10000)"
+    t = base.agg(F.expr(pct).alias("t")).head()["t"]
     return base.withColumn(
         "bucket",
         F.when(F.col("avg_nll") <= float(t[0]), F.lit("head"))

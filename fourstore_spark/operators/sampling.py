@@ -215,6 +215,7 @@ def cap_per_group(
     group_col: str,
     max_rows: int,
     id_col: str = "doc_id",
+    skew_chunks: int = 32,
 ) -> DataFrame:
     """Deterministic per-group row cap (the domain-cap step of corpus
     curation: no single source/domain may contribute more than
@@ -223,13 +224,38 @@ def cap_per_group(
     stable under any partitioning, nested like sample_by_hash (raising
     the cap only ADDS rows, never swaps the already-chosen ones).
 
-    One window shuffle keyed by the group; at heavy skew pre-filter
-    with a per-group count so only over-cap groups rank."""
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    Skew-shaped (VERDICT r9 #3 — a naive Window.partitionBy(group)
+    puts a 10^9-doc hot domain in ONE task):
+
+    1. one map-side-combined groupBy(group).count() pre-pass (a
+       groups-sized table Catalyst broadcasts back onto the corpus);
+    2. under-cap groups bypass ranking ENTIRELY — a plain filter, no
+       window, no per-group shuffle concentration;
+    3. over-cap groups rank in two phases: per-(group, md5-chunk)
+       top-max_rows first (``skew_chunks``-way parallel — the
+       selection is a global per-group top-k, so local top-k is a
+       lossless superset), then the final exact rank over at most
+       skew_chunks * max_rows survivors per group.
+
+    Output is row-for-row identical to the single-window form on any
+    input (equivalence-fuzzed in tests/test_fuzz_lines_sampling.py)."""
+    cols = df.columns
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__gc"))
+    j = df.join(counts, group_col)
+    under = j.where(F.col("__gc") <= max_rows)
+
+    key = F.md5(F.col(id_col).cast("string"))
+    chunk = hash_bucket(F.col(id_col)) % skew_chunks
+    w1 = Window.partitionBy(group_col, "__chunk").orderBy(
+        key, F.col(id_col)
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    w2 = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    hot = (
+        j.where(F.col("__gc") > max_rows)
+        .withColumn("__chunk", chunk)
+        .withColumn("__rn", F.row_number().over(w1))
         .where(F.col("__rn") <= max_rows)
-        .drop("__rn")
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= max_rows)
     )
+    return under.select(*cols).unionByName(hot.select(*cols))

@@ -313,16 +313,7 @@ def ivf_search(
         "vec_id", _to_double(F.col(vec_col)).alias("__cv"), "ivf_cell"
     )
     qv = _to_double(F.col(vec_col))
-    cells = F.array(
-        *[
-            F.struct(
-                cosine(qv, F.array(*[F.lit(x) for x in cen])).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
-    )
-    probes = F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
+    probes = _probe_cells(qv, centroids, nprobe)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("__qv"),
@@ -341,6 +332,26 @@ def ivf_search(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def _probe_cells(qv: Column, centroids: list[list[float]],
+                 nprobe: int) -> Column:
+    """array<struct<s,i>> of a query's nprobe nearest cells, best first
+    (ties toward the higher cell index, matching ivf_assign). The ONE
+    probe-selection expression — ivf_search scores with it and
+    ivf_probe_indexed prunes with it, so the pruned scan can never drop
+    a cell the search would probe (ADVICE r9: a driver-side numpy
+    re-computation ordered near-tie centroid scores differently)."""
+    cells = F.array(
+        *[
+            F.struct(
+                cosine(qv, F.array(*[F.lit(x) for x in cen])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
 
 
 def ivf_assign(
@@ -559,31 +570,28 @@ def ivf_probe_indexed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe a written IVF index: compute each query's nprobe nearest
-    cells driver-side (centroids are tiny), scan ONLY those partitions
-    (the cell filter prunes at the parquet source — assert
-    PartitionFilters in .explain), then delegate scoring to ivf_search
-    on the pruned corpus. Results are identical to ivf_search over the
-    full corpus: every vector it would score for some query lies in
-    that query's probe cells, which are all inside the pruned union."""
-    import numpy as np
-
+    cells with the SAME `_probe_cells` expression ivf_search scores
+    with (a query-set-sized Spark job — centroids are literals), scan
+    ONLY those partitions (the cell filter prunes at the parquet
+    source — assert PartitionFilters in .explain), then delegate
+    scoring to ivf_search on the pruned corpus. Results are identical
+    to ivf_search over the full corpus BY CONSTRUCTION: the prune set
+    is the union of exactly the cells the search's own probe
+    expression selects, so near-tie centroid scores can never order
+    differently between pruning and probing."""
     corpus, centroids = read_ivf_index(spark, path)
     nprobe = min(nprobe, len(centroids))
-    C = np.array(centroids, dtype="float64")
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0.0] = np.nan
-    probe: set[int] = set()
-    for r in queries.select(vec_col).collect():
-        q = np.array(list(r[vec_col]), dtype="float64")
-        qn = np.linalg.norm(q)
-        if qn == 0.0:
-            continue
-        s = (C @ q) / (cn * qn)
-        # ties toward the higher cell index, as ivf_assign/ivf_search
-        order = np.lexsort((-np.arange(len(centroids)), -s))
-        probe.update(int(i) for i in order[:nprobe])
+    probes = _probe_cells(_to_double(F.col(vec_col)), centroids, nprobe)
+    probe = sorted(
+        r["c"]
+        for r in queries.select(
+            F.explode(F.transform(probes, lambda p: p["i"])).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
     pruned = corpus.where(
-        F.col("ivf_cell").isin(sorted(probe)) if probe else F.lit(False)
+        F.col("ivf_cell").isin(probe) if probe else F.lit(False)
     ).drop("ivf_cell")
     return ivf_search(
         pruned, queries, centroids, k=k, nprobe=nprobe,

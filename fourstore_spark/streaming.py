@@ -433,6 +433,7 @@ def stream_lm_filter(
     k: float = 0.5,
     vocab_size: int | None = None,
     max_avg_nll_micro: int | None = None,
+    max_lm_rows: int = 5_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -445,34 +446,54 @@ def stream_lm_filter(
     The LM is collected once and shipped in the task closure — the
     CCNet deployment shape (a pruned LM artifact rides to every worker;
     pass lm_score's prune_top output, NOT an unpruned web-scale count
-    table). Scoring is an Arrow-batched stateless projection: no
-    shuffle, no state store, so micro-batches stay append-only and the
-    same frame works batch or streaming (equivalence-fuzzed). Semantics
-    match lm_score exactly: micro-nat quantize-before-sum, unseen-w1
-    bigrams skipped, unseen-w2 at the smoothed floor; docs with no
-    scorable bigram are dropped (as lm_score omits them)."""
+    table — a `max_lm_rows` guard enforces this, VERDICT r9 #5).
+    Scoring is an Arrow-batched stateless projection: no shuffle, no
+    state store, so micro-batches stay append-only and the same frame
+    works batch or streaming (equivalence-fuzzed). Semantics match
+    lm_score exactly: tokens come from the SAME Spark `lm_tokens`
+    expression (not a Python re-tokenization — Java `\\s` is ASCII-only
+    and trim strips only spaces, so tabs/NBSP would diverge), rounding
+    is half-away-from-zero like F.round, micro-nat quantize-before-sum,
+    unseen-w1 bigrams skipped, unseen-w2 at the smoothed floor; docs
+    with no scorable bigram are dropped (as lm_score omits them)."""
     import math
 
     import pandas as pd
 
+    from .operators.lm import lm_tokens
+
+    n_big = bigrams.limit(max_lm_rows + 1).count()
+    if n_big > max_lm_rows:
+        raise ValueError(
+            f"bigram LM exceeds {max_lm_rows} rows — collecting it into "
+            "the task closure would OOM the driver; pass "
+            "lm_score-style pruned counts (prune_top) instead"
+        )
     uni = {r["w1"]: r["c1"] for r in unigrams.collect()}
     big = {(r["w1"], r["w2"]): r["c12"] for r in bigrams.collect()}
     if vocab_size is None:
         vocab_size = len(uni)
     kv = k * vocab_size
 
+    def _round_half_up(x: float) -> int:
+        # F.round / DuckDB round: half away from zero (Python's round()
+        # is banker's — round(-0.5) == 0 there, -1 here)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
     def score(batches):
         for pdf in batches:
             out = []
-            for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                toks = str(text).lower().split() if text is not None else []
+            for did, toks in zip(pdf["doc_id"], pdf["__t"]):
+                toks = list(toks) if toks is not None else []
                 n = s = 0
                 for i in range(len(toks) - 1):
                     c1 = uni.get(toks[i])
                     if c1 is None:
                         continue  # lm_score's inner unigram join
                     c12 = big.get((toks[i], toks[i + 1]), 0)
-                    s += round(math.log((c12 + k) / (c1 + kv)) * 1e6)
+                    s += _round_half_up(
+                        math.log((c12 + k) / (c1 + kv)) * 1e6
+                    )
                     n += 1
                 if n:
                     out.append((did, n, s))
@@ -484,7 +505,8 @@ def stream_lm_filter(
         "doc_id"
     ].dataType.simpleString()
     scored = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        F.col(id_col).alias("doc_id"),
+        lm_tokens(F.col(text_col)).alias("__t"),
     ).mapInPandas(
         score, f"doc_id {did_t}, n_bigrams long, logprob_micro long"
     )

@@ -65,18 +65,24 @@ def row_key(row):
 # passed this gate locally yet hash-mismatched in the driver. Local red
 # must predict driver red, so compare DESCRIBE types against the Spark
 # schema column-by-column.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
 _SPARK_TO_DUCK = {
-    "bigint": "BIGINT",
-    "int": "INTEGER",
-    "smallint": "SMALLINT",
-    "tinyint": "TINYINT",
-    "double": "DOUBLE",
-    "float": "FLOAT",
-    "string": "VARCHAR",
-    "boolean": "BOOLEAN",
-    "timestamp": "TIMESTAMP",
-    "timestamp_ntz": "TIMESTAMP",
-    "date": "DATE",
+    # The <=64-bit integer family is mutually compatible: the driver
+    # hash compares values (sim_ivf_exact was driver-GREEN in r9 with a
+    # Spark int rank against a BIGINT oracle). HUGEINT is NOT in the
+    # set — DuckDB's pandas bridge degrades it to float64, which is
+    # exactly how the r9 red rows mismatched on identical values.
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "date": {"DATE"},
 }
 
 
@@ -93,10 +99,14 @@ def type_mismatches(
         if ddt is None:
             continue  # column-name mismatch is reported separately
         m = __import__("re").fullmatch(r"decimal\((\d+),(\d+)\)", sdt)
-        want = f"DECIMAL({m.group(1)},{m.group(2)})" if m else _SPARK_TO_DUCK.get(sdt)
+        want = (
+            {f"DECIMAL({m.group(1)},{m.group(2)})"}
+            if m
+            else _SPARK_TO_DUCK.get(sdt)
+        )
         if want is None:
             errs.append(f"{col}: unmapped Spark dtype {sdt!r} (oracle {ddt})")
-        elif ddt != want:
+        elif ddt not in want:
             errs.append(f"{col}: oracle type {ddt} != Spark {sdt} ({want})")
     return errs
 

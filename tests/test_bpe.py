@@ -158,3 +158,41 @@ def test_empty_and_blank_docs(spark):
            for r in bpe_encode(docs, merges).collect()}
     assert out[0] == (0, []) and out[1] == (0, [])
     assert out[2][0] >= 1
+
+
+def test_encode_nasty_whitespace_matches_train_tokenization(spark):
+    """bpe_encode tokenizes with the SAME Spark lm_tokens expression
+    word_counts trains on (ADVICE r9): on tabs/NBSP/CRLF input the
+    encoded pieces must equal ref-encoding the Spark-side token arrays
+    word-for-word (a Python str.split() re-tokenization would split
+    NBSP and drop Java's leading empty token)."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.lm import lm_tokens
+
+    texts = [
+        "\tlow low lower",
+        "newest\r\nnewest  widest",
+        "    ",
+        "low low low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = word_counts(df)
+    merges = bpe_train(wc, 10)
+    spark_tokens = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select(
+            "doc_id", lm_tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    want = {
+        d: [p for w in toks for p in ref_encode(w, merges)]
+        for d, toks in spark_tokens.items()
+    }
+    assert got == want

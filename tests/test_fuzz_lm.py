@@ -215,3 +215,74 @@ def test_stream_lm_filter_matches_batch(spark, tmp_path_factory, seed):
         d for d, (n, s) in batch.items() if -s / n <= ceiling
     }
     assert kept == want
+
+
+# --- adversarial whitespace (ADVICE r9): tabs/newlines/NBSP/Unicode
+# separators tokenize differently under Python str.split() (any Unicode
+# whitespace, empties dropped) than under Spark's
+# split(trim(lower(text)), '\s+') (Java \s is ASCII-only, trim strips
+# only spaces). stream_lm_filter now pre-tokenizes with the SAME Spark
+# lm_tokens expression, so stream == batch must hold on nasty input too.
+
+_NASTY = [
+    "\tab ba cc",          # leading tab -> Java-split leading "" token
+    "cc d ee",        # NBSP: one Spark token "cc d", two in Python
+    "  ee\nf  ",           # newline separator + trimmable spaces
+    "gg h aa",        # U+2028 line separator: non-\s in Java
+    "aa\tb\t",             # trailing tab (Java split drops trailing "")
+    "ab\r\nba cc d",       # CRLF run
+    " ",              # NBSP-only doc: one 1-token doc, no bigrams
+    "ab  ba   cc",         # multi-space runs
+]
+
+
+def test_stream_lm_filter_nasty_whitespace_equals_batch(spark):
+    from fourstore_spark.operators.lm import (
+        bigram_counts,
+        lm_score,
+        unigram_counts,
+    )
+    from fourstore_spark.streaming import stream_lm_filter
+
+    docs = [(i, t) for i, t in enumerate(_NASTY * 3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uni, big = unigram_counts(df), bigram_counts(df)
+    v = uni.count()
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(df, uni, big, vocab_size=v).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in stream_lm_filter(df, uni, big, vocab_size=v).collect()
+    }
+    assert got == batch
+
+
+def test_stream_lm_filter_rejects_oversized_lm(spark):
+    """The max_lm_rows guard (VERDICT r9 #5): an unpruned web-scale
+    count table must raise, pointing at prune_top, before any
+    collect()."""
+    from fourstore_spark.operators.lm import bigram_counts, unigram_counts
+    from fourstore_spark.streaming import stream_lm_filter
+
+    docs = [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uni, big = unigram_counts(df), bigram_counts(df)
+    with pytest.raises(ValueError, match="prune_top"):
+        stream_lm_filter(df, uni, big, max_lm_rows=10)
+
+
+def test_ccnet_partition_exact_guard(spark):
+    """ccnet_partition(exact=True) must refuse to buffer more than
+    max_exact_rows in one percentile buffer; exact=False (approx) must
+    still bucket every row into the three-way split."""
+    from fourstore_spark.operators.lm import ccnet_partition, lm_score
+
+    docs = _corpus(3, n_docs=60)
+    scored = lm_score(spark.createDataFrame(docs, ["doc_id", "text"]))
+    with pytest.raises(ValueError, match="approx_percentile"):
+        ccnet_partition(scored, max_exact_rows=5)
+    out = ccnet_partition(scored, exact=False).collect()
+    assert len(out) == scored.count()
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}

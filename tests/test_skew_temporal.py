@@ -180,3 +180,71 @@ def test_asof_salted_skewed_within_bound(spark, skewed):
     # 1000) should match the right row at id=50 (ts base + 505)
     row = out.where(F.col("event_id") == 100).collect()[0]
     assert row["px_r"] is not None
+
+
+# --- cap_per_group skew guard (VERDICT r9 #3) -------------------------
+
+
+def test_cap_per_group_hot_domain_within_bound(spark):
+    """50%-hot-domain fixture: one domain owns half of 10^6 rows. The
+    two-phase cap must (a) return exactly min(count, cap) rows per
+    group, (b) rank the hot group per-(group, chunk) first — asserted
+    structurally via __chunk in the plan — and (c) finish inside the
+    anti-regression wall bound."""
+    from fourstore_spark.operators.sampling import cap_per_group
+
+    n, cap = 1_000_000, 1_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 2000).cast("string")))
+        .alias("source"),
+    )
+    t0 = time.time()
+    out = cap_per_group(df, "source", cap)
+    per_group = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    elapsed = time.time() - t0
+    assert per_group["hot"] == cap
+    # every cold domain has 500 odd-id rows (under cap): all kept
+    assert all(
+        v == 500 for k, v in per_group.items() if k != "hot"
+    ), {k: v for k, v in per_group.items() if k != "hot" and v != 500}
+    assert elapsed < BOUND_S, f"skewed cap_per_group took {elapsed:.1f}s"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+
+
+def test_cap_per_group_equals_plain_window(spark):
+    """Equivalence fuzz: the two-phase implementation returns the
+    row-for-row identical set to the naive single-window form, across
+    caps that straddle the group sizes (all-under, mixed, all-over)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from fourstore_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"g{rng.randint(0, 7)}") for i in range(2_000)
+    ] + [(10_000 + i, "hot") for i in range(3_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(7)
+    for cap in (1, 50, 260, 5_000):
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        plain = {
+            (r["doc_id"], r["source"])
+            for r in df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn")
+            .collect()
+        }
+        got = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_group(df, "source", cap, skew_chunks=5).collect()
+        }
+        assert got == plain, f"cap={cap}"
