@@ -60,6 +60,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _stage_key(sf_dir: str, table: str = "documents") -> str:
+    """Content fingerprint for /tmp staging paths (ADVICE r9): derived
+    from the source file's stat, not hash(sf_dir) — regenerated
+    testdata changes the key, so a stale staged copy can never be
+    replayed against a fresh oracle; with PYTHONHASHSEED randomized the
+    old hash() key never even hit its cache."""
+    import hashlib
+    import json
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return hashlib.md5(
+        json.dumps([sf_dir, table, st.st_mtime_ns, st.st_size]).encode()
+    ).hexdigest()[:16]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -2650,7 +2666,7 @@ FROM g
         from fourstore_spark.streaming import stream_decontaminate
 
         d = _docs(spark, sf_dir)
-        path = f"/tmp/fourstore_docs_staged_{abs(hash(sf_dir)) % 10**8}"
+        path = f"/tmp/fourstore_docs_full_{_stage_key(sf_dir)}"
         import os as _os
 
         if not _os.path.isdir(path):
@@ -2778,7 +2794,10 @@ SELECT doc_id FROM (
 # the driver's verification window: exactly the first 50 registry entries,
 # one per SURVEY §2 / LLM-pipeline component family.
 _HEAD = [
-    "o3_soft_limit_exact",      # S1 scan through the O3 soft-limit path
+    "lm_stupid_backoff",        # LLM: trigram stupid-backoff LM (r9;
+                                #   rotated in r10 — o3_soft_limit_exact
+                                #   to local gate after 9 green rounds,
+                                #   S1 stays via p_filter_pushdown)
     "s2_star_join",             # S2/J5 star scan
     "p_filter_pushdown",        # P2+P4+P5+F-in (P3 repeated-var: local gate)
     "j2_two_hop",               # J1+J2 chained joins
@@ -2818,11 +2837,17 @@ _HEAD = [
     "asof_join_salted",         # skew-hardened as-of join (r8)
     "update_all",               # W1-W9 (merged r6; parts past window)
     "http_acl_query",           # S7 HTTP protocol + X1 graph ACLs
-    "rdf_import_nt",            # S3
+    "trix_roundtrip",           # S3: TriX parse/serialize roundtrip (r9;
+                                #   rotated in r10 — rdf_import_nt to
+                                #   local gate, S3 stays covered)
     "serialize_roundtrip",      # S6
     "dump_restore",             # S5
     "fulltext_all",             # T1+T2+T3+T4
-    "dedup_exact_fingerprint",  # LLM: exact + fingerprint dedup (merged)
+    "graph_pagerank",           # LLM: integer-exact PageRank (r9;
+                                #   rotated in r10 — dedup_exact_
+                                #   fingerprint to local gate; the
+                                #   fingerprint-dedup logic still runs
+                                #   inside corpus_clean_full's window row)
     "corpus_clean_full",        # LLM: corpus-cleaning composition
                                 #   (quality + repetition + decontaminate
                                 #   + fingerprint dedup, exact oracle)
@@ -2831,16 +2856,25 @@ _HEAD = [
     "dedup_simhash",            # LLM: SimHash (verified, oracle)
     "text_stats_full",          # LLM: text analysis family
     "sim_cosine_topk",          # LLM: exact ANN baseline
-    "sim_ivf_exact",            # LLM: IVF probe search
+    "ivf_indexed_exact",        # LLM: IVF WRITTEN-index probe (r9;
+                                #   rotated in r10 over sim_ivf_exact —
+                                #   same search through the on-disk
+                                #   partition-pruned layout)
     "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
     "semdedup",                 # LLM: within-cell cosine dedup (promoted)
     "ann_recall_int8",          # LLM: recall@k eval, int8 vs float (r9)
                                 #   (duplicate_spans detector: local gate —
                                 #   its full logic replays inside
                                 #   remove_duplicate_spans' oracle)
-    "stream_window_counts",     # streaming windowed rollup (oracle)
+    "stream_lm_filter",         # streaming LM quality filter (r9;
+                                #   rotated in r10 — stream_window_counts
+                                #   to local gate; stateless Arrow
+                                #   projection == batch lm_score oracle)
     "stream_sessionize",        # streaming stateful sessionize (oracle)
-    "multimodal_decode",        # LLM: real WAV/BMP decode (exact oracle)
+    "media_ahash_neardup",      # LLM: perceptual image near-dup (r9;
+                                #   rotated in r10 — multimodal_decode to
+                                #   local gate; ahash runs on the same
+                                #   decode plumbing)
 ]
 
 def _op_dedup_components(spark, sf_dir):
@@ -3811,7 +3845,7 @@ def _op_stream_lm_filter(spark, sf_dir):
     from fourstore_spark.streaming import stream_lm_filter
 
     d = _docs(spark, sf_dir)
-    path = f"/tmp/fourstore_docs_staged_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/tmp/fourstore_docs_idtext_{_stage_key(sf_dir)}"
     if not _os.path.isdir(path):
         d.select("doc_id", "text").repartition(1).write.mode(
             "overwrite"

@@ -1,0 +1,271 @@
+"""Scale-trend measurement for the r9 LLM operators (r9 verdict #7).
+
+The SPARQL bench queries earned their sf0.1 -> sf1 -> sf3 slope table in
+BASELINE.md; this script gives the r9 corpus/graph operators the same
+evidence: lm_score, bm25_score, pagerank (6 iters) and
+ahash_neardup_pairs each run on Spark AND as a DuckDB replay of the
+identical integer-exact algorithm, best-of-3, with a cross-engine
+CHECKSUM compare (the integer surfaces make equality exact, never
+float-noise).
+
+The ahash input is synthesized deterministically from doc_id on BOTH
+engines (groups of 8 near-identical hashes, single-bit flips), because
+the test corpora carry no image payloads at sf0.1+ — what's being
+measured is the banded candidate join, the part that scales.
+
+Usage: python scripts/bench_llm_trend.py [sf_dir ...]
+       (default: /root/testdata/sf0.1 /tmp/sfdata/sf1 /tmp/sfdata/sf3,
+        skipping dirs that don't exist)
+Prints one line per (operator, sf) plus a final markdown table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+LM_TOKS = r"""
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+"""
+
+DUCK_LM = f"""
+WITH toks AS ({LM_TOKS}), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+), v AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         for i in range(1, len(t))]) AS p
+  FROM toks WHERE len(t) >= 2
+), bp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY 1, 2),
+sc AS (
+  SELECT bp.doc_id,
+         CAST(round(ln((bc.c12 + 0.5) / (uni.c1 + 0.5 * v.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bp JOIN uni USING (w1) JOIN bc USING (w1, w2), v
+), agg AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(lp) AS BIGINT) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT count(*), CAST(sum(s) AS BIGINT), CAST(sum(n) AS BIGINT) FROM agg
+"""
+
+DUCK_BM25 = f"""
+WITH toks AS ({LM_TOKS}),
+corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(t) AS dl, term, count(*) AS tf FROM (
+    SELECT doc_id, t,
+           unnest(list_filter(t, x -> x IN ('merge', 'spark', 'table')))
+             AS term
+    FROM toks) GROUP BY 1, 2, 3
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+agg AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM tf JOIN df USING (term), corpus GROUP BY doc_id
+)
+SELECT count(*), CAST(sum(s) AS BIGINT) FROM agg
+"""
+
+# identical deterministic hash synthesis on both engines: groups of 8
+# doc_ids share a base hash; members 1-7 flip one low bit -> every
+# within-group pair is hamming <= 2, cross-group pairs collide on a
+# band only by accident and get verified away
+SYNTH_HI = "(doc_id // 8 * 2654435761) % 4294967296"
+SYNTH_LO = ("xor((doc_id // 8 * 40503) % 4294967296, "
+            "CASE WHEN doc_id % 8 = 0 THEN 0 "
+            "ELSE (1::BIGINT << (doc_id % 29)) END)")
+
+DUCK_AHASH = f"""
+WITH h AS (
+  SELECT doc_id AS id,
+         CAST({SYNTH_HI} AS BIGINT) AS hi,
+         CAST({SYNTH_LO} AS BIGINT) AS lo
+  FROM documents
+), banded AS (
+  SELECT id, hi, lo, band,
+         CASE WHEN band >= 4 THEN (hi >> ((band % 4) * 8)) & 255
+              ELSE (lo >> ((band % 4) * 8)) & 255 END AS key
+  FROM h, (SELECT unnest(range(8)) AS band)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+           AS hamming
+  FROM cand
+)
+SELECT count(*), CAST(sum(hamming) AS BIGINT)
+FROM pairs WHERE hamming <= 6
+"""
+
+
+def spark_lm(spark, sf):
+    from fourstore_spark.operators.lm import lm_score
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    r = lm_score(d).agg(
+        F.count("*"), F.sum("logprob_micro"), F.sum("n_bigrams")
+    ).head()
+    return (r[0], r[1], r[2])
+
+
+def spark_bm25(spark, sf):
+    from fourstore_spark.operators.lm import bm25_score
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    r = bm25_score(d, ["merge", "spark", "table"]).agg(
+        F.count("*"), F.sum("score_micro")
+    ).head()
+    return (r[0], r[1])
+
+
+def _edges(spark, sf):
+    n = spark.read.parquet(f"{sf}/nation.parquet").select(
+        F.concat(F.lit("urn:nation:"), "n_nationkey").alias("src"),
+        F.concat(F.lit("urn:region:"), "n_regionkey").alias("dst"),
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.concat(F.lit("urn:customer:"), "c_custkey").alias("src"),
+        F.concat(F.lit("urn:nation:"), "c_nationkey").alias("dst"),
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        F.concat(F.lit("urn:supplier:"), "s_suppkey").alias("src"),
+        F.concat(F.lit("urn:nation:"), "s_nationkey").alias("dst"),
+    )
+    return n.unionByName(c).unionByName(s)
+
+
+def spark_pagerank(spark, sf):
+    from fourstore_spark.operators.graph import pagerank
+
+    r = pagerank(_edges(spark, sf), iters=6).agg(
+        F.count("*"), F.sum("rank")
+    ).head()
+    return (r[0], r[1])
+
+
+def spark_ahash(spark, sf):
+    from fourstore_spark.operators.multimodal import ahash_neardup_pairs
+
+    h = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "cast((doc_id div 8) * 2654435761 % 4294967296 as bigint)"
+        ).alias("ahash_hi"),
+        F.expr(
+            "cast((doc_id div 8) * 40503 % 4294967296 as bigint)"
+        ).bitwiseXOR(
+            F.when(F.col("doc_id") % 8 == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.shiftleft(F.lit(1).cast("bigint"),
+                                   (F.col("doc_id") % 29).cast("int")))
+        ).alias("ahash_lo"),
+    )
+    r = ahash_neardup_pairs(h, max_hamming=6).agg(
+        F.count("*"), F.sum("hamming")
+    ).head()
+    return (r[0], r[1])
+
+
+def duck_checksum(con, sql):
+    row = con.execute(sql).fetchone()
+    return tuple(int(x) if x is not None else None for x in row)
+
+
+def norm(t):
+    return tuple(int(x) if x is not None else None for x in t)
+
+
+def best_of(fn, n=3):
+    best, out = None, None
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, out
+
+
+def main():
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1", "/tmp/sfdata/sf1", "/tmp/sfdata/sf3"
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("llm-trend")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    ops = [
+        ("lm_score", spark_lm, DUCK_LM),
+        ("bm25_score", spark_bm25, DUCK_BM25),
+        ("pagerank6", spark_pagerank, None),
+        ("ahash_neardup", spark_ahash, DUCK_AHASH),
+    ]
+    rows = []
+    for sf in dirs:
+        con = duckdb.connect()
+        for t in ("documents", "nation", "customer", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        for name, sfn, dsql in ops:
+            if dsql is None:  # pagerank builds its oracle at call time
+                import __spark_entry__ as entry
+
+                dsql = (
+                    "SELECT count(*), CAST(sum(rank) AS BIGINT) FROM ("
+                    + entry._pagerank_oracle_sql()
+                    + ")"
+                )
+            s_t, s_sum = best_of(lambda: sfn(spark, sf))
+            d_t, d_sum = best_of(lambda: duck_checksum(con, dsql))
+            ok = norm(s_sum) == norm(d_sum)
+            print(
+                f"{sf} {name}: spark {s_t:.3f}s duck {d_t:.3f}s "
+                f"ratio {s_t / d_t:.2f}x checksum "
+                f"{'MATCH' if ok else f'MISMATCH {s_sum} vs {d_sum}'}",
+                flush=True,
+            )
+            rows.append((name, sf, s_t, d_t, ok))
+        con.close()
+
+    print("\n| operator | " + " | ".join(
+        os.path.basename(d) + " S/D (ratio)" for d in dirs) + " |")
+    print("|---|" + "---|" * len(dirs))
+    for name, _, _, _, _ in [r for i, r in enumerate(rows) if i < len(ops)]:
+        cells = []
+        for sf in dirs:
+            r = next(x for x in rows if x[0] == name and x[1] == sf)
+            cells.append(
+                f"{r[2]:.3f}/{r[3]:.3f} ({r[2] / r[3]:.2f}x"
+                + ("" if r[4] else " CHECKSUM-MISMATCH") + ")"
+            )
+        print(f"| {name} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
