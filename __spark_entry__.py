@@ -4298,6 +4298,61 @@ GROUP BY ex.query_id
 _REG = None
 
 
+def _op_dsir(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py dsir_weights,
+    Xie et al. 2023): raw = doc_id % 7 != 0, target = the % 7 == 0
+    slice — every raw doc scored by the hashed unigram+bigram
+    log-ratio of target vs raw bucket LMs, micro-quantized per gram."""
+    from fourstore_spark.operators.sampling import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(
+        d.where(F.col("doc_id") % 7 != 0),
+        d.where(F.col("doc_id") % 7 == 0),
+    )
+
+
+def _round10_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    # DSIR: full replay — identical md5 bucketing, Laplace-smoothed
+    # bucket LMs, micro-quantized log-ratios, integer per-doc sums
+    r["dsir_importance"] = (
+        _op_dsir,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 10000 AS b
+  FROM grams
+), raw_c AS (
+  SELECT b, count(*) AS cr FROM bucketed WHERE doc_id % 7 != 0 GROUP BY b
+), tgt_c AS (
+  SELECT b, count(*) AS ct FROM bucketed WHERE doc_id % 7 = 0 GROUP BY b
+), nr AS (SELECT CAST(COALESCE(sum(cr), 0) AS BIGINT) AS n FROM raw_c),
+nt AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS n FROM tgt_c),
+ratio AS (
+  SELECT COALESCE(raw_c.b, tgt_c.b) AS b,
+         CAST(round((ln((COALESCE(ct, 0) + 1.0) / (nt.n + 1.0 * 10000))
+                   - ln((COALESCE(cr, 0) + 1.0) / (nr.n + 1.0 * 10000)))
+                    * 1000000) AS BIGINT) AS lr
+  FROM raw_c FULL OUTER JOIN tgt_c ON raw_c.b = tgt_c.b, nr, nt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(lr) AS BIGINT) AS logweight_micro
+FROM bucketed JOIN ratio USING (b)
+WHERE doc_id % 7 != 0
+GROUP BY doc_id
+""",
+    )
+    return r
+
+
 def _reg() -> dict[str, tuple]:
     global _REG
     if _REG is None:
@@ -4307,6 +4362,7 @@ def _reg() -> dict[str, tuple]:
         full.update(_round5_entries())
         full.update(_round6_entries())
         full.update(_round9_entries())
+        full.update(_round10_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

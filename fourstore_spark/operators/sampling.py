@@ -210,6 +210,103 @@ def mix_corpus(
     )
 
 
+# unigrams + space-joined bigrams from a token array `t`; the
+# size(t) >= 2 guard matters: Spark's sequence(0, -1) would DESCEND
+# and index t[-1] -> null grams on single-token docs
+_GRAMS_EXPR = F.expr(
+    "case when size(t) >= 2 then concat(t, "
+    "transform(sequence(0, size(t) - 2), "
+    "i -> concat(t[i], ' ', t[i + 1]))) else t end"
+)
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, DSIR): per-document hashed-n-gram importance log-weights for
+    selecting raw-corpus documents that look like a target corpus —
+    the standard "make CommonCrawl look like Wikipedia" curation step.
+
+    Features are word unigrams + bigrams hashed into ``buckets``
+    md5-buckets (engine-portable, the module's hash_bucket). Bag-of-
+    buckets language models with Laplace ``smoothing`` are fit on both
+    corpora, and each raw document scores
+
+        log w(x) = sum over gram g of [ln p_target(b(g)) - ln p_raw(b(g))]
+
+    with each gram's log-ratio quantized to integer micro-nats BEFORE
+    the per-document sum (operators/lm.py discipline: exact integer
+    totals, partitioning-independent, oracle-hashable). Output:
+    (doc_id, n_grams, logweight_micro). Compose with
+    top_fraction_by_score or sample_by_hash for the actual resample.
+
+    100 TB shape: two explode+groupBy count passes whose outputs are
+    BUCKET-bounded (<= ``buckets`` rows — broadcastable by
+    construction, the point of the hashing trick), then one broadcast
+    join onto the exploded raw grams; no corpus-sized shuffle."""
+    from .lm import lm_tokens
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(lm_tokens(F.col(text_col)).alias("t"))
+        g = _GRAMS_EXPR
+        return (
+            toks.where(F.size("t") > 0)
+            .select(F.explode(g).alias("gram"))
+            .select((hash_bucket(F.col("gram")) % buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    raw_c = grams(raw_df).select("b", F.col("c").alias("cr"))
+    tgt_c = grams(target_df).select("b", F.col("c").alias("ct"))
+    n_raw = raw_c.agg(F.sum("cr")).head()[0] or 0
+    n_tgt = tgt_c.agg(F.sum("ct")).head()[0] or 0
+    s = float(smoothing)
+    ratio = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + F.lit(s))
+                        / F.lit(n_tgt + s * buckets)
+                    )
+                    - F.log(
+                        (F.coalesce("cr", F.lit(0)) + F.lit(s))
+                        / F.lit(n_raw + s * buckets)
+                    )
+                )
+                * 1_000_000.0,
+                0,
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+
+    toks = raw_df.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    g = _GRAMS_EXPR
+    doc_grams = toks.select(
+        "doc_id", F.explode(g).alias("gram")
+    ).select("doc_id", (hash_bucket(F.col("gram")) % buckets).alias("b"))
+    return (
+        doc_grams.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lr_micro").alias("logweight_micro"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

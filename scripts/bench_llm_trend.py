@@ -171,11 +171,10 @@ def spark_ahash(spark, sf):
             "cast((doc_id div 8) * 2654435761 % 4294967296 as bigint)"
         ).alias("ahash_hi"),
         F.expr(
-            "cast((doc_id div 8) * 40503 % 4294967296 as bigint)"
-        ).bitwiseXOR(
-            F.when(F.col("doc_id") % 8 == 0, F.lit(0).cast("bigint"))
-            .otherwise(F.shiftleft(F.lit(1).cast("bigint"),
-                                   (F.col("doc_id") % 29).cast("int")))
+            "cast((doc_id div 8) * 40503 % 4294967296 as bigint) ^ "
+            "(case when doc_id % 8 = 0 then cast(0 as bigint) "
+            "else shiftleft(cast(1 as bigint), "
+            "cast(doc_id % 29 as int)) end)"
         ).alias("ahash_lo"),
     )
     r = ahash_neardup_pairs(h, max_hamming=6).agg(

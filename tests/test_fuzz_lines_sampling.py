@@ -164,3 +164,66 @@ def test_normalize_unicode(spark):
     assert out[2] == ("plain ascii", False)
     assert out[3] == (None, False)
     assert out[4] == ("é", False)     # already NFC
+
+
+def test_dsir_weights_matches_reference(spark):
+    """Differential fuzz for dsir_weights (Xie 2023): pure-Python
+    replica of the hashed unigram+bigram bucket LMs and the
+    micro-quantized log-ratio sum, plus partitioning invariance of the
+    integer surface."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+
+    from fourstore_spark.operators.sampling import dsir_weights
+
+    B, S = 10_000, 1.0
+    WORDS = ["ab", "ba", "cc", "d", "ee", "f", "gg", "h"]
+    rng = random.Random(5)
+    docs = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 9))))
+        for i in range(120)
+    ]
+    raw = [(i, t) for i, t in docs if i % 3 != 0]
+    tgt = [(i, t) for i, t in docs if i % 3 == 0]
+
+    def bucket(g: str) -> int:
+        return (
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 1_000_000
+        ) % B
+
+    def grams(t: str) -> list[int]:
+        w = t.lower().split()
+        gs = w + [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        return [bucket(g) for g in gs]
+
+    cr: Counter = Counter(b for _, t in raw for b in grams(t))
+    ct: Counter = Counter(b for _, t in tgt for b in grams(t))
+    nr, nt = sum(cr.values()), sum(ct.values())
+
+    def lr(b: int) -> int:
+        x = math.log((ct[b] + S) / (nt + S * B)) - math.log(
+            (cr[b] + S) / (nr + S * B)
+        )
+        # half-away-from-zero like F.round
+        return int(math.copysign(math.floor(abs(x * 1e6) + 0.5), x))
+
+    want = {}
+    for i, t in raw:
+        bs = grams(t)
+        if bs:
+            want[i] = (len(bs), sum(lr(b) for b in bs))
+
+    rdf = spark.createDataFrame(raw, ["doc_id", "text"])
+    tdf = spark.createDataFrame(tgt, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logweight_micro"])
+        for r in dsir_weights(rdf, tdf).collect()
+    }
+    assert got == want
+    got13 = {
+        r["doc_id"]: (r["n_grams"], r["logweight_micro"])
+        for r in dsir_weights(rdf.repartition(13), tdf).collect()
+    }
+    assert got13 == got
