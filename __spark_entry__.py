@@ -4312,6 +4312,15 @@ def _op_dsir(spark, sf_dir):
     )
 
 
+def _op_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter flags (operators/textstats.py gopher_rules,
+    Rae et al. 2021 table A1) over every document — scaled-integer
+    ratio comparisons, so each flag replays exactly."""
+    from fourstore_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
 def _round10_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # DSIR: full replay — identical md5 bucketing, Laplace-smoothed
@@ -4348,6 +4357,58 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
 FROM bucketed JOIN ratio USING (b)
 WHERE doc_id % 7 != 0
 GROUP BY doc_id
+""",
+    )
+    # Gopher quality rules: scaled-integer ratio compares, exact flags
+    r["gopher_quality_rules"] = (
+        _op_gopher_rules,
+        r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t,
+    string_split_regex(text, '\n') AS l,
+    text AS raw
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CAST(len(l) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum([length(x) for x in t]), 0) AS BIGINT)
+      AS word_chars,
+    CAST(len(regexp_extract_all(raw, '#|\.\.\.|…')) AS BIGINT)
+      AS n_symbols,
+    CAST(len(list_filter(l,
+      x -> regexp_matches(ltrim(x, ' '), '^[-*•]'))) AS BIGINT)
+      AS bullet_lines,
+    CAST(len(list_filter(l,
+      x -> regexp_matches(rtrim(x, ' '), '(\.\.\.|…)$'))) AS BIGINT)
+      AS ellipsis_lines,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+      AS alpha_words,
+    CAST(len(list_filter(
+      ['the','be','to','of','and','that','have','with'],
+      w -> list_contains(t, w))) AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, n_lines,
+  n_words >= 50 AND n_words <= 100000 AS ok_words,
+  n_words > 0 AND word_chars >= 3 * n_words
+    AND word_chars <= 10 * n_words AS ok_mean_len,
+  10 * n_symbols <= n_words AS ok_symbol,
+  10 * bullet_lines <= 9 * n_lines AS ok_bullet,
+  10 * ellipsis_lines <= 3 * n_lines AS ok_ellipsis,
+  5 * alpha_words >= 4 * n_words AS ok_alpha,
+  stop_hits >= 2 AS ok_stop,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (n_words > 0 AND word_chars >= 3 * n_words
+         AND word_chars <= 10 * n_words)
+    AND (10 * n_symbols <= n_words)
+    AND (10 * bullet_lines <= 9 * n_lines)
+    AND (10 * ellipsis_lines <= 3 * n_lines)
+    AND (5 * alpha_words >= 4 * n_words)
+    AND (stop_hits >= 2) AS passes
+FROM m
 """,
     )
     return r

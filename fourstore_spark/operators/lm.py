@@ -130,7 +130,12 @@ def lm_score(
     if bigrams is None:
         bigrams = bigram_counts(df, text_col, id_col)
     if vocab_size is None:
-        vocab_size = unigrams.count()  # one tiny job; pass it to avoid
+        # the count job would otherwise scan+aggregate the corpus once
+        # for V and AGAIN for the scoring join — materialize the
+        # vocab-sized table before counting so the corpus tokenizes
+        # once per distinct downstream (3 scans instead of 4)
+        unigrams = unigrams.localCheckpoint()
+        vocab_size = unigrams.count()
     if prune_top is not None:
         # Only the PRUNED bigram table broadcasts — the unigram table is
         # the distinct-token vocabulary, itself huge at web scale, and
@@ -329,6 +334,10 @@ def stupid_backoff_score(
     uni = unigram_counts(train_df, text_col, id_col)
     big = bigram_counts(train_df, text_col, id_col)
     tric = trigram_counts(train_df, text_col, id_col)
+    # materialize the vocab-sized table before the N job: uni feeds two
+    # scoring joins AND this aggregate — without the checkpoint each
+    # use re-tokenizes the training corpus (lm_score discipline)
+    uni = uni.localCheckpoint()
     n_tokens = uni.agg(F.sum("c1")).head()[0]
 
     c12 = big.select(

@@ -567,20 +567,21 @@ def ahash_neardup_pairs(
     h = hashes.where(F.col("ahash_lo").isNotNull()).select(
         F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
     )
-    bands = [
-        (i, ("ahash_hi" if i >= 4 else "ahash_lo"), (i % 4) * 8)
-        for i in range(8)
-    ]
-    banded = None
-    for bi, col, shift in bands:
-        part = h.select(
-            "id", "ahash_hi", "ahash_lo",
-            F.lit(bi).alias("band"),
-            F.shiftright(F.col(col), shift).bitwiseAND(
-                F.lit(255)
-            ).alias("key"),
+    # one scan, 8-way explode in the projection — NOT a union of 8
+    # selects, which would rescan the hash source per band per join
+    # side (16 scans for the self-join)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(
+                F.col("ahash_hi" if i >= 4 else "ahash_lo"), (i % 4) * 8
+            ).bitwiseAND(F.lit(255)).alias("key"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for i in range(8)
+    ])
+    banded = h.select(
+        "id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bk")
+    ).select("id", "ahash_hi", "ahash_lo", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -195,3 +195,95 @@ def top_ngrams(
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("ngram").asc()
     ).limit(k)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality filters (Rae et al. 2021, table A1 — the
+    rule set MassiveWeb and most later pretraining corpora reuse):
+    per-document pass/fail flags for each rule plus the conjunction.
+
+        ok_words     min_words <= |words| <= max_words
+        ok_mean_len  mean word length in [3, 10] chars
+        ok_symbol    (#, ... or ellipsis) per word <= 0.1
+        ok_bullet    <= 90% of lines start with a bullet
+        ok_ellipsis  <= 30% of lines end with an ellipsis
+        ok_alpha     >= 80% of words contain an alphabetic char
+        ok_stop      >= 2 distinct Gopher stopwords present
+
+    Every ratio compares SCALED INTEGERS (10 * symbols <= n_words
+    etc.), so the flags are exact on any engine — no float thresholds
+    to drift. All column expressions over one tokenize + one line
+    split: zero shuffle, runs inside the scan projection at 100 TB.
+    Output: (doc_id, n_words, n_lines, ok_* x7, passes)."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    lines = F.split(F.col(text_col), "\n")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        lines.alias("__l"),
+        F.col(text_col).alias("__raw"),
+    ).select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_words"),
+        F.size("__l").cast("long").alias("n_lines"),
+        F.expr(
+            "aggregate(__t, 0L, (a, x) -> a + length(x))"
+        ).alias("word_chars"),
+        F.regexp_count("__raw", F.lit(r"#|\.\.\.|…"))
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(
+            F.filter(
+                "__l",
+                lambda x: F.ltrim(x).rlike(r"^[-*•]"),
+            )
+        ).cast("long").alias("bullet_lines"),
+        F.size(
+            F.filter(
+                "__l",
+                lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"),
+            )
+        ).cast("long").alias("ellipsis_lines"),
+        F.size(
+            F.filter("__t", lambda x: x.rlike("[a-z]"))
+        ).cast("long").alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                "__t", F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+            )
+        ).cast("long").alias("stop_hits"),
+    )
+    nw, nl = F.col("n_words"), F.col("n_lines")
+    flags = base.select(
+        "doc_id", "n_words", "n_lines",
+        ((nw >= min_words) & (nw <= max_words)).alias("ok_words"),
+        (
+            (nw > 0)
+            & (F.col("word_chars") >= 3 * nw)
+            & (F.col("word_chars") <= 10 * nw)
+        ).alias("ok_mean_len"),
+        (10 * F.col("n_symbols") <= nw).alias("ok_symbol"),
+        (10 * F.col("bullet_lines") <= 9 * nl).alias("ok_bullet"),
+        (10 * F.col("ellipsis_lines") <= 3 * nl).alias("ok_ellipsis"),
+        (5 * F.col("alpha_words") >= 4 * nw).alias("ok_alpha"),
+        (F.col("stop_hits") >= 2).alias("ok_stop"),
+    )
+    passes = (
+        F.col("ok_words") & F.col("ok_mean_len") & F.col("ok_symbol")
+        & F.col("ok_bullet") & F.col("ok_ellipsis") & F.col("ok_alpha")
+        & F.col("ok_stop")
+    )
+    return flags.withColumn("passes", passes)

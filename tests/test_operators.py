@@ -558,3 +558,77 @@ def test_image_ahash_and_neardup(spark):
         if ham <= 6:
             want[(a, b)] = ham
     assert pairs == want
+
+
+def test_gopher_rules_reference(spark):
+    """gopher_rules (Rae 2021 A1) vs a pure-Python replica on documents
+    engineered to trip each rule individually; integer-scaled ratio
+    flags must agree exactly."""
+    import re
+
+    from fourstore_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    long_ok = "the boy said that they have fun with words " * 8  # 72 w
+    docs = [
+        (0, long_ok),                                   # passes all
+        (1, "short doc"),                               # fails min_words
+        (2, "the " + "a " * 80),                        # mean len < 3
+        (3, ("# " + long_ok)),                          # symbols borderline
+        (4, "\n".join("- bullet line the be to of and that" for _ in range(10))),
+        (5, "\n".join((long_ok + "...") for _ in range(10))),  # ellipsis
+        (6, "12 34 " * 40 + "the be"),                  # alpha < 80%
+        (7, "zzz qqq " * 40),                           # no stopwords
+        (8, ""),                                        # empty
+        (9, "\tthe   be \nto of and that have with " * 10 + "wordy " * 30),
+    ]
+
+    def replica(text):
+        t = re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower()) \
+            if text.strip(" ").lower() else []
+        # Java split drops trailing empties only
+        while t and t[-1] == "":
+            t.pop()
+        lines = text.split("\n")
+        nw, nl = len(t), len(lines)
+        wc = sum(len(x) for x in t)
+        syms = len(re.findall(r"#|\.\.\.|…", text))
+        bul = sum(1 for x in lines if re.match(r"^[-*•]", x.lstrip(" ")))
+        ell = sum(
+            1 for x in lines if re.search(r"(\.\.\.|…)$", x.rstrip(" "))
+        )
+        alpha = sum(1 for x in t if re.search("[a-z]", x))
+        stop = sum(1 for w in GOPHER_STOPWORDS if w in t)
+        return (
+            nw, nl,
+            50 <= nw <= 100_000,
+            nw > 0 and 3 * nw <= wc <= 10 * nw,
+            10 * syms <= nw,
+            10 * bul <= 9 * nl,
+            10 * ell <= 3 * nl,
+            5 * alpha >= 4 * nw,
+            stop >= 2,
+        )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_lines"], r["ok_words"], r["ok_mean_len"],
+            r["ok_symbol"], r["ok_bullet"], r["ok_ellipsis"],
+            r["ok_alpha"], r["ok_stop"],
+        )
+        for r in gopher_rules(df).collect()
+    }
+    for i, text in docs:
+        assert got[i] == replica(text), (i, got[i], replica(text))
+    # the engineered failures actually fail their intended rule
+    flags = {
+        r["doc_id"]: r for r in gopher_rules(df).collect()
+    }
+    assert flags[0]["passes"]
+    assert not flags[1]["ok_words"]
+    assert not flags[2]["ok_mean_len"]
+    assert not flags[6]["ok_alpha"]
+    assert not flags[7]["ok_stop"]
