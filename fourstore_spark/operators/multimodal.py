@@ -583,7 +583,15 @@ def ahash_neardup_pairs(
         "id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bk")
     ).select("id", "ahash_hi", "ahash_lo", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    ham = (
+        F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+        + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+    ).cast("long")
+    # hamming-verify INSIDE the join projection, BEFORE the pair dedup:
+    # a pair colliding on k bands emits k duplicates, so deduping first
+    # would shuffle every band collision — filtering first shrinks the
+    # dedup exchange to actual near-duplicates
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -592,16 +600,8 @@ def ahash_neardup_pairs(
         )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.ahash_hi").alias("ha"), F.col("a.ahash_lo").alias("la"),
-            F.col("b.ahash_hi").alias("hb"), F.col("b.ahash_lo").alias("lb"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = (
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
-    ).cast("long")
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
