@@ -3978,6 +3978,26 @@ _LM_TOKS_SQL = r"""
 """
 
 
+# shared by bm25_search (in-memory) and bm25_indexed_search (written
+# postings layout) — both produce the identical integer surface
+_BM25_ORACLE = f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(t) AS dl, term, count(*) AS tf FROM (
+    SELECT doc_id, t,
+           unnest(list_filter(t, x -> x IN ('merge', 'spark', 'table')))
+             AS term
+    FROM toks) GROUP BY 1, 2, 3
+), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+FROM tf JOIN df USING (term), corpus GROUP BY doc_id
+"""
+
+
 def _round9_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # bigram-LM perplexity buckets: full count/score/tercile replay
@@ -4016,25 +4036,7 @@ FROM agg, t
 """,
     )
     # BM25: identical idf/saturation formula, micro-quantized per term
-    r["bm25_search"] = (
-        _op_bm25_search,
-        f"""
-WITH toks AS ({_LM_TOKS_SQL}),
-corpus AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
-tf AS (
-  SELECT doc_id, len(t) AS dl, term, count(*) AS tf FROM (
-    SELECT doc_id, t,
-           unnest(list_filter(t, x -> x IN ('merge', 'spark', 'table')))
-             AS term
-    FROM toks) GROUP BY 1, 2, 3
-), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-  CAST(SUM(CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
-      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-      * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
-FROM tf JOIN df USING (term), corpus GROUP BY doc_id
-""",
-    )
+    r["bm25_search"] = (_op_bm25_search, _BM25_ORACLE)
     # iterative trainer: rows-only by design (the per-merge argmax is
     # not SQL-expressible); tests/test_bpe.py replays it exactly
     r["bpe_train_merges"] = (_op_bpe_train, None)
@@ -4312,6 +4314,22 @@ def _op_dsir(spark, sf_dir):
     )
 
 
+def _op_bm25_indexed(spark, sf_dir):
+    """Written BM25 postings layout (operators/lm.py write_bm25_index):
+    term-bucketed postings on disk, query = partition-pruned scan +
+    the bm25_score formula — value-identical to in-memory bm25_search,
+    so the same oracle applies. Index cache keyed on a content
+    fingerprint (the _stage_key discipline)."""
+    import os as _os
+
+    from fourstore_spark.operators.lm import bm25_query, write_bm25_index
+
+    path = f"/tmp/fourstore_bm25_{_stage_key(sf_dir)}"
+    if not _os.path.isdir(path):
+        write_bm25_index(_docs(spark, sf_dir), path, n_buckets=64)
+    return bm25_query(spark, path, ["merge", "spark", "table"])
+
+
 def _op_gopher_rules(spark, sf_dir):
     """Gopher quality-filter flags (operators/textstats.py gopher_rules,
     Rae et al. 2021 table A1) over every document — scaled-integer
@@ -4411,6 +4429,8 @@ SELECT doc_id, n_words, n_lines,
 FROM m
 """,
     )
+    # written postings index: same integer surface as bm25_search
+    r["bm25_indexed_search"] = (_op_bm25_indexed, _BM25_ORACLE)
     return r
 
 

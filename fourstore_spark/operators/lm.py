@@ -41,6 +41,8 @@ __all__ = [
     "ccnet_partition",
     "stupid_backoff_score",
     "bm25_score",
+    "write_bm25_index",
+    "bm25_query",
 ]
 
 MICRO = 1_000_000.0
@@ -382,5 +384,133 @@ def stupid_backoff_score(
         .agg(
             F.count("*").alias("n_trigrams"),
             F.sum("ls_micro").alias("logscore_micro"),
+        )
+    )
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a BM25 postings layout (the text-retrieval twin of
+    similarity.write_ivf_index): per-(doc, term) postings written
+    ``partitionBy(term_bucket)`` — a query for a handful of terms
+    opens only those terms' bucket directories (partition-pruned
+    scan), never the whole inverted index — plus a term->df table
+    bucketed the same way and a JSON sidecar with N/avgdl.
+
+    The bucket is the module's engine-portable md5 hash
+    (sampling.hash_bucket % n_buckets), so ``bm25_query`` can compute
+    a term's bucket driver-side with hashlib and prune before the
+    scan. One explode + one groupBy at build time buys
+    |query-buckets|/n_buckets I/O on every query after — at 100 TB
+    the postings table is corpus-scale and this pruning IS the
+    difference between a lookup and a full scan."""
+    import json
+    import os
+
+    from .sampling import hash_bucket
+
+    toks = _tokenized(df, text_col, id_col).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).head()
+    tf = (
+        toks.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", (hash_bucket(F.col("term")) % n_buckets))
+    )
+    (
+        tf.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dfreq = (
+        tf.groupBy("term", "bucket")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    (
+        dfreq.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "df"))
+    )
+    with open(os.path.join(path, "_bm25_stats.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(
+            {
+                "n_docs": stats["n_docs"],
+                "avgdl": stats["avgdl"],
+                "n_buckets": n_buckets,
+            },
+            fh,
+        )
+
+
+def bm25_query(
+    spark,
+    path: str,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query a written BM25 index: (doc_id, n_hits, score_micro),
+    value-identical to bm25_score over the corpus the index was built
+    from (equality-tested). The query terms' md5 buckets are computed
+    driver-side (hashlib replays sampling.hash_bucket bit-for-bit),
+    the postings/df scans prune to those partitions, and the scoring
+    formula is bm25_score's integer micro-quantized sum."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, "_bm25_stats.json"),
+              encoding="utf-8") as fh:
+        stats = json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    nb = stats["n_buckets"]
+    terms = sorted(set(terms))
+    buckets = sorted({
+        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1_000_000) % nb
+        for t in terms
+    })
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    dfreq = F.broadcast(
+        spark.read.parquet(os.path.join(path, "df"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    return (
+        post.join(dfreq, "term")
+        .select(
+            "doc_id",
+            F.round(contrib * MICRO, 0).cast("long").alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum("c_micro").alias("score_micro"),
         )
     )

@@ -286,3 +286,54 @@ def test_ccnet_partition_exact_guard(spark):
     out = ccnet_partition(scored, exact=False).collect()
     assert len(out) == scored.count()
     assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+
+
+def test_bm25_index_query_equals_inmemory(spark, tmp_path_factory):
+    """bm25_query over the written postings index == bm25_score over
+    the corpus it was built from, and the postings scan partition-
+    prunes to exactly the query terms' md5 buckets (the IVF-index
+    discipline, applied to text retrieval)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.lm import (
+        bm25_query,
+        bm25_score,
+        write_bm25_index,
+    )
+    from fourstore_spark.operators.sampling import hash_bucket
+
+    docs = _corpus(21, n_docs=60)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("bm25idx") / "idx")
+    write_bm25_index(df, path, n_buckets=16)
+
+    terms = ["ab", "cc", "ee"]
+    want = sorted(
+        (r["doc_id"], r["n_hits"], r["score_micro"])
+        for r in bm25_score(df, terms).collect()
+    )
+    out = bm25_query(spark, path, terms)
+    got = sorted(
+        (r["doc_id"], r["n_hits"], r["score_micro"])
+        for r in out.collect()
+    )
+    assert got == want
+
+    # driver-side hashlib bucket replay == hash_bucket expression
+    expected_buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in terms], ["term"]
+        ).select((hash_bucket(F.col("term")) % 16).alias("b"))
+        .distinct()
+        .collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in bm25_query plan:\n{plan[:2000]}"
+    got_b = sorted(
+        int(x) for x in re.findall(r"\d+", m.group(1).split("IN")[-1])
+    )
+    assert got_b == expected_buckets, (got_b, expected_buckets)
