@@ -4314,6 +4314,21 @@ def _op_dsir(spark, sf_dir):
     )
 
 
+def _op_semantic_decon(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/dedup.py
+    semantic_decontaminate): the % 97 == 0 slice plays the eval set,
+    the rest the corpus; per-corpus-doc max cosine vs eval, flagged at
+    0.4 (exercises both outcomes on the synthetic geometry)."""
+    from fourstore_spark.operators.dedup import semantic_decontaminate
+
+    e = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        e.where(F.col("vec_id") % 97 != 0),
+        e.where(F.col("vec_id") % 97 == 0),
+        threshold_micro=400_000,
+    )
+
+
 def _op_bm25_indexed(spark, sf_dir):
     """Written BM25 postings layout (operators/lm.py write_bm25_index):
     term-bucketed postings on disk, query = partition-pruned scan +
@@ -4431,6 +4446,24 @@ FROM m
     )
     # written postings index: same integer surface as bm25_search
     r["bm25_indexed_search"] = (_op_bm25_indexed, _BM25_ORACLE)
+    # semantic decontamination: integer-max of micro-rounded cosines
+    r["semantic_decontaminate"] = (
+        _op_semantic_decon,
+        """
+SELECT c.vec_id,
+  CAST(max(CAST(round(list_cosine_similarity(
+        CAST(c.embedding AS DOUBLE[]),
+        CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT))
+    AS BIGINT) AS max_cos_micro,
+  max(CAST(round(list_cosine_similarity(
+        CAST(c.embedding AS DOUBLE[]),
+        CAST(e.embedding AS DOUBLE[])) * 1000000) AS BIGINT))
+    >= 400000 AS contaminated
+FROM embeddings c JOIN embeddings e ON e.vec_id % 97 = 0
+WHERE c.vec_id % 97 != 0
+GROUP BY c.vec_id
+""",
+    )
     return r
 
 

@@ -725,3 +725,64 @@ def remove_duplicate_spans(
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         removed.cast("long").alias("n_tokens_removed"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    threshold_micro: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str | None = None,
+    max_eval_rows: int = 100_000,
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus documents whose
+    embedding is near-identical to ANY eval-set embedding — the
+    embedding-space complement of ngram_decontaminate (paraphrased or
+    reformatted eval items that share no exact n-gram still leak
+    through lexical checks; cosine similarity catches them).
+
+    Output: (vec_id, max_cos_micro, contaminated) for EVERY corpus row
+    — max cosine against the eval set quantized to integer micro-units
+    (round-half-up, the similarity-family convention), contaminated =
+    max_cos_micro >= threshold_micro. Filter on ~contaminated for the
+    cleaned corpus, or join the flags back for an audit report.
+
+    100 TB shape: the eval set broadcasts (guarded by
+    ``max_eval_rows`` — eval benchmarks are thousands of items, not
+    corpora); each corpus row computes its n_eval cosines INSIDE the
+    scan projection (no corpus shuffle), and the per-row max is a
+    map-side-combined groupBy(vec_id) whose exchange carries one row
+    per document. For very large eval sets, pre-bucket both sides with
+    the hyperplane-LSH family instead (embedding_neardup)."""
+    n_eval = eval_df.limit(max_eval_rows + 1).count()
+    if n_eval == 0:
+        raise ValueError("empty eval set: nothing to decontaminate against")
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"eval set exceeds {max_eval_rows} rows — broadcasting it "
+            "would blow up the per-row cosine fan-out; use the LSH "
+            "banding path (embedding_neardup) for corpus-vs-corpus"
+        )
+    from .similarity import _to_double, cosine
+
+    ev = F.broadcast(
+        eval_df.select(
+            _to_double(F.col(eval_vec_col or vec_col)).alias("__ev")
+        )
+    )
+    cos_micro = F.round(
+        cosine(_to_double(F.col(vec_col)), F.col("__ev")) * 1_000_000.0, 0
+    ).cast("long")
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .crossJoin(ev)
+        .select("vec_id", cos_micro.alias("__cm"))
+        .groupBy("vec_id")
+        .agg(F.max("__cm").alias("max_cos_micro"))
+        .withColumn(
+            "contaminated",
+            F.col("max_cos_micro") >= F.lit(int(threshold_micro)),
+        )
+    )

@@ -114,3 +114,51 @@ def test_minhash_signatures_match_hof_reference(spark, corpus, num_hashes, k):
         ).collect()
     }
     assert prod == ref, (corpus, num_hashes, k)
+
+
+def test_semantic_decontaminate_matches_numpy(spark):
+    """semantic_decontaminate vs a numpy replica: integer max of
+    micro-rounded cosines, every corpus row present, guards raise."""
+    import math
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fourstore_spark.operators.dedup import semantic_decontaminate
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    # plant a near-exact leak: corpus 8 ~ eval 3 (same direction)
+    rows[8] = (8, [x * 2.0 for x in rows[3][1]])
+    corpus = [(i, v) for i, v in rows if i % 4 != 3]
+    evals = [(i, v) for i, v in rows if i % 4 == 3]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    edf = spark.createDataFrame(evals, ["vec_id", "embedding"])
+
+    got = {
+        r["vec_id"]: (r["max_cos_micro"], r["contaminated"])
+        for r in semantic_decontaminate(
+            cdf, edf, threshold_micro=990_000
+        ).collect()
+    }
+    E = np.array([v for _, v in evals])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    want = {}
+    for i, v in corpus:
+        c = En @ (np.array(v) / np.linalg.norm(v))
+        ms = max(
+            int(math.copysign(math.floor(abs(x * 1e6) + 0.5), x))
+            for x in c
+        )
+        want[i] = (ms, ms >= 990_000)
+    assert got == want
+    assert got[8][1], "planted leak must be flagged"
+    assert len(got) == len(corpus), "every corpus row gets a flag row"
+
+    with _pytest.raises(ValueError, match="empty eval"):
+        semantic_decontaminate(cdf, edf.limit(0))
+    with _pytest.raises(ValueError, match="LSH"):
+        semantic_decontaminate(cdf, edf, max_eval_rows=3)
