@@ -43,6 +43,7 @@ __all__ = [
     "bm25_score",
     "write_bm25_index",
     "bm25_query",
+    "append_bm25_index",
 ]
 
 MICRO = 1_000_000.0
@@ -419,7 +420,8 @@ def write_bm25_index(
         "doc_id", "t", F.size("t").alias("dl")
     )
     stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).head()
     tf = (
         toks.select("doc_id", "dl", F.explode("t").alias("term"))
@@ -449,6 +451,10 @@ def write_bm25_index(
             {
                 "n_docs": stats["n_docs"],
                 "avgdl": stats["avgdl"],
+                # exact integer: lets append_bm25_index recompute avgdl
+                # as (sum_dl + delta) / (n_docs + delta) with the SAME
+                # IEEE division Spark's avg performs
+                "sum_dl": stats["sum_dl"],
                 "n_buckets": n_buckets,
             },
             fh,
@@ -488,11 +494,15 @@ def bm25_query(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
     )
+    # the df dir holds PARTIAL counts (one row per (term, append
+    # generation)): append_bm25_index adds delta rows instead of
+    # rewriting, so sum them here — a few pruned rows per query term
     dfreq = F.broadcast(
         spark.read.parquet(os.path.join(path, "df"))
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
     idf = F.log(
         1.0
@@ -514,3 +524,77 @@ def bm25_query(
             F.sum("c_micro").alias("score_micro"),
         )
     )
+
+
+def append_bm25_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add NEW documents to a written BM25 index —
+    O(delta), no rewrite of existing postings.
+
+    The layout makes this possible by construction: per-(doc, term)
+    postings rows never change when the corpus grows (tf and dl are
+    per-document facts), the df table is a sum of PARTIALS (this
+    append writes one delta row per new (term, bucket) and bm25_query
+    sums at lookup), and the sidecar keeps the exact integer
+    ``sum_dl`` so the combined avgdl is the same IEEE division Spark's
+    avg would produce over the full corpus. Query results after
+    append are therefore value-identical to an index rebuilt from
+    scratch (equality-tested).
+
+    Caller contract: appended ``id_col`` values must be NEW documents
+    (re-appending an existing doc would double its postings — dedup
+    upstream, e.g. subtract_corpus). Not concurrency-safe: one writer
+    at a time (the sidecar rewrite is last, so a crashed append leaves
+    stats consistent with the OLD corpus and the new partition files
+    unreferenced-but-harmless... postings rows are live immediately;
+    re-run the append's sidecar update to repair)."""
+    import json
+    import os
+
+    from .sampling import hash_bucket
+
+    with open(os.path.join(path, "_bm25_stats.json"),
+              encoding="utf-8") as fh:
+        stats = json.load(fh)
+    nb = stats["n_buckets"]
+
+    toks = _tokenized(df, text_col, id_col).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    delta = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).head()
+    tf = (
+        toks.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", (hash_bucket(F.col("term")) % nb))
+    )
+    (
+        tf.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        tf.groupBy("term", "bucket")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "df"))
+    )
+    n_docs = stats["n_docs"] + delta["n_docs"]
+    sum_dl = stats["sum_dl"] + (delta["sum_dl"] or 0)
+    stats.update(
+        n_docs=n_docs, sum_dl=sum_dl,
+        avgdl=(sum_dl / n_docs) if n_docs else None,
+    )
+    with open(os.path.join(path, "_bm25_stats.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(stats, fh)

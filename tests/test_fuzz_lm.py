@@ -337,3 +337,42 @@ def test_bm25_index_query_equals_inmemory(spark, tmp_path_factory):
         int(x) for x in re.findall(r"\d+", m.group(1).split("IN")[-1])
     )
     assert got_b == expected_buckets, (got_b, expected_buckets)
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path_factory):
+    """Incremental maintenance: build on half the corpus + append the
+    other half == rebuild from scratch, query-for-query. Postings are
+    never rewritten (per-doc facts), df sums partials, the sidecar's
+    exact integer sum_dl reproduces the full-corpus avgdl division."""
+    from fourstore_spark.operators.lm import (
+        append_bm25_index,
+        bm25_query,
+        write_bm25_index,
+    )
+
+    docs = _corpus(31, n_docs=80)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    first = df.where("doc_id % 2 = 0")
+    second = df.where("doc_id % 2 = 1")
+
+    base = tmp_path_factory.mktemp("bm25app")
+    full_p, inc_p = str(base / "full"), str(base / "inc")
+    write_bm25_index(df, full_p, n_buckets=16)
+    write_bm25_index(first, inc_p, n_buckets=16)
+    append_bm25_index(second, inc_p)
+
+    terms = ["ab", "cc", "ee", "gg"]
+    want = sorted(
+        map(tuple, bm25_query(spark, full_p, terms).collect())
+    )
+    got = sorted(
+        map(tuple, bm25_query(spark, inc_p, terms).collect())
+    )
+    assert got == want
+    import json
+
+    s_full = json.load(open(f"{full_p}/_bm25_stats.json"))
+    s_inc = json.load(open(f"{inc_p}/_bm25_stats.json"))
+    assert (s_inc["n_docs"], s_inc["sum_dl"], s_inc["avgdl"]) == (
+        s_full["n_docs"], s_full["sum_dl"], s_full["avgdl"]
+    )
