@@ -4339,7 +4339,8 @@ def _op_bm25_indexed(spark, sf_dir):
 
     from fourstore_spark.operators.lm import bm25_query, write_bm25_index
 
-    path = f"/tmp/fourstore_bm25_{_stage_key(sf_dir)}"
+    # v2: df dir holds partial counts (append-capable layout)
+    path = f"/tmp/fourstore_bm25v2_{_stage_key(sf_dir)}"
     if not _os.path.isdir(path):
         write_bm25_index(_docs(spark, sf_dir), path, n_buckets=64)
     return bm25_query(spark, path, ["merge", "spark", "table"])

@@ -597,3 +597,35 @@ def ivf_probe_indexed(
         pruned, queries, centroids, k=k, nprobe=nprobe,
         query_id_col=query_id_col, vec_col=vec_col,
     )
+
+
+def append_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add NEW vectors to a written IVF index — O(delta),
+    standard IVF maintenance: the coarse quantizer (centroid set in the
+    sidecar) stays FIXED, new vectors are assigned to their nearest
+    existing cell and appended to that cell's partition directory.
+    Probe results afterwards equal a full rebuild with the same
+    centroids (equality-tested) — cell recall degrades only as far as
+    the data distribution drifts from the trained centroids, at which
+    point retrain + rewrite (write_ivf_index) is the answer.
+
+    Caller contract mirrors append_bm25_index: appended ids must be
+    new; one writer at a time."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json"),
+              encoding="utf-8") as fh:
+        centroids = json.load(fh)["centroids"]
+    (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .repartition("ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )

@@ -224,3 +224,36 @@ def test_ivf_probe_plan_prunes_to_probed_cells(spark, tmp_path):
     assert got == expected, (got, expected)
     # and the scan schema is pruned too: no text/extra columns read
     assert out.count() > 0
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: build on half the vectors + append
+    the other half == rebuild with the SAME centroids, probe-for-probe
+    (the quantizer stays fixed on append — standard IVF practice)."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_probe_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=4)
+    full_p, inc_p = str(tmp_path / "full"), str(tmp_path / "inc")
+    write_ivf_index(emb, cents, full_p)
+    write_ivf_index(emb.where("vec_id % 2 = 0"), cents, inc_p)
+    append_ivf_index(emb.where("vec_id % 2 = 1"), inc_p)
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for nprobe in (2, 8):
+        want = sorted(map(tuple, ivf_probe_indexed(
+            spark, full_p, queries, k=5, nprobe=nprobe
+        ).select("query_id", "vec_id", "rank").collect()))
+        got = sorted(map(tuple, ivf_probe_indexed(
+            spark, inc_p, queries, k=5, nprobe=nprobe
+        ).select("query_id", "vec_id", "rank").collect()))
+        assert got == want, f"nprobe={nprobe}"
