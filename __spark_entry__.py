@@ -4314,6 +4314,45 @@ def _op_dsir(spark, sf_dir):
     )
 
 
+def _op_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + host extraction (operators/scrubbing.py
+    canonicalize_url/url_host) over URLs synthesized deterministically
+    from doc_id — five shapes hitting every rule: default/explicit
+    ports, tracking params, fragments, schemeless passthrough."""
+    from fourstore_spark.operators.scrubbing import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".COM:80/Page"), (F.col("doc_id") % 11).cast("string"),
+            F.lit("?b="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&utm_source=x&a=1#f")))
+        .when(m == 1, F.concat(
+            F.lit("https://Example"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".org:443")))
+        .when(m == 2, F.concat(
+            F.lit("https://example"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".org:8443/x?z=9&ref=home&a="),
+            (F.col("doc_id") % 7).cast("string")))
+        .when(m == 3, F.concat(
+            F.lit("no scheme here "), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("HTTPS://H"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".io/#only")))
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url(url).alias("canon"),
+        url_host(url).alias("host"),
+    )
+
+
 def _op_semantic_decon(spark, sf_dir):
     """Embedding-space benchmark decontamination (operators/dedup.py
     semantic_decontaminate): the % 97 == 0 slice plays the eval set,
@@ -4463,6 +4502,62 @@ SELECT c.vec_id,
 FROM embeddings c JOIN embeddings e ON e.vec_id % 97 = 0
 WHERE c.vec_id % 97 != 0
 GROUP BY c.vec_id
+""",
+    )
+    # URL canonicalization: identical string algebra replayed in SQL
+    r["url_canonicalize"] = (
+        _op_url_canonicalize,
+        r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+        || '.COM:80/Page' || CAST(doc_id % 11 AS VARCHAR)
+        || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=x&a=1#f'
+      WHEN 1 THEN 'https://Example' || CAST(doc_id % 37 AS VARCHAR)
+        || '.org:443'
+      WHEN 2 THEN 'https://example' || CAST(doc_id % 37 AS VARCHAR)
+        || '.org:8443/x?z=9&ref=home&a=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 3 THEN 'no scheme here ' || CAST(doc_id AS VARCHAR)
+      ELSE 'HTTPS://H' || CAST(doc_id % 37 AS VARCHAR) || '.io/#only'
+    END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, url, trim(url) AS t,
+    lower(regexp_extract(trim(url),
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(trim(url),
+          '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+  FROM u
+), q AS (
+  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+    regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pq
+  FROM p
+), r AS (
+  SELECT *,
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+           THEN substring(hostport, 1, length(hostport) - 3)
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+           THEN substring(hostport, 1, length(hostport) - 4)
+         ELSE hostport END AS host,
+    regexp_extract(pq, '^([^?]*)', 1) AS path,
+    regexp_extract(pq, '^[^?]*\?([^#]*)', 1) AS query
+  FROM q
+), s AS (
+  SELECT *, array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      x -> len(x) > 0 AND NOT regexp_matches(x,
+        '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&') AS kept
+  FROM r
+)
+SELECT doc_id, url,
+  CASE WHEN scheme = '' THEN t
+       ELSE scheme || '://' || host
+            || CASE WHEN path = '' THEN '/' ELSE path END
+            || CASE WHEN kept != '' THEN '?' || kept ELSE '' END
+  END AS canon,
+  regexp_extract(hostport, '^([^:]*)', 1) AS host
+FROM s
 """,
     )
     return r

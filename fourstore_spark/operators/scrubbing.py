@@ -162,3 +162,65 @@ def normalize_unicode(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).mapInPandas(norm, f"doc_id {did_t}, text string, changed boolean")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port) of an absolute URL; '' when the input
+    has no scheme://host part. The grouping key for per-domain caps
+    (sampling.cap_per_group) and URL-level dedup."""
+    rest = F.regexp_extract(
+        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1
+    )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    return F.regexp_extract(hostport, r"^([^:]*)", 1)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form (the Dolma/CCNet URL-dedup key), as a pure
+    column expression — zero shuffle, engine-portable (the DuckDB
+    oracle performs the identical string algebra):
+
+    - scheme and host lowercase (path/query case preserved);
+    - fragment dropped;
+    - default port stripped (:80 for http, :443 for https);
+    - tracking params removed (utm_*, fbclid, gclid, ref);
+    - remaining query params sorted byte-wise;
+    - empty path becomes '/';
+    - inputs without a scheme pass through trimmed/unchanged.
+    """
+    u = F.trim(url)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    pq = F.regexp_extract(rest, r"^[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(pq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pq, r"^[^?]*\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (F.length(p) > 0)
+                & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", u).otherwise(canon)

@@ -167,3 +167,44 @@ def test_strip_html_no_tags_and_idempotent(spark, text):
     ).collect()[0]["text"]
     assert "<" not in stripped, (text, stripped)
     assert restripped == stripped, (text, stripped, restripped)
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule pinned: case, default/explicit port,
+    tracking-param removal, param sort, fragment drop, empty path,
+    schemeless passthrough."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.scrubbing import (
+        canonicalize_url,
+        url_host,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/To?b=2&utm_source=x&a=1#frag",
+         "http://www.example.com/Path/To?a=1&b=2", "www.example.com"),
+        ("https://Example.org:443", "https://example.org/", "example.org"),
+        ("https://example.org:8443/x?a=1",
+         "https://example.org:8443/x?a=1", "example.org"),
+        ("http://a.b/p?utm_campaign=z&ref=home&z=9&utm=keep",
+         "http://a.b/p?utm=keep&z=9", "a.b"),
+        ("  ftp://Host.Net/File  ", "ftp://host.net/File", "host.net"),
+        ("not a url", "not a url", ""),
+        ("relative/path?x=1", "relative/path?x=1", ""),
+        ("http://h/?", "http://h/", "h"),
+        ("HTTPS://H.io/#only-frag", "https://h.io/", "h.io"),
+        ("http://x.com:8080/", "http://x.com:8080/", "x.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], ["i", "u"]
+    )
+    got = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            canonicalize_url(F.col("u")).alias("c"),
+            url_host(F.col("u")).alias("h"),
+        ).collect()
+    }
+    for i, (u, canon, host) in enumerate(cases):
+        assert got[i] == (canon, host), (u, got[i], (canon, host))
