@@ -316,3 +316,53 @@ def test_big_side_never_auto_broadcast(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_resident_operators_have_no_exchange(spark):
+    """The zero-shuffle claims are structural, not aspirational: the
+    scan-projection operators (gopher_rules, canonicalize_url,
+    quality/text expressions) must plan WITHOUT any Exchange — a
+    regression that introduces a shuffle into these is a 100 TB
+    scale bug even when results stay correct."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.scrubbing import canonicalize_url
+    from fourstore_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(gopher_rules(docs))
+    assert "Exchange" not in _plan(
+        docs.select(canonicalize_url(F.col("source")).alias("c"))
+    )
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """dsir_weights' whole scale argument is that the bucket-ratio
+    table is bounded (<= buckets rows) and BROADCASTS onto the doc
+    grams — the plan must carry a BroadcastHashJoin, never a
+    corpus-side SortMergeJoin against the ratio table."""
+    from fourstore_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_weights(
+        docs.where("doc_id % 7 != 0"), docs.where("doc_id % 7 = 0")
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_cap_per_group_under_cap_groups_skip_window(spark):
+    """cap_per_group's pre-pass claim: when EVERY group is under cap,
+    the output equals the input (no rows ranked away) and the hot
+    two-phase branch contributes nothing."""
+    from fourstore_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(50)], ["doc_id", "source"]
+    )
+    out = cap_per_group(df, "source", 100)
+    assert out.count() == 50
