@@ -2853,9 +2853,18 @@ _HEAD = [
                                 #   + fingerprint dedup, exact oracle)
     "dedup_minhash_lsh",        # LLM: MinHash LSH (verified, oracle;
                                 #   jaccard verifier entry: local gate)
-    "dedup_simhash",            # LLM: SimHash (verified, oracle)
-    "text_stats_full",          # LLM: text analysis family
-    "sim_cosine_topk",          # LLM: exact ANN baseline
+    "dsir_importance",          # LLM: DSIR importance weights (r10;
+                                #   rotated in — dedup_simhash to local
+                                #   gate; LSH-family stays certified via
+                                #   dedup_minhash_lsh)
+    "gopher_quality_rules",     # LLM: Gopher filter flags (r10;
+                                #   text_stats_full to local gate — the
+                                #   text-analysis family stays via this
+                                #   row + q8 bench)
+    "bm25_indexed_search",      # LLM: written BM25 postings index (r10;
+                                #   sim_cosine_topk to local gate — the
+                                #   exact-topk kernel still runs inside
+                                #   ann_recall_int8's window row)
     "ivf_indexed_exact",        # LLM: IVF WRITTEN-index probe (r9;
                                 #   rotated in r10 over sim_ivf_exact —
                                 #   same search through the on-disk
