@@ -150,3 +150,37 @@ def test_stream_corpus_clean_matches_batch(spark, tmp_path_factory, spec, split)
         assert i == min(by_text[t]), (t, i, by_text[t])
     # stream survivors are genuine corpus rows
     assert set(stream_rows) <= set(rows)
+
+
+def test_gopher_rules_streaming_equals_batch(spark, tmp_path_factory):
+    """gopher_rules is a pure scan projection, so the SAME call works
+    on a streaming frame with identical per-row results — the
+    ingest-time quality gate composes for free (no stateful variant
+    needed)."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in gopher_rules(docs).collect()
+    }
+    src = tmp_path_factory.mktemp("gopher_stream")
+    docs.coalesce(2).write.parquet(str(src / "in"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "in")
+    )
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("memory").queryName("gopher_s")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM gopher_s").collect()
+    }
+    assert got == batch
