@@ -44,6 +44,7 @@ __all__ = [
     "write_bm25_index",
     "bm25_query",
     "append_bm25_index",
+    "compact_bm25_index",
 ]
 
 MICRO = 1_000_000.0
@@ -598,3 +599,39 @@ def append_bm25_index(
     with open(os.path.join(path, "_bm25_stats.json"), "w",
               encoding="utf-8") as fh:
         json.dump(stats, fh)
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Small-files maintenance for an append-heavy BM25 index (the
+    store.compact_store discipline applied to the postings layout):
+    every append adds one parquet file per touched bucket plus one df
+    PARTIAL row per (term, bucket) — after many appends a query reads
+    many small files and sums many partials. Compaction rewrites each
+    sub-table back to one file set per bucket and collapses the df
+    partials into one row per (term, bucket); query results are
+    identical before and after (equality-tested).
+
+    The swap is local-filesystem rename (write to `<sub>.compact`,
+    rename the old dir away, rename the new one in, delete the old) —
+    on an object store use a manifest/pointer swap instead. Not
+    concurrency-safe: quiesce writers first."""
+    import os
+    import shutil
+
+    for sub, re_agg in (("postings", False), ("df", True)):
+        src = os.path.join(path, sub)
+        tmp, old = src + ".compact", src + ".old"
+        df = spark.read.parquet(src)
+        if re_agg:
+            df = df.groupBy("term", "bucket").agg(
+                F.sum("df").alias("df")
+            )
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)

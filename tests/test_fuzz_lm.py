@@ -376,3 +376,44 @@ def test_bm25_index_append_equals_rebuild(spark, tmp_path_factory):
     assert (s_inc["n_docs"], s_inc["sum_dl"], s_inc["avgdl"]) == (
         s_full["n_docs"], s_full["sum_dl"], s_full["avgdl"]
     )
+
+
+def test_bm25_index_compaction_preserves_results(spark, tmp_path_factory):
+    """compact_bm25_index: after three appends the df dir holds
+    partials and postings many small files; compaction collapses both
+    and queries return identical results with fewer df rows."""
+    import glob
+
+    from fourstore_spark.operators.lm import (
+        append_bm25_index,
+        bm25_query,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _corpus(41, n_docs=90)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("bm25cmp") / "idx")
+    write_bm25_index(df.where("doc_id % 3 = 0"), path, n_buckets=8)
+    append_bm25_index(df.where("doc_id % 3 = 1"), path)
+    append_bm25_index(df.where("doc_id % 3 = 2"), path)
+
+    terms = ["ab", "cc", "ee"]
+    before = sorted(map(tuple, bm25_query(spark, path, terms).collect()))
+    df_rows_before = spark.read.parquet(f"{path}/df").count()
+    files_before = len(glob.glob(f"{path}/postings/*/*.parquet"))
+
+    compact_bm25_index(spark, path)
+
+    after = sorted(map(tuple, bm25_query(spark, path, terms).collect()))
+    assert after == before
+    df_rows_after = spark.read.parquet(f"{path}/df").count()
+    files_after = len(glob.glob(f"{path}/postings/*/*.parquet"))
+    assert df_rows_after < df_rows_before
+    assert files_after <= files_before
+    # df is now one row per (term, bucket)
+    dup = (
+        spark.read.parquet(f"{path}/df")
+        .groupBy("term").count().where("count > 1").count()
+    )
+    assert dup == 0
