@@ -76,6 +76,18 @@ def _stage_key(sf_dir: str, table: str = "documents") -> str:
     ).hexdigest()[:16]
 
 
+def _stage_key_extra(sf_dir: str, table: str, extra) -> str:
+    """_stage_key with derived-artifact components mixed in (e.g. the
+    trained centroids for an IVF layout): ONE keying recipe for every
+    /tmp cache, so a fix to the staleness discipline lands everywhere."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps([_stage_key(sf_dir, table), extra]).encode()
+    ).hexdigest()[:16]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -978,10 +990,10 @@ def _staged_events(spark, sf_dir) -> str:
     streaming file source can replay it."""
     from fourstore_spark.sources.relational import load_table
 
-    path = f"/tmp/fourstore_events_staged_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/tmp/fourstore_events_staged_{_stage_key(sf_dir, 'events')}"
     import os as _os
 
-    if not _os.path.isdir(path):
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).repartition(1).write.mode("overwrite").parquet(path)
@@ -2669,7 +2681,7 @@ FROM g
         path = f"/tmp/fourstore_docs_full_{_stage_key(sf_dir)}"
         import os as _os
 
-        if not _os.path.isdir(path):
+        if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
             d.repartition(1).write.mode("overwrite").parquet(path)
         ev = d.where(F.col("doc_id") % 97 == 0).select("text")
         schema = spark.read.parquet(path).schema
@@ -3747,22 +3759,16 @@ def _op_ivf_indexed(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb, k=8, iters=4)
-    # Cache key = content fingerprint (source stat + trained centroids +
-    # layout version), NOT hash(sf_dir): a stable path over regenerated
-    # testdata silently reused a stale index, and randomized hashing
-    # never hit (ADVICE r9). Same data -> same key -> reuse; anything
-    # else changes the key and triggers a fresh write.
-    import hashlib as _hashlib
-    import json as _json
-
-    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
-    fp = _hashlib.md5(
-        _json.dumps(
-            ["ivf-v1", sf_dir, st.st_mtime_ns, st.st_size, cents]
-        ).encode()
-    ).hexdigest()[:16]
+    # Cache key = content fingerprint (source stat + trained centroids),
+    # NOT hash(sf_dir): a stable path over regenerated testdata silently
+    # reused a stale index, and randomized hashing never hit (ADVICE
+    # r9). Completeness is keyed on the centroid SIDECAR (written LAST
+    # by write_ivf_index) — a crash mid-write leaves no sidecar, so the
+    # next run rebuilds instead of wedging on a partial directory
+    # (code-review r10).
+    fp = _stage_key_extra(sf_dir, "embeddings", ["ivf-v1", cents])
     path = f"/tmp/fourstore_ivf_{fp}"
-    if not _os.path.isdir(path):
+    if not _os.path.isfile(_os.path.join(path, "_ivf_centroids.json")):
         write_ivf_index(emb, cents, path)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3855,7 +3861,7 @@ def _op_stream_lm_filter(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     path = f"/tmp/fourstore_docs_idtext_{_stage_key(sf_dir)}"
-    if not _os.path.isdir(path):
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
         d.select("doc_id", "text").repartition(1).write.mode(
             "overwrite"
         ).parquet(path)
@@ -4387,9 +4393,13 @@ def _op_bm25_indexed(spark, sf_dir):
 
     from fourstore_spark.operators.lm import bm25_query, write_bm25_index
 
-    # v2: df dir holds partial counts (append-capable layout)
+    # v2: df dir holds partial counts (append-capable layout).
+    # Completeness = the stats SIDECAR (written last): a crash between
+    # the postings write and the sidecar must trigger a rebuild, not
+    # wedge on isdir (code-review r10; write mode is overwrite, so
+    # rebuilding over a partial dir is clean).
     path = f"/tmp/fourstore_bm25v2_{_stage_key(sf_dir)}"
-    if not _os.path.isdir(path):
+    if not _os.path.isfile(_os.path.join(path, "_bm25_stats.json")):
         write_bm25_index(_docs(spark, sf_dir), path, n_buckets=64)
     return bm25_query(spark, path, ["merge", "spark", "table"])
 

@@ -210,14 +210,18 @@ def mix_corpus(
     )
 
 
-# unigrams + space-joined bigrams from a token array `t`; the
-# size(t) >= 2 guard matters: Spark's sequence(0, -1) would DESCEND
-# and index t[-1] -> null grams on single-token docs
-_GRAMS_EXPR = F.expr(
-    "case when size(t) >= 2 then concat(t, "
-    "transform(sequence(0, size(t) - 2), "
-    "i -> concat(t[i], ' ', t[i + 1]))) else t end"
-)
+def _grams_expr() -> Column:
+    """Unigrams + space-joined bigrams from a token array `t`. The
+    size(t) >= 2 guard matters: Spark's sequence(0, -1) would DESCEND
+    and index t[-1] -> null grams on single-token docs. A function,
+    not a module constant — F.expr needs an active SparkContext, and a
+    top-level Column would make `import sampling` crash before
+    SparkSession creation (code-review r10)."""
+    return F.expr(
+        "case when size(t) >= 2 then concat(t, "
+        "transform(sequence(0, size(t) - 2), "
+        "i -> concat(t[i], ' ', t[i + 1]))) else t end"
+    )
 
 
 def dsir_weights(
@@ -255,7 +259,7 @@ def dsir_weights(
 
     def grams(df: DataFrame) -> DataFrame:
         toks = df.select(lm_tokens(F.col(text_col)).alias("t"))
-        g = _GRAMS_EXPR
+        g = _grams_expr()
         return (
             toks.where(F.size("t") > 0)
             .select(F.explode(g).alias("gram"))
@@ -264,8 +268,15 @@ def dsir_weights(
             .agg(F.count("*").alias("c"))
         )
 
-    raw_c = grams(raw_df).select("b", F.col("c").alias("cr"))
-    tgt_c = grams(target_df).select("b", F.col("c").alias("ct"))
+    # materialize the bucket-bounded count tables before the N jobs:
+    # without the checkpoint each sum job AND the ratio join would
+    # re-tokenize its whole corpus (the lm_score discipline)
+    raw_c = grams(raw_df).select(
+        "b", F.col("c").alias("cr")
+    ).localCheckpoint()
+    tgt_c = grams(target_df).select(
+        "b", F.col("c").alias("ct")
+    ).localCheckpoint()
     n_raw = raw_c.agg(F.sum("cr")).head()[0] or 0
     n_tgt = tgt_c.agg(F.sum("ct")).head()[0] or 0
     s = float(smoothing)
@@ -293,7 +304,7 @@ def dsir_weights(
     toks = raw_df.select(
         F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
     ).where(F.size("t") > 0)
-    g = _GRAMS_EXPR
+    g = _grams_expr()
     doc_grams = toks.select(
         "doc_id", F.explode(g).alias("gram")
     ).select("doc_id", (hash_bucket(F.col("gram")) % buckets).alias("b"))
@@ -338,7 +349,14 @@ def cap_per_group(
     input (equivalence-fuzzed in tests/test_fuzz_lines_sampling.py)."""
     cols = df.columns
     counts = df.groupBy(group_col).agg(F.count("*").alias("__gc"))
-    j = df.join(counts, group_col)
+    # NULL-SAFE join back: groupBy keeps a NULL-group row, but a plain
+    # equi-join would drop every NULL-group document — the old
+    # single-window form capped NULL as its own group, and so must
+    # this (code-review r10; pinned in the equivalence fuzz)
+    j = df.join(
+        counts.withColumnRenamed(group_col, "__g"),
+        F.col(group_col).eqNullSafe(F.col("__g")),
+    ).drop("__g")
     under = j.where(F.col("__gc") <= max_rows)
 
     key = F.md5(F.col(id_col).cast("string"))

@@ -462,13 +462,19 @@ def stream_lm_filter(
 
     from .operators.lm import lm_tokens
 
-    n_big = bigrams.limit(max_lm_rows + 1).count()
-    if n_big > max_lm_rows:
-        raise ValueError(
-            f"bigram LM exceeds {max_lm_rows} rows — collecting it into "
-            "the task closure would OOM the driver; pass "
-            "lm_score-style pruned counts (prune_top) instead"
-        )
+    # guard BOTH tables: prune_top output has pruned bigrams but a
+    # vocab-sized unigram table, and that collect() would OOM the
+    # driver just the same (code-review r10)
+    for name, table in (("bigram", bigrams), ("unigram", unigrams)):
+        n = table.limit(max_lm_rows + 1).count()
+        if n > max_lm_rows:
+            raise ValueError(
+                f"{name} LM table exceeds {max_lm_rows} rows — "
+                "collecting it into the task closure would OOM the "
+                "driver; prune it first (bigrams: lm_score prune_top; "
+                "unigrams: keep the top-N tokens and let unseen-w1 "
+                "bigrams skip, as lm_score's inner join does)"
+            )
     uni = {r["w1"]: r["c1"] for r in unigrams.collect()}
     big = {(r["w1"], r["w2"]): r["c12"] for r in bigrams.collect()}
     if vocab_size is None:

@@ -228,9 +228,13 @@ def test_cap_per_group_equals_plain_window(spark):
     from fourstore_spark.operators.sampling import cap_per_group
 
     rng = random.Random(11)
-    rows = [
-        (i, f"g{rng.randint(0, 7)}") for i in range(2_000)
-    ] + [(10_000 + i, "hot") for i in range(3_000)]
+    rows = (
+        [(i, f"g{rng.randint(0, 7)}") for i in range(2_000)]
+        + [(10_000 + i, "hot") for i in range(3_000)]
+        # NULL group: must be capped as its own group, never dropped
+        # (the r10 count-join is null-safe for exactly this)
+        + [(20_000 + i, None) for i in range(400)]
+    )
     df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(7)
     for cap in (1, 50, 260, 5_000):
         w = Window.partitionBy("source").orderBy(
