@@ -321,8 +321,14 @@ def stupid_backoff_score(
 
     Trained on `train_df` (default: the corpus itself); a held-out
     corpus exercises every backoff tier including the unigram floor.
-    The count tables join on their n-gram keys — at scale prune to
-    top-N and broadcast exactly as lm_score's prune_top path."""
+    The count tables join on their n-gram keys — plain equi-joins
+    Catalyst shuffles or broadcasts from statistics. Note the
+    deployment-pruning story differs from lm_score's prune_top: the
+    TRIGRAM and backoff-bigram tables can be pruned to top-N (a
+    missing count just falls to the next tier — that's the point of
+    stupid backoff), but the c12 CONTEXT counts and unigram
+    denominators must stay intact (or be re-aggregated from the
+    pruned tier) or tier-1 ratios would divide by NULL."""
     if train_df is None:
         train_df = df
     toks = _tokenized(df, text_col, id_col)

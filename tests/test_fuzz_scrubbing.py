@@ -208,3 +208,40 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (u, canon, host) in enumerate(cases):
         assert got[i] == (canon, host), (u, got[i], (canon, host))
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """Property: canonical URLs are fixed points — canonicalize twice
+    == canonicalize once, over a structured random URL space (schemes,
+    ports, params incl. tracking, fragments, case noise)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.scrubbing import canonicalize_url
+
+    rng = random.Random(23)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Example.COM", "a.b.c", "X9.io", "h"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/q", "/x%20y"]
+    params = ["a=1", "B=2", "utm_source=t", "ref", "z", "fbclid=9", ""]
+    frags = ["", "#f", "#a b"]
+    urls = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        base = (s + "://" if s else "") + rng.choice(hosts) + rng.choice(ports)
+        qs = "&".join(
+            rng.sample(params, rng.randint(0, 4))
+        )
+        urls.append(
+            base + rng.choice(paths) + ("?" + qs if qs else "")
+            + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    once = df.select("i", canonicalize_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in twice if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
