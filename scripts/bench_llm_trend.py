@@ -117,6 +117,100 @@ FROM pairs WHERE hamming <= 6
 """
 
 
+DUCK_DSIR = f"""
+WITH toks AS ({LM_TOKS}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 10000 AS b
+  FROM grams
+), raw_c AS (
+  SELECT b, count(*) AS cr FROM bucketed WHERE doc_id % 7 != 0 GROUP BY b
+), tgt_c AS (
+  SELECT b, count(*) AS ct FROM bucketed WHERE doc_id % 7 = 0 GROUP BY b
+), nr AS (SELECT CAST(COALESCE(sum(cr), 0) AS BIGINT) AS n FROM raw_c),
+nt AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS n FROM tgt_c),
+ratio AS (
+  SELECT COALESCE(raw_c.b, tgt_c.b) AS b,
+         CAST(round((ln((COALESCE(ct, 0) + 1.0) / (nt.n + 1.0 * 10000))
+                   - ln((COALESCE(cr, 0) + 1.0) / (nr.n + 1.0 * 10000)))
+                    * 1000000) AS BIGINT) AS lr
+  FROM raw_c FULL OUTER JOIN tgt_c ON raw_c.b = tgt_c.b, nr, nt
+), agg AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(lr) AS BIGINT) AS s
+  FROM bucketed JOIN ratio USING (b)
+  WHERE doc_id % 7 != 0 GROUP BY doc_id
+)
+SELECT count(*), CAST(sum(s) AS BIGINT) FROM agg
+"""
+
+DUCK_GOPHER = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t,
+    string_split_regex(text, '\n') AS l,
+    text AS raw
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum([length(x) for x in t]), 0) AS BIGINT)
+      AS word_chars,
+    CAST(len(regexp_extract_all(raw, '#|\.\.\.|…')) AS BIGINT)
+      AS n_symbols,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+      AS alpha_words,
+    CAST(len(list_filter(
+      ['the','be','to','of','and','that','have','with'],
+      w -> list_contains(t, w))) AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND n_words > 0 AND word_chars >= 3 * n_words
+                      AND word_chars <= 10 * n_words
+                      AND 10 * n_symbols <= n_words
+                      AND 5 * alpha_words >= 4 * n_words
+                      AND stop_hits >= 2
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM m
+"""
+
+
+def spark_dsir(spark, sf):
+    from fourstore_spark.operators.sampling import dsir_weights
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    r = dsir_weights(
+        d.where(F.col("doc_id") % 7 != 0),
+        d.where(F.col("doc_id") % 7 == 0),
+    ).agg(F.count("*"), F.sum("logweight_micro")).head()
+    return (r[0], r[1])
+
+
+def spark_gopher(spark, sf):
+    from fourstore_spark.operators.textstats import gopher_rules
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    r = gopher_rules(d).agg(
+        F.count("*"),
+        F.sum(
+            (
+                F.col("ok_words") & F.col("ok_mean_len")
+                & F.col("ok_symbol") & F.col("ok_alpha")
+                & F.col("ok_stop")
+            ).cast("long")
+        ),
+    ).head()
+    return (r[0], r[1])
+
+
 def spark_lm(spark, sf):
     from fourstore_spark.operators.lm import lm_score
 
@@ -222,6 +316,8 @@ def main():
         ("bm25_score", spark_bm25, DUCK_BM25),
         ("pagerank6", spark_pagerank, None),
         ("ahash_neardup", spark_ahash, DUCK_AHASH),
+        ("dsir_weights", spark_dsir, DUCK_DSIR),
+        ("gopher_rules", spark_gopher, DUCK_GOPHER),
     ]
     rows = []
     for sf in dirs:
