@@ -45,6 +45,8 @@ __all__ = [
     "bm25_query",
     "append_bm25_index",
     "compact_bm25_index",
+    "save_lm",
+    "load_lm",
 ]
 
 MICRO = 1_000_000.0
@@ -643,3 +645,47 @@ def compact_bm25_index(spark, path: str) -> None:
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)
+
+
+def save_lm(
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    path: str,
+    *,
+    k: float = 0.5,
+    vocab_size: int | None = None,
+) -> None:
+    """Persist a trained bigram LM as a deployable artifact (the CCNet
+    shape: train on a reference corpus once, ship the artifact to every
+    scoring/filtering job): unigram + bigram count tables as parquet
+    plus a JSON sidecar pinning the smoothing ``k`` and the TRAINING
+    vocabulary size — V must come from training time, because a pruned
+    table's distinct count would silently change the smoothed
+    denominators."""
+    import json
+    import os
+
+    if vocab_size is None:
+        unigrams = unigrams.localCheckpoint()
+        vocab_size = unigrams.count()
+    unigrams.write.mode("overwrite").parquet(os.path.join(path, "uni"))
+    bigrams.write.mode("overwrite").parquet(os.path.join(path, "big"))
+    with open(os.path.join(path, "_lm_meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"k": k, "vocab_size": vocab_size}, fh)
+
+
+def load_lm(spark, path: str):
+    """(unigrams, bigrams, meta) from a save_lm artifact — pass straight
+    to lm_score / stream_lm_filter with meta['vocab_size'] and
+    meta['k'] so scoring matches the training-time smoothing exactly."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lm_meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return (
+        spark.read.parquet(os.path.join(path, "uni")),
+        spark.read.parquet(os.path.join(path, "big")),
+        meta,
+    )

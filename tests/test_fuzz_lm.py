@@ -417,3 +417,44 @@ def test_bm25_index_compaction_preserves_results(spark, tmp_path_factory):
         .groupBy("term").count().where("count > 1").count()
     )
     assert dup == 0
+
+
+def test_lm_artifact_roundtrip(spark, tmp_path_factory):
+    """save_lm/load_lm: scoring against the loaded artifact equals
+    self-train scoring exactly, including through stream_lm_filter,
+    and the sidecar's training-time V survives pruning."""
+    from fourstore_spark.operators.lm import (
+        bigram_counts,
+        lm_score,
+        load_lm,
+        save_lm,
+        unigram_counts,
+    )
+    from fourstore_spark.streaming import stream_lm_filter
+
+    docs = _corpus(61, n_docs=50)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uni, big = unigram_counts(df), bigram_counts(df)
+    path = str(tmp_path_factory.mktemp("lmart") / "lm")
+    save_lm(uni, big, path)
+
+    luni, lbig, meta = load_lm(spark, path)
+    assert meta["k"] == 0.5 and meta["vocab_size"] == uni.count()
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(df).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(
+            df, luni, lbig, vocab_size=meta["vocab_size"], k=meta["k"]
+        ).collect()
+    }
+    assert got == want
+    streamed = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in stream_lm_filter(
+            df, luni, lbig, vocab_size=meta["vocab_size"], k=meta["k"]
+        ).collect()
+    }
+    assert streamed == want
