@@ -131,6 +131,7 @@ def lm_score(
     dropped mass falls back to the smoothed floor ln(k / (c1 + k*V)),
     and the now-small LM broadcasts instead of shuffling the corpus.
     """
+    self_train = unigrams is None and bigrams is None and prune_top is None
     if unigrams is None:
         unigrams = unigram_counts(df, text_col, id_col)
     if bigrams is None:
@@ -142,6 +143,33 @@ def lm_score(
         # once per distinct downstream (3 scans instead of 4)
         unigrams = unigrams.localCheckpoint()
         vocab_size = unigrams.count()
+    denom = F.col("c1") + F.lit(k) * F.lit(float(vocab_size))
+    if self_train:
+        # FUSED plan for the train-on-self bootstrap: pre-join the two
+        # VOCAB-SIZED count tables into one (w1, w2) -> lp_micro score
+        # table, so the corpus-sized bigram stream shuffles through ONE
+        # equi-join instead of two. Safe exactly here: every corpus
+        # bigram is in its own count table by construction, so the
+        # unseen-pair floor can never fire (pretrained scoring keeps
+        # the two-join form below, where left-miss = smoothed floor).
+        logp = F.log((F.col("c12") + F.lit(k)) / denom)
+        score_tbl = bigrams.join(unigrams, "w1").select(
+            "w1", "w2",
+            F.round(logp * MICRO, 0).cast("long").alias("lp_micro"),
+        )
+        scored = (
+            _bigrams(_tokenized(df, text_col, id_col))
+            .join(score_tbl, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.sum("lp_micro").alias("logprob_micro"),
+            )
+        )
+        return scored.withColumn(
+            "ppl",
+            F.exp(-(F.col("logprob_micro") / MICRO) / F.col("n_bigrams")),
+        )
     if prune_top is not None:
         # Only the PRUNED bigram table broadcasts — the unigram table is
         # the distinct-token vocabulary, itself huge at web scale, and
@@ -155,7 +183,6 @@ def lm_score(
 
     toks = _tokenized(df, text_col, id_col)
     big = _bigrams(toks)
-    denom = F.col("c1") + F.lit(k) * F.lit(float(vocab_size))
     logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k)) / denom)
     scored = (
         big.join(unigrams, "w1")  # every w1 occurs, so inner is total

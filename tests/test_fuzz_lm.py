@@ -458,3 +458,30 @@ def test_lm_artifact_roundtrip(spark, tmp_path_factory):
         ).collect()
     }
     assert streamed == want
+
+
+def test_lm_score_fused_self_train_equals_two_join_form(spark):
+    """The fused self-train plan (one corpus-side join against a
+    pre-joined score table) must equal the general two-join form fed
+    the same counts — including on nasty-whitespace text."""
+    from fourstore_spark.operators.lm import (
+        bigram_counts,
+        lm_score,
+        unigram_counts,
+    )
+
+    docs = _corpus(71, n_docs=60) + [
+        (1000 + i, t) for i, t in enumerate(_NASTY)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uni, big = unigram_counts(df), bigram_counts(df)
+    v = uni.count()
+    fused = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(df).collect()
+    }
+    general = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+        for r in lm_score(df, uni, big, vocab_size=v).collect()
+    }
+    assert fused == general
