@@ -786,3 +786,95 @@ def semantic_decontaminate(
             F.col("max_cos_micro") >= F.lit(int(threshold_micro)),
         )
     )
+
+
+def subtract_corpus_bloom(
+    df: DataFrame,
+    reference: DataFrame,
+    *,
+    fpp: float = 0.001,
+    expected_items: int | None = None,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup at BLOOM scale — the subtract_corpus
+    docstring's 'reference too large even for a shuffle join' path
+    (the Dolma deduper is exactly this shape): the reference's
+    normalization fingerprints fold into a Bloom filter (one scan,
+    tree-aggregated bit array, Spark's df.stat.bloomFilter) that
+    broadcasts to every task; the corpus side is then a pure
+    projection-and-filter — NO join, NO shuffle of either corpus.
+
+    Semantics: no false negatives (every true duplicate is dropped),
+    false-positive drops at rate <= ``fpp`` (docs wrongly removed —
+    acceptable for corpus curation, never for the exact contract
+    entries; the test pins both directions). Size the filter with
+    ``expected_items`` (default: a count of distinct reference
+    fingerprints — one cheap aggregate).
+
+    Built distributively (PySpark exposes no DataFrame bloomFilter):
+    the k bit positions per fingerprint are seeded xxhash64 column
+    expressions, folded to one 64-bit word per index with a bit_or
+    aggregate — only the m/64-word bit array (the filter itself) ever
+    reaches the driver; membership tests reuse the SAME Spark hash
+    expressions, so probe positions can never diverge from build
+    positions, and the Python side only indexes a numpy array."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from fourstore_spark.operators.textstats import fingerprint
+
+    rcol = ref_text_col or text_col
+    ref_fps = reference.select(
+        fingerprint(F.col(rcol)).alias("__fp")
+    ).distinct().localCheckpoint()
+    if expected_items is None:
+        expected_items = ref_fps.count() or 1
+    n = max(1, expected_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+
+    def positions(col: Column) -> Column:
+        return F.array(*[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+            for i in range(k)
+        ])
+
+    words = (
+        ref_fps.select(F.explode(positions(F.col("__fp"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    barr = df.sparkSession.sparkContext.broadcast(arr)
+
+    def keep(batches):
+        a = barr.value
+        for pdf in batches:
+            mask = []
+            for pos in pdf["__pos"]:
+                hit = all(
+                    a[p // 64] & (np.int64(1) << np.int64(p % 64))
+                    for p in pos
+                )
+                mask.append(not hit)
+            yield pdf[pd.Series(mask, index=pdf.index)]
+
+    with_pos = df.withColumn(
+        "__pos", positions(fingerprint(F.col(text_col)))
+    )
+    return with_pos.mapInPandas(keep, with_pos.schema).drop("__pos")

@@ -162,3 +162,29 @@ def test_semantic_decontaminate_matches_numpy(spark):
         semantic_decontaminate(cdf, edf.limit(0))
     with _pytest.raises(ValueError, match="LSH"):
         semantic_decontaminate(cdf, edf, max_eval_rows=3)
+
+
+def test_subtract_corpus_bloom_no_false_negatives(spark):
+    """Bloom-path cross-corpus subtraction: every true duplicate is
+    dropped (no false negatives — the Bloom guarantee), survivors are
+    a subset of the exact path's survivors, and at fpp=1e-3 on this
+    corpus the two paths agree exactly."""
+    from fourstore_spark.operators.dedup import (
+        subtract_corpus,
+        subtract_corpus_bloom,
+    )
+
+    docs = [(i, f"doc number {i} body text") for i in range(400)]
+    # reference shares 100 documents verbatim (modulo case/punct noise)
+    ref = [(i, f"DOC NUMBER {i} BODY TEXT!") for i in range(0, 400, 4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rdf = spark.createDataFrame(ref, ["rid", "text"])
+
+    exact = {r["doc_id"] for r in subtract_corpus(df, rdf).collect()}
+    bloom = {
+        r["doc_id"] for r in subtract_corpus_bloom(df, rdf).collect()
+    }
+    dupes = set(range(0, 400, 4))
+    assert not (bloom & dupes), "false negative: a true duplicate survived"
+    assert bloom <= exact, "bloom may only over-drop, never under-drop"
+    assert bloom == exact  # at this size/fpp no false positives expected
