@@ -4329,6 +4329,20 @@ def _op_dsir(spark, sf_dir):
     )
 
 
+def _op_subtract_bloom(spark, sf_dir):
+    """Bloom-filter cross-corpus subtraction (operators/dedup.py
+    subtract_corpus_bloom): the doc_id % 4 == 0 slice plays the
+    already-curated reference; survivors of the remaining corpus are
+    the rows whose normalization fingerprint the filter rejects."""
+    from fourstore_spark.operators.dedup import subtract_corpus_bloom
+
+    d = _docs(spark, sf_dir)
+    return subtract_corpus_bloom(
+        d.select("doc_id", "text"),
+        d.where(F.col("doc_id") % 4 == 0),
+    ).select("doc_id")
+
+
 def _op_url_canonicalize(spark, sf_dir):
     """URL canonicalization + host extraction (operators/scrubbing.py
     canonicalize_url/url_host) over URLs synthesized deterministically
@@ -4523,6 +4537,10 @@ WHERE c.vec_id % 97 != 0
 GROUP BY c.vec_id
 """,
     )
+    # Bloom-path subtraction: positions come from Spark's seeded
+    # xxhash64 (no DuckDB equivalent) -> rows-only driver check; the
+    # no-false-negative/subset properties are pinned in pytest
+    r["dedup_subtract_bloom"] = (_op_subtract_bloom, None)
     # URL canonicalization: identical string algebra replayed in SQL
     r["url_canonicalize"] = (
         _op_url_canonicalize,
