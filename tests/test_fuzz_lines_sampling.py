@@ -227,3 +227,55 @@ def test_dsir_weights_matches_reference(spark):
         for r in dsir_weights(rdf.repartition(13), tdf).collect()
     }
     assert got13 == got
+
+
+def test_dsir_composes_with_top_fraction(spark):
+    """The documented resample composition: dsir_weights ->
+    top_fraction_by_score keeps exactly ceil(frac*N) best-weighted
+    docs, deterministic across partitionings."""
+    import math
+
+    from fourstore_spark.operators.sampling import (
+        dsir_weights,
+        top_fraction_by_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    w = dsir_weights(
+        docs.where("doc_id % 7 != 0"), docs.where("doc_id % 7 = 0")
+    )
+    n = w.count()
+    kept = top_fraction_by_score(w, 0.25, "logweight_micro", "doc_id")
+    assert kept.count() == math.ceil(0.25 * n)
+    # deterministic under repartitioning
+    kept_b = top_fraction_by_score(
+        w.repartition(7), 0.25, "logweight_micro", "doc_id"
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in kept_b.collect()
+    }
+
+
+def test_url_host_feeds_domain_caps(spark):
+    """url_host as the cap_per_group key — the per-domain cap use the
+    two operators were built to compose into."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.sampling import cap_per_group
+    from fourstore_spark.operators.scrubbing import url_host
+
+    rows = [
+        (i, f"https://Hot.example/{i}") for i in range(40)
+    ] + [(100 + i, f"http://cold{i}.org/x") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"]).withColumn(
+        "domain", url_host(F.col("url"))
+    )
+    out = cap_per_group(df, "domain", 10)
+    per = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per["hot.example"] == 10
+    assert all(v == 1 for k, v in per.items() if k != "hot.example")
