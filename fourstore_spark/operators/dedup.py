@@ -864,15 +864,18 @@ def subtract_corpus_bloom(
 
     def keep(batches):
         a = barr.value
+        one = np.int64(1)
         for pdf in batches:
-            mask = []
-            for pos in pdf["__pos"]:
-                hit = all(
-                    a[p // 64] & (np.int64(1) << np.int64(p % 64))
-                    for p in pos
-                )
-                mask.append(not hit)
-            yield pdf[pd.Series(mask, index=pdf.index)]
+            if not len(pdf):
+                continue
+            # vectorized probe: (n, k) position matrix -> word lookup,
+            # bit test, all-bits-set per row — no per-row Python loop
+            P = np.vstack(
+                [np.asarray(p, dtype=np.int64) for p in pdf["__pos"]]
+            )
+            bits = a[P // 64] & (one << (P % 64).astype(np.int64))
+            hit = (bits != 0).all(axis=1)
+            yield pdf[pd.Series(~hit, index=pdf.index)]
 
     with_pos = df.withColumn(
         "__pos", positions(fingerprint(F.col(text_col)))
