@@ -448,7 +448,12 @@ def write_bm25_index(
     scan. One explode + one groupBy at build time buys
     |query-buckets|/n_buckets I/O on every query after — at 100 TB
     the postings table is corpus-scale and this pruning IS the
-    difference between a lookup and a full scan."""
+    difference between a lookup and a full scan.
+
+    Size ``n_buckets`` so one bucket directory is a few GB (e.g. 4096+
+    at 100 TB — the default 64 suits the test scales); more buckets =
+    finer pruning AND more write parallelism, at the cost of more
+    files per append (compact_bm25_index is the counterweight)."""
     import json
     import os
 
