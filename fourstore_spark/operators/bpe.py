@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "bpe_train", "bpe_encode", "merges_df"]
+__all__ = ["word_counts", "bpe_train", "bpe_encode", "merges_df",
+           "merges_from_df"]
 
 END = "</w>"
 
@@ -201,3 +202,15 @@ def bpe_encode(
         encode_batches,
         f"doc_id {vid_dt}, n_pieces long, pieces array<string>",
     )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of merges_df: reload a persisted merge table (parquet/
+    anything) back into the ordered list bpe_encode consumes — the
+    tokenizer-artifact round trip (train once, encode everywhere)."""
+    return [
+        (r["left"], r["right"])
+        for r in df.select("step", "left", "right")
+        .orderBy("step")
+        .collect()
+    ]

@@ -196,3 +196,21 @@ def test_encode_nasty_whitespace_matches_train_tokenization(spark):
         for d, toks in spark_tokens.items()
     }
     assert got == want
+
+
+def test_merges_roundtrip_through_parquet(spark, tmp_path):
+    """Tokenizer artifact: merges -> merges_df -> parquet -> reload ->
+    identical encoding."""
+    from fourstore_spark.operators.bpe import merges_from_df
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    merges = bpe_train(word_counts(df), 12)
+    path = str(tmp_path / "merges")
+    merges_df(spark, merges).write.parquet(path)
+    reloaded = merges_from_df(spark.read.parquet(path))
+    assert reloaded == merges
+    a = sorted(map(tuple, bpe_encode(df, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(df, reloaded).collect()))
+    assert a == b
