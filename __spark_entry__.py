@@ -608,6 +608,58 @@ def _op_http_acl_query(spark, sf_dir):
                 rows.append(("nokey", f"unexpected-{e.code}", ""))
     finally:
         srv.stop()
+
+    # Phase 2 — the reference's -A mode (graph_access_control=True):
+    # ACLs are DATA in system:config (acl#onlyAccessBy,
+    # rdf-constants.h:52-55), loaded per store snapshot
+    # (query-cache.c:160-225); destructive ops need an ADMIN key
+    # (httpd.c:494-500, default admin 4sadminuser). Rows: the admin and
+    # the listed user read the restricted graph; an unlisted user sees
+    # it denied; a non-admin write 403s where the admin's succeeds.
+    srv2 = SparqlHttpServer(
+        spark,
+        update_engine=UpdateEngine(spark, _engine(spark, sf_dir).quads),
+        port=0,
+        graph_access_control=True,
+    )
+    srv2.start()
+    base2 = f"http://127.0.0.1:{srv2.port}"
+
+    def _update2(text: str, key: str) -> int:
+        data = urllib.parse.urlencode(
+            {"update": text, "apikey": key}
+        ).encode()
+        try:
+            with urllib.request.urlopen(f"{base2}/update/", data) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    try:
+        st = _update2(
+            "INSERT DATA { GRAPH <system:config> { <urn:g:region> "
+            '<http://4store.org/acl#onlyAccessBy> "u-region" } }',
+            "4sadminuser",
+        )
+        rows.append(("write-admin", str(st), "ok" if st == 200 else "!"))
+        st = _update2(
+            "INSERT DATA { <urn:na> <urn:na> <urn:na> }", "u-region"
+        )
+        rows.append(
+            ("write-nonadmin", str(st), "admin-gate" if st == 403 else "!")
+        )
+        for who in ("4sadminuser", "u-region", "u-other"):
+            with urllib.request.urlopen(
+                f"{base2}/sparql/?query={q}&output=json&apikey={who}"
+            ) as resp:
+                doc = _json.loads(resp.read().decode())
+            got = doc["results"]["bindings"]
+            if not got:
+                rows.append((who, "denied", "0"))
+            for b in got:
+                rows.append((who, b["s"]["value"], b["n"]["value"]))
+    finally:
+        srv2.stop()
     return spark.createDataFrame(rows, "who string, s string, n string")
 
 
@@ -1900,11 +1952,23 @@ def _registry() -> dict[str, tuple]:
     )
     # S7+X1: the full HTTP protocol round trip under apikey graph ACLs,
     # driver-graded — an in-process endpoint serves the store; a scoped
-    # key reads only its allowed graph; an unknown key is deny-all
+    # key reads only its allowed graph; an unknown key is deny-all.
+    # Phase 2 runs the reference's DATA-DRIVEN mode (-A): onlyAccessBy
+    # quads in system:config, admin-gated writes (httpd.c:494-500) —
+    # the admin and the listed user read the restricted graph, an
+    # unlisted user is denied, and admin-vs-user write outcomes are
+    # pinned as rows
     r["http_acl_query"] = (
         _op_http_acl_query,
         "SELECT 'k1' AS who, 'urn:region:' || CAST(r_regionkey AS VARCHAR)"
-        " AS s, r_name AS n FROM region",
+        " AS s, r_name AS n FROM region"
+        " UNION ALL SELECT 'write-admin', '200', 'ok'"
+        " UNION ALL SELECT 'write-nonadmin', '403', 'admin-gate'"
+        " UNION ALL SELECT '4sadminuser',"
+        " 'urn:region:' || CAST(r_regionkey AS VARCHAR), r_name FROM region"
+        " UNION ALL SELECT 'u-region',"
+        " 'urn:region:' || CAST(r_regionkey AS VARCHAR), r_name FROM region"
+        " UNION ALL SELECT 'u-other', 'denied', '0'",
     )
     r["q5_explain"] = (
         # plan shape booleans: hash aggregate present, no nested-loop join

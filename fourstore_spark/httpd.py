@@ -58,6 +58,86 @@ def _code_body(code_text: str) -> str:
     return f"{code_text}\n{SERVER_LINE}"
 
 
+# ---------------------------------------------------------------- ACLs
+# Data-driven graph access control, the reference's -A mode: ACLs are
+# ordinary quads in the system:config graph (rdf-constants.h:52-55)
+# loaded into a driver-side map before each bind (query-cache.c:160-225
+# fs_acl_load_system_info), reloaded whenever the store changes.
+FS_SYSTEM_CONFIG = "system:config"
+FS_ACL_ADMIN = "http://4store.org/acl#admin"
+FS_ACL_ONLY_ACCESS_BY = "http://4store.org/acl#onlyAccessBy"
+# used only while system:config holds NO acl#admin quad
+# (query-cache.c:214-217 "Added default admin user")
+FS_ACL_DEFAULT_ADMIN = "4sadminuser"
+
+# system:config is admin-curated and tiny by construction, but the load
+# collects it to the driver — guard like every other driver-side
+# materialization in this repo (stream_lm_filter.max_lm_rows etc.)
+MAX_ACL_ROWS = 100_000
+
+
+class AclInfo:
+    """Driver-side image of the store's ACL quads.
+
+    ``admins``: the acl#admin user keys (default-admin fallback when
+    empty). ``graph_users``: graph URI -> the set of user keys its
+    acl#onlyAccessBy quads name; system:config itself maps to the admin
+    set (query-cache.c:219 "only admin users can access system:config").
+    Graphs absent from the map are readable by ANY key — so a user's
+    visibility filter is the small DENY list of restricted graphs not
+    naming them (no_access_for_user, query-cache.c:97-110), never an
+    unbounded allow list: at 100 TB with millions of graphs the filter
+    stays O(restricted graphs)."""
+
+    def __init__(self, admins: frozenset, graph_users: dict):
+        self.admins = admins
+        self.graph_users = graph_users
+
+    def is_admin(self, key: str | None) -> bool:
+        return key is not None and key in self.admins
+
+    def denied_for(self, key: str) -> tuple:
+        return tuple(sorted(
+            g for g, users in self.graph_users.items() if key not in users
+        ))
+
+
+def load_acl_info(quads, max_rows: int = MAX_ACL_ROWS) -> AclInfo:
+    """One pruned scan of the system:config graph (the g/p filters reach
+    the parquet read) -> AclInfo. Mirrors fs_acl_load_system_info
+    (query-cache.c:160-225): the reference binds
+    (model=system:config, pred in {acl#admin, acl#onlyAccessBy}) and
+    builds the same two maps; keys compare as plain-literal lexical
+    forms (httpd.c:499 hashes the apikey with fs_hash_literal(key, 0))."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        quads.where(
+            (F.col("g") == FS_SYSTEM_CONFIG)
+            & F.col("p").isin([FS_ACL_ADMIN, FS_ACL_ONLY_ACCESS_BY])
+        )
+        .select("s", "p", "o_lex")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"system:config holds more than {max_rows} ACL quads; "
+            "refusing to materialize them driver-side. Raise max_rows "
+            "only if the config graph is genuinely that large."
+        )
+    admins = frozenset(r.o_lex for r in rows if r.p == FS_ACL_ADMIN)
+    if not admins:
+        admins = frozenset([FS_ACL_DEFAULT_ADMIN])
+    graph_users: dict = {}
+    for r in rows:
+        if r.p == FS_ACL_ONLY_ACCESS_BY:
+            graph_users.setdefault(r.s, set()).add(r.o_lex)
+    graph_users = {g: frozenset(u) for g, u in graph_users.items()}
+    graph_users[FS_SYSTEM_CONFIG] = admins
+    return AclInfo(admins, graph_users)
+
+
 # a BASE of the request's own only counts in the PROLOGUE: whitespace,
 # comments and PREFIX declarations may precede it, but a line inside a
 # string literal that happens to start with "BASE" must not suppress
@@ -136,14 +216,23 @@ class SparqlHttpServer:
         update_engine: UpdateEngine | None = None,
         host: str = "127.0.0.1",
         port: int = 8890,
-        graph_access_control: dict[str, list[str]] | None = None,
+        graph_access_control: dict[str, list[str]] | bool | None = None,
         cors: bool = True,
     ):
-        """``graph_access_control`` enables the reference's apikey ACL
-        mode (httpd.c:1156-1159): a map of apikey -> list of graph URIs
-        that key may see. When set, /sparql/ and write endpoints REQUIRE
-        an ``apikey`` param (403 otherwise); an unknown key sees no
-        graphs (empty allow-list = deny-all, engine ACL semantics)."""
+        """``graph_access_control`` enables apikey ACL mode
+        (httpd.c:1156-1159). Two forms:
+
+        - ``True`` — the reference's -A mode: ACLs are DATA, read from
+          acl#admin / acl#onlyAccessBy quads in the system:config graph
+          (rdf-constants.h:52-55) and reloaded whenever the store
+          changes (fsp_acl_needs_reload). Queries need any apikey;
+          destructive ops (update/PUT/DELETE) need an ADMIN key
+          (httpd.c:494-500), default admin ``4sadminuser`` until an
+          acl#admin quad exists; non-admins cannot see system:config or
+          restricted graphs not naming them.
+        - a dict apikey -> list of graph URIs that key may see (static
+          allow-list; an extension kept for embedders who manage keys
+          outside the store). Any known key may write."""
         self.spark = spark
         # wildcard_delete: 4s-httpd deletes un-GRAPHed triples from every
         # graph (update.c:127 wildcard model) — parity for this surface
@@ -166,6 +255,18 @@ class SparqlHttpServer:
         # which invalidates this by identity
         self._engine_for: object | None = None
         self._engine: SparqlEngine | None = None
+        # data-driven ACL mode: the AclInfo image and the per-deny-set
+        # engine cache are keyed on the quads snapshot identity — every
+        # write swaps ue.quads, which is exactly the reference's
+        # fsp_acl_needs_reload trigger (query-cache.c:242-243). Engines
+        # are cached per denied-graph set so users sharing a visibility
+        # class share one compiled-plan cache.
+        self._acl_info_for: object | None = None
+        self._acl_info: AclInfo | None = None
+        from collections import OrderedDict
+
+        self._acl_engines: "OrderedDict" = OrderedDict()
+        self._acl_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -218,13 +319,27 @@ class SparqlHttpServer:
                     return outer._engine, None
                 key = params.get("apikey")
                 if not key:
-                    # httpd.c:1157 wording
+                    # httpd.c:1157 wording (body shape = http_error:
+                    # message line + server line)
                     return None, (
                         403,
-                        "403 forbidden - apikey parameter has to be "
-                        "included in request.",
+                        _code_body(
+                            "403 forbidden - apikey parameter has to be "
+                            "included in request."
+                        ),
                     )
-                # unknown key -> empty allow-list -> deny-all
+                if acl is True:
+                    # data-driven mode: admins see everything
+                    # (no_access_for_user returns NULL for admins,
+                    # query-cache.c:97-99); everyone else gets the
+                    # small DENY list of restricted graphs
+                    info = outer._current_acl_info()
+                    denied = (
+                        () if info.is_admin(key) else info.denied_for(key)
+                    )
+                    return outer._engine_for_denied(denied), None
+                # static dict mode: unknown key -> empty allow-list
+                # -> deny-all
                 return (
                     SparqlEngine(
                         outer.spark,
@@ -360,7 +475,22 @@ class SparqlHttpServer:
 
                     quads = outer.ue.quads
                     acl = outer.graph_access_control
-                    if acl is not None:
+                    if acl is True:
+                        key = self._params().get("apikey")
+                        if not key:
+                            return self._send(
+                                403,
+                                "403 forbidden - valid apikey parameter "
+                                "has to be included in request.",
+                            )
+                        info = outer._current_acl_info()
+                        if not info.is_admin(key):
+                            denied = info.denied_for(key)
+                            if denied:
+                                quads = quads.where(
+                                    ~F.col("g").isin(list(denied))
+                                )
+                    elif acl is not None:
                         key = self._params().get("apikey")
                         if key not in acl:
                             return self._send(
@@ -397,9 +527,10 @@ class SparqlHttpServer:
                     # zeros — stands in). Same apikey gate as /status/size
                     # (ADVICE r4).
                     acl = outer.graph_access_control
-                    if acl is not None and self._params().get(
-                        "apikey"
-                    ) not in acl:
+                    key = self._params().get("apikey")
+                    if acl is not None and (
+                        not key if acl is True else key not in acl
+                    ):
                         return self._send(
                             403,
                             "403 forbidden - valid apikey parameter "
@@ -459,12 +590,28 @@ class SparqlHttpServer:
                 self._send(404, "not found")
 
             def _write_denied(self, params: dict) -> bool:
-                """Writes under graph access control need a KNOWN apikey
-                (the reference gates destructive ops on an admin key,
-                httpd.c:498-500)."""
+                """Destructive ops (update/PUT/DELETE) under graph
+                access control. Data-driven mode: ADMIN keys only
+                (data_modification_acl_granted, httpd.c:494-500 — a
+                missing key and a non-admin key both get the same 403).
+                Static dict mode: any known key (legacy extension)."""
                 acl = outer.graph_access_control
                 if acl is None:
                     return False
+                if acl is True:
+                    if outer._current_acl_info().is_admin(
+                        params.get("apikey")
+                    ):
+                        return False
+                    # httpd.c:724 wording
+                    self._send(
+                        403,
+                        _code_body(
+                            "403 forbidden - updates only with admin "
+                            "API KEY when ACL is enabled"
+                        ),
+                    )
+                    return True
                 if params.get("apikey") in acl:
                     return False
                 self._send(
@@ -675,6 +822,40 @@ class SparqlHttpServer:
                     self._head_only = False
 
         self._handler_cls = Handler
+
+    def _current_acl_info(self) -> AclInfo:
+        """AclInfo for the live quads snapshot. Every write swaps
+        ue.quads to a new DataFrame, which is this cache's reload
+        trigger — the same contract as fsp_acl_needs_reload /
+        fs_acl_load_system_info (query-cache.c:242-243), reloading
+        strictly more often (on ANY write, not just system:config
+        writes), never less."""
+        with self._acl_lock:
+            if self._acl_info_for is not self.ue.quads:
+                self._acl_info = load_acl_info(self.ue.quads)
+                self._acl_info_for = self.ue.quads
+                self._acl_engines.clear()
+            return self._acl_info
+
+    def _engine_for_denied(self, denied: tuple) -> SparqlEngine:
+        """One engine per (quads snapshot, denied-graph set): users in
+        the same visibility class share a compiled-plan cache, and
+        admins (empty deny set) share one unrestricted engine."""
+        with self._acl_lock:
+            eng = self._acl_engines.get(denied)
+            if eng is None:
+                eng = SparqlEngine(
+                    self.spark,
+                    self.ue.quads,
+                    denied_graphs=list(denied) or None,
+                    graph_var_includes_default=True,
+                )
+                self._acl_engines[denied] = eng
+                # bounded: distinct deny sets are few (one per ACL
+                # class), but a hostile key stream shouldn't grow this
+                while len(self._acl_engines) > 32:
+                    self._acl_engines.popitem(last=False)
+            return eng
 
     def start(self) -> None:
         self._httpd = ThreadingHTTPServer((self.host, self.port), self._handler_cls)

@@ -342,6 +342,35 @@ _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
 
+def resolve_iri(base: str, ref: str) -> str:
+    """RFC 3986 resolution of ``ref`` against ``base``, covering
+    non-hierarchical base schemes urljoin won't touch (urljoin only
+    resolves schemes in urllib's uses_relative list). Raptor resolves
+    every document-relative IRI this way, so a PUT of data/swh.xrdf
+    (wot:assurance rdf:resource="swh.xrdf.asc") under graph <graph:x>
+    must yield <graph:swh.xrdf.asc> (httpd-extras exemplars). Same §5.3
+    merge as sparql/parser.resolve_iri: fragment-only keeps the whole
+    base path, query-only keeps the path, a path ref replaces the base
+    path's last segment."""
+    import re as _re
+    from urllib.parse import urljoin
+
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+        return ref
+    out = urljoin(base, ref)
+    if out != ref:
+        return out
+    if ref.startswith("#"):
+        return base.split("#", 1)[0] + ref
+    b = base.split("#", 1)[0].split("?", 1)[0]
+    if ref.startswith("?"):
+        return b + ref
+    scheme_end = b.index(":") + 1
+    path = b[scheme_end:]
+    cut = path.rfind("/") + 1  # 0 when no '/': drop path
+    return b[:scheme_end] + path[:cut] + ref
+
+
 def parse_rdfxml(text: str, base: str = "") -> list:
     """RDF/XML -> list of (s, p, o) tuples where each term is
     ('uri'|'bnode', value) or ('lit', lex, dt, lang).
@@ -354,7 +383,6 @@ def parse_rdfxml(text: str, base: str = "") -> list:
     Raptor, import.c:352-371.)
     """
     import xml.etree.ElementTree as ET
-    from urllib.parse import urljoin
 
     root = ET.fromstring(text)
     triples: list = []
@@ -365,7 +393,7 @@ def parse_rdfxml(text: str, base: str = "") -> list:
         return ("bnode", f"_:rx{counter[0]}")
 
     def resolve(uri: str) -> str:
-        return urljoin(base, uri) if base else uri
+        return resolve_iri(base, uri) if base else uri
 
     def split(tag: str) -> str:
         # '{ns}local' -> ns + local

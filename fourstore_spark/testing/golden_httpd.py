@@ -37,6 +37,10 @@ import urllib.request
 from dataclasses import dataclass, field
 
 REF_HTTPD_DIR = "/root/reference/tests/httpd"
+# the ACL suite (tests/httpd-extras/run.pl starts 4s-httpd with -A):
+# same sparql.sh helpers plus apikey-carrying variants (sparqlkey,
+# updatekey, putkey, deletekey)
+REF_HTTPD_EXTRAS_DIR = "/root/reference/tests/httpd-extras"
 REF_DATA_DIR = "/root/reference/data"
 
 _VER_QUERY = re.compile(r" v[0-9]\.[.0-9a-z-]*")  # sparql() sed
@@ -67,6 +71,7 @@ class Step:
     method: str = ""  # for curl steps
     headers: dict = field(default_factory=dict)
     grep: str = ""  # egrep -i pattern over response headers
+    apikey: str = ""  # *key helper variants (httpd-extras ACL suite)
 
 
 @dataclass
@@ -160,6 +165,15 @@ def parse_script(path: str) -> Script:
     body = re.sub(r"\\\n", "", body)
     tmpfile_empty = False
     gen_files: dict[str, list[str]] = {}  # mktemp var -> echoed lines
+    shellvars: dict[str, str] = {}  # VAR="literal" assignments
+
+    def _sub(arg: str) -> str:
+        """$VAR reference -> its assigned literal (the extras scripts
+        pass apikeys as $adminkey / $user1 / ...)."""
+        if arg.startswith("$") and arg[1:] in shellvars:
+            return shellvars[arg[1:]]
+        return arg
+
     lines = body.split("\n")
     i = 0
     while i < len(lines):
@@ -175,6 +189,11 @@ def parse_script(path: str) -> Script:
             continue
         if ln.startswith("TEMPFILE=") or ln == "touch $TEMPFILE" or ln.startswith("rm "):
             tmpfile_empty = ln != "rm $TEMPFILE" or tmpfile_empty
+            continue
+        # plain VAR="literal" assignment (extras scripts' apikeys)
+        am = re.match(r'(\w+)="([^"`$]*)"\s*$', ln)
+        if am:
+            shellvars[am.group(1)] = am.group(2)
             continue
         # file=`mktemp ...`: start an in-memory generated data file
         fm = re.match(r"(\w+)=`mktemp\b", ln)
@@ -222,7 +241,28 @@ def parse_script(path: str) -> Script:
             ln += "\n" + lines[i]
             i += 1
         first = ln.split()[0] if ln.split() else ""
-        if first == "sparql":
+        if first == "sparqlkey":
+            # sparql.sh sparqlkey: GET /sparql/?query=...&apikey=KEY;
+            # its version sed is the broad ' v[.0-9a-z-]*' (unlike
+            # sparql's digit-anchored one)
+            a = [_sub(x) for x in _args(ln)]
+            st = Step(kind="sparql", text=a[2], apikey=a[3])
+            st.headers["__verany"] = "1"
+            sc.steps.append(st)
+        elif first == "updatekey":
+            a = [_sub(x) for x in _args(ln)]
+            sc.steps.append(Step(kind="update", text=a[2], apikey=a[3]))
+        elif first == "putkey":
+            a = [_sub(x) for x in _args(ln)]  # [.., file, mime, graph, key]
+            fpath = a[2].replace("../../data", REF_DATA_DIR)
+            sc.steps.append(
+                Step(kind="put", path=fpath, mime=a[3], graph=a[4],
+                     apikey=a[5])
+            )
+        elif first == "deletekey":
+            a = [_sub(x) for x in _args(ln)]
+            sc.steps.append(Step(kind="delete", graph=a[2], apikey=a[3]))
+        elif first == "sparql":
             # strip a trailing shell pipeline BEFORE arg-splitting: the
             # bare "|"/"sed" tokens would otherwise leak into the extra
             # cgi slot and corrupt the request URL
@@ -368,12 +408,17 @@ def run_script(base: str, sc: Script) -> str:
         elif st.kind == "sparql":
             q = _net_query(st.text)
             qs = urllib.parse.urlencode({"query": q})
+            if st.apikey:
+                qs += "&" + urllib.parse.urlencode({"apikey": st.apikey})
             extra = st.extra
             _, _, body = _http(
                 base, "GET", f"/sparql/?{qs}{extra}",
                 {"Accept": "text/plain"},
             )
-            body = _sed_version(body, _VER_QUERY)
+            body = _sed_version(
+                body,
+                _VER_ANY if st.headers.get("__verany") else _VER_QUERY,
+            )
             if st.headers.get("__sed"):
                 # basic-regex sed like s/0\.[0-9]\{17\}e0/RANDOM_NUMBER/:
                 # BRE escaped braces/parens -> python re, first
@@ -397,7 +442,10 @@ def run_script(base: str, sc: Script) -> str:
                 out.append(body)
         elif st.kind == "update":
             out.append(f"Update: {st.text}\n")
-            form = urllib.parse.urlencode({"update": st.text.replace("&", "8")})
+            fields = {"update": st.text.replace("&", "8")}
+            if st.apikey:
+                fields["apikey"] = st.apikey
+            form = urllib.parse.urlencode(fields)
             _, _, body = _http(
                 base, "POST", "/update/",
                 {"Content-Type": "application/x-www-form-urlencoded"},
@@ -414,7 +462,10 @@ def run_script(base: str, sc: Script) -> str:
             if st.old_style:
                 path = "/data/" + urllib.parse.quote(st.graph, safe="")
             else:
-                path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
+                fields = {"graph": st.graph}
+                if st.apikey:
+                    fields["apikey"] = st.apikey
+                path = "/data/?" + urllib.parse.urlencode(fields)
             # sparql.sh's put passes the script's mime verbatim — an EMPTY
             # mime (badslot-construct) suppresses the header and the
             # server sniffs, like curl -H "Content-Type:" + raptor guess
@@ -439,7 +490,10 @@ def run_script(base: str, sc: Script) -> str:
             if st.old_style:
                 path = "/data/" + urllib.parse.quote(st.graph, safe="")
             else:
-                path = "/data/?" + urllib.parse.urlencode({"graph": st.graph})
+                fields = {"graph": st.graph}
+                if st.apikey:
+                    fields["apikey"] = st.apikey
+                path = "/data/?" + urllib.parse.urlencode(fields)
             _, _, body = _http(base, "DELETE", path, {})
             out.append(_sed_version(body, _VER_ANY))
         elif st.kind == "curl":
@@ -507,21 +561,25 @@ def compare_output(got: str, want: str) -> tuple[bool, str]:
     return False, diff[:2000]
 
 
-def replay(base: str, name: str) -> tuple[str, str]:
+def replay(
+    base: str, name: str, suite_dir: str = REF_HTTPD_DIR
+) -> tuple[str, str]:
     """-> (status, detail); status in pass|fail|skipped.  ``base`` is the
-    live server's http://host:port."""
-    sc = parse_script(os.path.join(REF_HTTPD_DIR, "scripts", name))
+    live server's http://host:port. ``suite_dir`` selects the golden
+    suite (tests/httpd by default; REF_HTTPD_EXTRAS_DIR replays the ACL
+    suite against a server started in data-driven ACL mode)."""
+    sc = parse_script(os.path.join(suite_dir, "scripts", name))
     if sc.unsupported:
         return ("skipped", sc.unsupported)
     # cors scripts: attach the uriescape'd query from the script text
     if any(st.kind == "curl" and "$escaped" in st.path for st in sc.steps):
-        with open(os.path.join(REF_HTTPD_DIR, "scripts", name)) as fh:
+        with open(os.path.join(suite_dir, "scripts", name)) as fh:
             m = re.search(r'uriescape\s+"([^"]+)"', fh.read())
         if m:
             for st in sc.steps:
                 if st.kind == "curl":
                     st.text = m.group(1)
-    exemplar = os.path.join(REF_HTTPD_DIR, "exemplar", name)
+    exemplar = os.path.join(suite_dir, "exemplar", name)
     if not os.path.exists(exemplar):
         return ("skipped", "no exemplar")
     with open(exemplar, encoding="utf-8") as fh:

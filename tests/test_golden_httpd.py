@@ -20,7 +20,11 @@ import os
 import pytest
 
 from fourstore_spark.httpd import SparqlHttpServer
-from fourstore_spark.testing.golden_httpd import REF_HTTPD_DIR, replay
+from fourstore_spark.testing.golden_httpd import (
+    REF_HTTPD_DIR,
+    REF_HTTPD_EXTRAS_DIR,
+    replay,
+)
 
 EXCUSES: dict[str, str] = {
     "count-sum-avg-distinct": (
@@ -101,5 +105,59 @@ def test_reference_httpd_scripts(spark):
         assert passed >= 36, report
         assert exact >= 29, report
         assert not failures, failures
+    finally:
+        srv.stop()
+
+
+def test_reference_httpd_extras_acl_scripts(spark):
+    """The reference's ACL golden suite (tests/httpd-extras/run.pl
+    starts 4s-httpd with -A): data-driven graph ACLs read from
+    acl#admin / acl#onlyAccessBy quads in system:config
+    (rdf-constants.h:52-55), default admin 4sadminuser, destructive ops
+    gated on admin keys (httpd.c:494-500). Scripts run in ls order
+    against ONE server — each cleans up its graphs (incl.
+    system:config) so the next starts from the default-admin state.
+
+    3 of 4 replay byte-for-byte. change-admin-user passes as a line
+    multiset: its SELECT DISTINCT ?o ORDER BY ?o mixes a
+    "123456789"^^xsd:int literal into plain literals, and the
+    reference's fast sort path (results.c:3108-3147) compares ALL
+    literals by raw lexical form — it bails to the typed comparator
+    for xsd:integer/float/double/decimal/dateTime but NOT xsd:int, so
+    the int sorts lexically there while this engine orders numeric
+    literals by value (SPARQL §15.1 extends the < operator, defined
+    for all numeric types; same placement the reference itself would
+    give the value had it been typed xsd:integer). Every line matches;
+    only that placement differs."""
+    srv = SparqlHttpServer(spark, port=0, graph_access_control=True)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        names = sorted(
+            os.listdir(os.path.join(REF_HTTPD_EXTRAS_DIR, "scripts"))
+        )
+        assert names == [
+            "change-admin-user",
+            "default-admin-user",
+            "set-graph-access",
+            "unset-graph-access",
+        ]
+        results = {
+            n: replay(base, n, suite_dir=REF_HTTPD_EXTRAS_DIR)
+            for n in names
+        }
+        failures = {
+            n: d for n, (s, d) in results.items() if s != "pass"
+        }
+        assert not failures, failures
+        # pin the exactness census: a regression from byte-exact to
+        # merely-normalized must be visible (r7 advice discipline)
+        exact = sorted(n for n, (s, d) in results.items() if d == "")
+        assert exact == [
+            "default-admin-user",
+            "set-graph-access",
+            "unset-graph-access",
+        ], results
+        assert results["change-admin-user"][1] == "line-multiset", results
     finally:
         srv.stop()

@@ -295,6 +295,129 @@ def test_http_apikey_acl(spark):
         srv.stop()
 
 
+def test_http_data_driven_acl(spark):
+    """The reference's -A mode (graph_access_control=True): ACLs are
+    quads in system:config (rdf-constants.h:52-55). Admin handoff,
+    default admin, onlyAccessBy visibility, and the admin-only write
+    gate (httpd.c:494-500) — the httpd-extras goldens replay the same
+    flows end-to-end; this pins the engine-level semantics directly."""
+    import json
+    import urllib.error
+    import urllib.parse
+
+    from fourstore_spark.httpd import SparqlHttpServer
+
+    srv = SparqlHttpServer(spark, port=0, graph_access_control=True)
+    srv.start()
+    try:
+        def upd(text, key=None, expect=200):
+            fields = {"update": text}
+            if key:
+                fields["apikey"] = key
+            try:
+                st, body = _post(srv, "/update/", fields)
+            except urllib.error.HTTPError as e:
+                st, body = e.code, e.read().decode()
+            assert st == expect, (st, body)
+            return body
+
+        def q(text, key=None):
+            qs = urllib.parse.quote(text)
+            url = f"/sparql/?query={qs}&output=json"
+            if key:
+                url += f"&apikey={key}"
+            st, body = _get(srv, url)
+            return [
+                tuple(b[v]["value"] for v in sorted(b))
+                for b in json.loads(body)["results"]["bindings"]
+            ]
+
+        # non-admin (ANY key, store has no acl quads yet -> default
+        # admin only) cannot write
+        body = upd(
+            "INSERT DATA { <urn:x> <urn:y> <urn:z> }", key="user1",
+            expect=403,
+        )
+        assert "admin API KEY" in body
+        # missing key on a write gets the same admin message
+        body = upd(
+            "INSERT DATA { <urn:x> <urn:y> <urn:z> }", expect=403
+        )
+        assert "admin API KEY" in body
+        # default admin 4sadminuser writes
+        upd(
+            'INSERT DATA { GRAPH <urn:g:a> { <urn:d> <urn:v> "a" } '
+            'GRAPH <urn:g:b> { <urn:d> <urn:v> "b" } }',
+            key="4sadminuser",
+        )
+        # reads need SOME key (httpd.c:1156-1157) but any key works
+        # for unrestricted graphs
+        try:
+            _get(srv, "/sparql/?query=SELECT%20%2A%20WHERE%20%7B%3Fs%20%3Fp%20%3Fo%7D")
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403 and "apikey" in e.read().decode()
+        assert len(q("SELECT ?o WHERE { <urn:d> <urn:v> ?o }", "user1")) == 2
+        # restrict urn:g:b to user2
+        upd(
+            "INSERT DATA { GRAPH <system:config> { <urn:g:b> "
+            '<http://4store.org/acl#onlyAccessBy> "user2" } }',
+            key="4sadminuser",
+        )
+        assert q("SELECT ?o WHERE { <urn:d> <urn:v> ?o }", "user1") == [("a",)]
+        assert len(q("SELECT ?o WHERE { <urn:d> <urn:v> ?o }", "user2")) == 2
+        # admin still sees everything, including system:config
+        admin_g = q(
+            "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o } }",
+            "4sadminuser",
+        )
+        assert ("system:config",) in admin_g and ("urn:g:b",) in admin_g
+        # GRAPH ?g must not leak even the NAME of a denied graph
+        user1_g = q(
+            "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o } }", "user1"
+        )
+        assert ("urn:g:b",) not in user1_g
+        assert ("system:config",) not in user1_g
+        assert ("urn:g:a",) in user1_g
+        # GRAPH <denied> directly yields nothing (not an error)
+        assert q(
+            "SELECT ?o WHERE { GRAPH <urn:g:b> { ?s ?p ?o } }", "user1"
+        ) == []
+        # ACL filter composes with restricted mode / soft-limit (the
+        # reference applies ACLs inside the bind cache,
+        # query-cache.c:242-243 — truncation must not bypass them)
+        qs = urllib.parse.quote("SELECT ?o WHERE { ?s <urn:v> ?o }")
+        st, body = _get(
+            srv, f"/sparql/?{urllib.parse.urlencode({'query': 'SELECT ?o WHERE { ?s <urn:v> ?o }'})}&restricted&output=json&apikey=user1"
+        )
+        vals = [
+            b["o"]["value"]
+            for b in json.loads(body)["results"]["bindings"]
+        ]
+        assert vals == ["a"]
+        # admin handoff: naming an acl#admin DEMOTES the default admin
+        # (query-cache.c:214-217 — the default only exists while no
+        # admin quad does)
+        upd(
+            "INSERT DATA { GRAPH <system:config> { [] "
+            '<http://4store.org/acl#admin> "root2" } }',
+            key="4sadminuser",
+        )
+        body = upd(
+            "INSERT DATA { <urn:n> <urn:n> <urn:n> }", key="4sadminuser",
+            expect=403,
+        )
+        assert "admin API KEY" in body
+        upd("INSERT DATA { <urn:n> <urn:n> <urn:n2> }", key="root2")
+        # new admin sees restricted graphs without being listed
+        assert len(q("SELECT ?o WHERE { <urn:d> <urn:v> ?o }", "root2")) == 2
+        # dropping system:config restores the default admin
+        upd("CLEAR GRAPH <system:config>", key="root2")
+        upd("INSERT DATA { <urn:n> <urn:n> <urn:n3> }", key="4sadminuser")
+    finally:
+        srv.stop()
+
+
 def test_http_accept_content_negotiation(server):
     import json as _json
     import urllib.parse
