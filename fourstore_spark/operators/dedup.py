@@ -755,7 +755,13 @@ def semantic_decontaminate(
     scan projection (no corpus shuffle), and the per-row max is a
     map-side-combined groupBy(vec_id) whose exchange carries one row
     per document. For very large eval sets, pre-bucket both sides with
-    the hyperplane-LSH family instead (embedding_neardup)."""
+    the hyperplane-LSH family instead (embedding_neardup).
+
+    Zero-norm edge: cosine against (or of) an all-zeros embedding is
+    0/0 = NaN; those pairs contribute NULL (not a silent 0 — non-ANSI
+    Spark would cast the NaN to 0L). A corpus row whose EVERY cosine
+    is NaN gets max_cos_micro NULL and contaminated=false: an
+    unembeddable document cannot be evidence of leakage."""
     n_eval = eval_df.limit(max_eval_rows + 1).count()
     if n_eval == 0:
         raise ValueError("empty eval set: nothing to decontaminate against")
@@ -772,9 +778,12 @@ def semantic_decontaminate(
             _to_double(F.col(eval_vec_col or vec_col)).alias("__ev")
         )
     )
-    cos_micro = F.round(
-        cosine(_to_double(F.col(vec_col)), F.col("__ev")) * 1_000_000.0, 0
-    ).cast("long")
+    cos = cosine(_to_double(F.col(vec_col)), F.col("__ev"))
+    # zero-norm guard: NaN cosine -> NULL (max ignores it) instead of
+    # the silent 0L a non-ANSI cast would produce
+    cos_micro = F.when(
+        ~F.isnan(cos), F.round(cos * 1_000_000.0, 0).cast("long")
+    )
     return (
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
         .crossJoin(ev)
@@ -783,7 +792,10 @@ def semantic_decontaminate(
         .agg(F.max("__cm").alias("max_cos_micro"))
         .withColumn(
             "contaminated",
-            F.col("max_cos_micro") >= F.lit(int(threshold_micro)),
+            F.coalesce(
+                F.col("max_cos_micro") >= F.lit(int(threshold_micro)),
+                F.lit(False),
+            ),
         )
     )
 
@@ -796,6 +808,7 @@ def subtract_corpus_bloom(
     expected_items: int | None = None,
     text_col: str = "text",
     ref_text_col: str | None = None,
+    max_filter_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Cross-corpus exact dedup at BLOOM scale — the subtract_corpus
     docstring's 'reference too large even for a shuffle join' path
@@ -818,7 +831,22 @@ def subtract_corpus_bloom(
     aggregate — only the m/64-word bit array (the filter itself) ever
     reaches the driver; membership tests reuse the SAME Spark hash
     expressions, so probe positions can never diverge from build
-    positions, and the Python side only indexes a numpy array."""
+    positions, and the Python side only indexes a numpy array.
+
+    NULL-text rows carry a NULL fingerprint and are kept
+    unconditionally on the corpus side and excluded from the build —
+    exactly subtract_corpus's semantics, where fingerprint(NULL) never
+    equi-joins (xxhash64 would otherwise give NULL input deterministic
+    positions and deterministically drop every NULL-text doc).
+
+    Memory contract (the guarded driver-materialization discipline):
+    the bit array costs m/8 = -n*ln(fpp)/(8*ln^2 2) bytes ~ 1.8 bits
+    per item per factor of 10 in 1/fpp, held ONCE on the driver and
+    once per executor as a broadcast. ``max_filter_bytes`` (default
+    512 MB ~ 2.4e9 items at fpp=1e-3) raises BEFORE the build;
+    remediations: raise ``fpp``, shard the reference and subtract in
+    passes (filters compose as successive subtractions), or pass
+    ``expected_items`` if the default distinct-count overestimates."""
     import math
 
     import numpy as np
@@ -829,12 +857,21 @@ def subtract_corpus_bloom(
     rcol = ref_text_col or text_col
     ref_fps = reference.select(
         fingerprint(F.col(rcol)).alias("__fp")
-    ).distinct().localCheckpoint()
+    ).where(F.col("__fp").isNotNull()).distinct().localCheckpoint()
     if expected_items is None:
         expected_items = ref_fps.count() or 1
     n = max(1, expected_items)
     m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     m = ((m + 63) // 64) * 64  # whole words
+    if m // 8 > max_filter_bytes:
+        raise ValueError(
+            f"Bloom filter for expected_items={n} at fpp={fpp} needs "
+            f"{m // 8 / 1e9:.2f} GB (driver + every executor) > "
+            f"max_filter_bytes={max_filter_bytes}. Raise fpp (bits "
+            "scale with ln(1/fpp)), shard the reference and subtract "
+            "in passes, or pass expected_items if the distinct-count "
+            "default overestimates."
+        )
     k = max(1, round(m / n * math.log(2)))
 
     def positions(col: Column) -> Column:
@@ -868,16 +905,25 @@ def subtract_corpus_bloom(
         for pdf in batches:
             if not len(pdf):
                 continue
-            # vectorized probe: (n, k) position matrix -> word lookup,
-            # bit test, all-bits-set per row — no per-row Python loop
-            P = np.vstack(
-                [np.asarray(p, dtype=np.int64) for p in pdf["__pos"]]
-            )
-            bits = a[P // 64] & (one << (P % 64).astype(np.int64))
-            hit = (bits != 0).all(axis=1)
+            # NULL fingerprint -> NULL position array -> keep
+            # unconditionally (subtract_corpus parity: NULL never
+            # matches the reference)
+            probe = pdf["__pos"].notna().to_numpy()
+            hit = np.zeros(len(pdf), dtype=bool)
+            if probe.any():
+                # vectorized probe: (n, k) position matrix -> word
+                # lookup, bit test, all-bits-set per row — no per-row
+                # Python loop
+                P = np.vstack([
+                    np.asarray(p, dtype=np.int64)
+                    for p in pdf["__pos"][probe]
+                ])
+                bits = a[P // 64] & (one << (P % 64).astype(np.int64))
+                hit[probe] = (bits != 0).all(axis=1)
             yield pdf[pd.Series(~hit, index=pdf.index)]
 
+    fp = fingerprint(F.col(text_col))
     with_pos = df.withColumn(
-        "__pos", positions(fingerprint(F.col(text_col)))
+        "__pos", F.when(fp.isNotNull(), positions(fp))
     )
     return with_pos.mapInPandas(keep, with_pos.schema).drop("__pos")

@@ -226,8 +226,13 @@ def ccnet_partition(
     base = scored.select("doc_id", "n_bigrams", "logprob_micro", avg)
     lo, hi = fractions
     if exact:
-        n = base.limit(max_exact_rows + 1).count()
-        if n > max_exact_rows:
+        # the upstream plan is typically the whole lm_score pipeline;
+        # materialize it ONCE so the guard count, the percentile, and
+        # the bucket scan are three cheap reads instead of three full
+        # recomputes (the localCheckpoint discipline lm_score itself
+        # applies)
+        base = base.localCheckpoint()
+        if base.count() > max_exact_rows:
             raise ValueError(
                 f"ccnet_partition(exact=True) over > {max_exact_rows} "
                 "rows buffers every avg_nll in one aggregation buffer — "
@@ -459,9 +464,12 @@ def write_bm25_index(
 
     from .sampling import hash_bucket
 
+    # one tokenization: the stats aggregate, the postings write, and
+    # the dfreq write all read the materialized token arrays instead of
+    # re-evaluating the corpus scan + tokenizer three times
     toks = _tokenized(df, text_col, id_col).select(
         "doc_id", "t", F.size("t").alias("dl")
-    )
+    ).localCheckpoint()
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("sum_dl"),
@@ -592,10 +600,16 @@ def append_bm25_index(
     Caller contract: appended ``id_col`` values must be NEW documents
     (re-appending an existing doc would double its postings — dedup
     upstream, e.g. subtract_corpus). Not concurrency-safe: one writer
-    at a time (the sidecar rewrite is last, so a crashed append leaves
-    stats consistent with the OLD corpus and the new partition files
-    unreferenced-but-harmless... postings rows are live immediately;
-    re-run the append's sidecar update to repair)."""
+    at a time. NOT crash-atomic either: there is no manifest, so
+    appended parquet files are live to bm25_query the moment they land
+    — a crash between the postings write and the df write (or the
+    sidecar rewrite) leaves queries scoring the new docs against
+    missing df partials and stale n_docs/avgdl. Recovery is NOT a
+    sidecar-only touch-up: delete the partial append's files (parquet
+    part files newer than the sidecar mtime) and re-run the whole
+    append with the same delta, or rebuild with write_bm25_index. On
+    an object store, stage each append as a generation directory
+    behind a manifest pointer swap instead."""
     import json
     import os
 
@@ -606,9 +620,11 @@ def append_bm25_index(
         stats = json.load(fh)
     nb = stats["n_buckets"]
 
+    # one tokenization for the delta stats + postings + df writes
+    # (same discipline as write_bm25_index)
     toks = _tokenized(df, text_col, id_col).select(
         "doc_id", "t", F.size("t").alias("dl")
-    )
+    ).localCheckpoint()
     delta = toks.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).head()

@@ -46,7 +46,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash (nor non-ANSI's NaN that a later long cast
+    # would silently zero) — NULL propagates through max/comparisons
+    # with the intended "unknowable similarity" semantics
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(

@@ -1,12 +1,18 @@
-"""Snowball stemmers: German, Italian, Russian (pure Python).
+"""Snowball stemmers, pure Python — the full libstemmer module set.
+This file ports the 14 suffix-table languages (English/Porter2, German,
+Italian, Russian, Spanish, Portuguese, French, Danish, Norwegian,
+Swedish, Dutch, Finnish, Hungarian, Romanian); the dispatch below also
+routes Turkish (a cursor machine, ported in operators/turkish.py) and
+the legacy 'porter' module (Porter1, ported in operators/fulltext.py).
 
 The reference links libstemmer and picks the stemmer from the literal's
 language tag at import time (buffer_stems, import.c:658-700). These are
 independent ports of the published Snowball algorithm descriptions
-(snowballstem.org) for the three non-English languages exercised by the
-reference's own fulltext test data; English stays on the Porter port in
-operators/fulltext.py. Driver/executor-side pure functions — they run
-inside Arrow-batched pandas UDFs, never per-row over the wire.
+(snowballstem.org), oracle-verified byte-exact against the reference's
+compiled libstemmer over tests/data/stem_golden_*.tsv (see the dispatch
+table at the bottom for the alias map). Driver/executor-side pure
+functions — they run inside Arrow-batched pandas UDFs, never per-row
+over the wire.
 """
 
 from __future__ import annotations

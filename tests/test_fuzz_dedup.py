@@ -188,3 +188,85 @@ def test_subtract_corpus_bloom_no_false_negatives(spark):
     assert not (bloom & dupes), "false negative: a true duplicate survived"
     assert bloom <= exact, "bloom may only over-drop, never under-drop"
     assert bloom == exact  # at this size/fpp no false positives expected
+
+
+def test_subtract_corpus_bloom_null_text_parity(spark):
+    """NULL-text rows must survive the Bloom path unconditionally —
+    subtract_corpus parity: fingerprint(NULL) never equi-joins, so the
+    exact path keeps them, and the Bloom path must too even when the
+    REFERENCE also contains NULL text (xxhash64 of a NULL input would
+    otherwise give every NULL-text doc the same deterministic
+    positions and drop them all)."""
+    from fourstore_spark.operators.dedup import (
+        subtract_corpus,
+        subtract_corpus_bloom,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared text"), (2, None), (3, "unique text"), (4, None)],
+        "doc_id long, text string",
+    )
+    rdf = spark.createDataFrame(
+        [(10, "shared text"), (11, None)], "rid long, text string"
+    )
+    exact = {r["doc_id"] for r in subtract_corpus(df, rdf).collect()}
+    bloom = {
+        r["doc_id"] for r in subtract_corpus_bloom(df, rdf).collect()
+    }
+    assert exact == {2, 3, 4}
+    assert bloom == exact
+
+
+def test_subtract_corpus_bloom_filter_size_guard(spark):
+    """The m-bit array reaches the driver AND every executor: the
+    guard must raise BEFORE the build, naming the remediation knobs
+    (fpp / expected_items / sharding)."""
+    import pytest as _pytest
+
+    from fourstore_spark.operators.dedup import subtract_corpus_bloom
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    rdf = spark.createDataFrame([(2, "b")], "rid long, text string")
+    with _pytest.raises(ValueError) as exc:
+        subtract_corpus_bloom(
+            df, rdf, expected_items=10_000_000_000, fpp=0.001,
+            max_filter_bytes=512 * 1024 * 1024,
+        )
+    msg = str(exc.value)
+    assert "fpp" in msg and "expected_items" in msg and "shard" in msg
+    # under the cap the same call builds fine
+    assert subtract_corpus_bloom(df, rdf, fpp=0.001).count() == 1
+
+
+def test_semantic_decontaminate_zero_norm_embedding(spark):
+    """Zero-norm embeddings: cosine is 0/0 = NaN and must surface as
+    max_cos_micro NULL / contaminated=false — never a silent 0L cast
+    (and never a crash). Both directions: a zero corpus vector against
+    a real eval set, and a real corpus against an eval set containing
+    a zero vector."""
+    from fourstore_spark.operators.dedup import semantic_decontaminate
+
+    cdf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    edf = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["max_cos_micro"], r["contaminated"])
+        for r in semantic_decontaminate(cdf, edf).collect()
+    }
+    assert got[1] == (None, False)  # zero corpus vector: unknowable
+    assert got[2] == (1_000_000, True)
+    # zero vector in the EVAL set: its NaN pairs drop out of the max
+    edf2 = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = {
+        r["vec_id"]: (r["max_cos_micro"], r["contaminated"])
+        for r in semantic_decontaminate(cdf, edf2).collect()
+    }
+    assert got2[2] == (0, False)  # only the orthogonal real pair counts
+    assert got2[1] == (None, False)
