@@ -2887,7 +2887,14 @@ _HEAD = [
     "bm25_search",              # LLM: BM25 ranked retrieval (r9)
                                 #   (a4_min_max: local gate, term-order
                                 #   min/max also fuzzed in pytest)
-    "a5_a6_a9_aggregates",      # A5+A6+A9+DISTINCT aggregates (merged)
+    "url_canonicalize",         # LLM: URL canonicalization + host key
+                                #   (r10; promoted r11 over
+                                #   a5_a6_a9_aggregates — SAMPLE/
+                                #   GROUP_CONCAT/implicit aggregates stay
+                                #   in the local gate after 10 green
+                                #   rounds, and the aggregate machinery
+                                #   keeps two window rows via
+                                #   a1_count_having + a2_sum_avg)
     "a7_groupby_multi",         # A7 flagship
     "o1_u1_order_union",        # O1+O2+U1+O4 (merged)
     "q2_q5_ask_explain",        # Q2+Q5 (merged)
@@ -2907,7 +2914,12 @@ _HEAD = [
                                 #   (f_decimal_exact: local gate, pinned
                                 #   by tests/test_contract_types.py)
     "f_terms",                  # F-extract/strdt/same/cmp/ispred/langm
-    "f_cond",                   # F-bound/if/coalesce
+    "semantic_decontaminate",   # LLM: embedding-space decontamination
+                                #   (r10; promoted r11 over f_cond —
+                                #   BOUND/IF/COALESCE stay in the local
+                                #   gate + pytest after 10 green rounds,
+                                #   and 3VL/EBV conditionals still run
+                                #   inside p_filter_pushdown's window row)
     "f_date_hash",              # F-date/hash/uuid
     "sessionize_salted",        # skew-hardened sessionize (r8)
     "asof_join_salted",         # skew-hardened as-of join (r8)
