@@ -312,10 +312,28 @@ def ivf_search(
     (cell, query) pairs — nprobe/|cells| of the brute-force work. With
     nprobe = len(centroids) this degrades gracefully to exact search
     (same results as cosine_topk)."""
-    nprobe = min(nprobe, len(centroids))
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         "vec_id", _to_double(F.col(vec_col)).alias("__cv"), "ivf_cell"
     )
+    return _ivf_score(c, queries, centroids, k, nprobe, vec_col,
+                      query_id_col)
+
+
+def _ivf_score(
+    c: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Score PRE-ASSIGNED corpus rows (vec_id, __cv, ivf_cell) against
+    each query's nprobe cells. Split out of ivf_search so
+    ivf_probe_indexed can reuse the cell labels stored in the index's
+    partition column instead of re-running the |centroids|-cosine
+    assignment over the pruned scan at query time."""
+    nprobe = min(nprobe, len(centroids))
     qv = _to_double(F.col(vec_col))
     probes = _probe_cells(qv, centroids, nprobe)
     q = queries.select(
@@ -577,12 +595,15 @@ def ivf_probe_indexed(
     cells with the SAME `_probe_cells` expression ivf_search scores
     with (a query-set-sized Spark job — centroids are literals), scan
     ONLY those partitions (the cell filter prunes at the parquet
-    source — assert PartitionFilters in .explain), then delegate
-    scoring to ivf_search on the pruned corpus. Results are identical
-    to ivf_search over the full corpus BY CONSTRUCTION: the prune set
-    is the union of exactly the cells the search's own probe
-    expression selects, so near-tie centroid scores can never order
-    differently between pruning and probing."""
+    source — assert PartitionFilters in .explain), then score the
+    pruned rows using the CELL LABELS FROM THE PARTITION COLUMN — the
+    assignment was paid once at write time, so query time never
+    re-evaluates the |centroids|-cosine argmax over the scanned rows
+    (the other half of what the written index buys besides pruned
+    I/O). Results are identical to ivf_search over the full corpus BY
+    CONSTRUCTION: the prune set is the union of exactly the cells the
+    search's own probe expression selects, so near-tie centroid scores
+    can never order differently between pruning and probing."""
     corpus, centroids = read_ivf_index(spark, path)
     nprobe = min(nprobe, len(centroids))
     probes = _probe_cells(_to_double(F.col(vec_col)), centroids, nprobe)
@@ -596,11 +617,14 @@ def ivf_probe_indexed(
     )
     pruned = corpus.where(
         F.col("ivf_cell").isin(probe) if probe else F.lit(False)
-    ).drop("ivf_cell")
-    return ivf_search(
-        pruned, queries, centroids, k=k, nprobe=nprobe,
-        query_id_col=query_id_col, vec_col=vec_col,
     )
+    c = pruned.select(
+        "vec_id",
+        _to_double(F.col(vec_col)).alias("__cv"),
+        F.col("ivf_cell").cast("int"),
+    )
+    return _ivf_score(c, queries, centroids, k, nprobe, vec_col,
+                      query_id_col)
 
 
 def append_ivf_index(

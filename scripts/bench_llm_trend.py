@@ -296,8 +296,187 @@ def best_of(fn, n=3):
     return best, out
 
 
+def _part_files(root: str) -> int:
+    import glob
+
+    return len(glob.glob(os.path.join(root, "**", "part-*.parquet"),
+                         recursive=True))
+
+
+def _pinned_partition_filters(df, path: str, expected: list[int]) -> None:
+    """Runtime re-check of the plan pin the unit tests assert at test
+    scale: the index scan's PartitionFilters must select exactly the
+    probed partition values (the index's whole value is the files it
+    does NOT open). Parses the scan over ``path`` specifically and its
+    IN-list specifically (other scans carry empty PartitionFilters, and
+    join-key isnotnull(col#NNN) attribute ids are not values)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = None
+    for line in plan.splitlines():
+        if "FileScan" in line and path in line:
+            m = re.search(
+                r"PartitionFilters: \[[^\]]*?IN \(([0-9,]+)\)", line
+            )
+            assert m, f"index scan without IN partition filter:\n{line}"
+            got = sorted(int(x) for x in m.group(1).split(","))
+    assert got == sorted(expected), (got, expected)
+
+
+def index_slope(spark, dirs):
+    """Written-index slope evidence (r10 verdict #5): the point of
+    write_bm25_index / write_ivf_index is the fraction of index files a
+    probe does NOT open, so measure indexed-vs-fullscan wall AND
+    files-opened per probe at every scale; results must be
+    value-identical between the two paths (both are plan-pinned
+    equality surfaces). Build time is reported separately — it
+    amortizes over every query after."""
+    import hashlib
+
+    from fourstore_spark.operators.lm import (
+        bm25_query,
+        bm25_score,
+        write_bm25_index,
+    )
+    from fourstore_spark.operators.similarity import (
+        _probe_cells,
+        _to_double,
+        ivf_probe_indexed,
+        ivf_search,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    terms = ["merge", "spark", "table"]
+    nb = 64
+    rows = []
+    for sf in dirs:
+        tag = os.path.basename(sf.rstrip("/"))
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+        # ---- BM25: full-scan score vs written-index query
+        idx = f"/tmp/llm_trend_bm25_{tag}"
+        t0 = time.time()
+        write_bm25_index(d, idx, n_buckets=nb)
+        bm_build = time.time() - t0
+        full_t, full_r = best_of(
+            lambda: bm25_score(d, terms)
+            .agg(F.count("*"), F.sum("score_micro")).head()
+        )
+        probe_df = bm25_query(spark, idx, terms)
+        idx_t, idx_r = best_of(
+            lambda: bm25_query(spark, idx, terms)
+            .agg(F.count("*"), F.sum("score_micro")).head()
+        )
+        ok = norm(tuple(full_r)) == norm(tuple(idx_r))
+        buckets = sorted({
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             % 1_000_000) % nb
+            for t in terms
+        })
+        post = os.path.join(idx, "postings")
+        total = _part_files(post)
+        opened = sum(
+            _part_files(os.path.join(post, f"bucket={b}"))
+            for b in buckets
+        )
+        probe_df.collect()
+        _pinned_partition_filters(probe_df, idx, buckets)
+        print(
+            f"{sf} bm25 indexed {idx_t:.3f}s vs full {full_t:.3f}s "
+            f"(speedup {full_t / idx_t:.2f}x, build {bm_build:.1f}s) "
+            f"files {opened}/{total} "
+            f"{'MATCH' if ok else f'MISMATCH {full_r} vs {idx_r}'}",
+            flush=True,
+        )
+        rows.append(("bm25", tag, idx_t, full_t, opened, total, ok))
+
+        # ---- IVF: full-corpus probe join vs written-index pruned scan.
+        # 64 cells / 5 queries / nprobe 4: the probe set stays a small
+        # fraction of the cells, which is the regime the index exists
+        # for (10 diverse queries over 16 cells would touch nearly
+        # every cell and measure nothing but overhead)
+        cents = train_centroids(emb, k=64, iters=4)
+        ividx = f"/tmp/llm_trend_ivf_{tag}"
+        t0 = time.time()
+        write_ivf_index(emb, cents, ividx)
+        ivf_build = time.time() - t0
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        chk = [F.count("*"), F.sum(F.col("vec_id") * 997 + F.col("rank"))]
+        full_t, full_r = best_of(
+            lambda: ivf_search(emb, queries, cents, k=10, nprobe=4)
+            .agg(*chk).head()
+        )
+        idx_t, idx_r = best_of(
+            lambda: ivf_probe_indexed(spark, ividx, queries, k=10,
+                                      nprobe=4).agg(*chk).head()
+        )
+        ok = norm(tuple(full_r)) == norm(tuple(idx_r))
+        probed = sorted(
+            r["c"]
+            for r in queries.select(
+                F.explode(
+                    F.transform(
+                        _probe_cells(
+                            _to_double(F.col("embedding")), cents, 4
+                        ),
+                        lambda p: p["i"],
+                    )
+                ).alias("c")
+            ).distinct().collect()
+        )
+        total = _part_files(ividx)
+        opened = sum(
+            _part_files(os.path.join(ividx, f"ivf_cell={c}"))
+            for c in probed
+        )
+        print(
+            f"{sf} ivf indexed {idx_t:.3f}s vs full {full_t:.3f}s "
+            f"(speedup {full_t / idx_t:.2f}x, build {ivf_build:.1f}s) "
+            f"files {opened}/{total} "
+            f"{'MATCH' if ok else f'MISMATCH {full_r} vs {idx_r}'}",
+            flush=True,
+        )
+        rows.append(("ivf", tag, idx_t, full_t, opened, total, ok))
+
+        if tag == "sf1":
+            # the r10 verdict's files-opened assertion: at sf1 a probe
+            # must open only the probed partitions' files
+            for kind, _t, _i, _f, op_, tot_, _ok in [
+                r for r in rows if r[1] == "sf1"
+            ]:
+                assert 0 < op_ < tot_, (kind, op_, tot_)
+
+    print("\n| index | " + " | ".join(
+        f"{os.path.basename(d)} idx/full (files)" for d in dirs) + " |")
+    print("|---|" + "---|" * len(dirs))
+    for kind in ("bm25", "ivf"):
+        cells = []
+        for sf in dirs:
+            tag = os.path.basename(sf.rstrip("/"))
+            r = next(
+                (x for x in rows if x[0] == kind and x[1] == tag), None
+            )
+            if r is None:
+                cells.append("-")
+                continue
+            cells.append(
+                f"{r[2]:.3f}/{r[3]:.3f} ({r[4]}/{r[5]}"
+                + ("" if r[6] else " MISMATCH") + ")"
+            )
+        print(f"| {kind} | " + " | ".join(cells) + " |")
+
+
 def main():
-    dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    index_only = "--index-only" in args
+    skip_index = "--no-index" in args
+    args = [a for a in args if not a.startswith("--")]
+    dirs = args or [
         "/root/testdata/sf0.1", "/tmp/sfdata/sf1", "/tmp/sfdata/sf3"
     ]
     dirs = [d for d in dirs if os.path.isdir(d)]
@@ -311,6 +490,9 @@ def main():
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
+    if index_only:
+        index_slope(spark, dirs)
+        return
     ops = [
         ("lm_score", spark_lm, DUCK_LM),
         ("bm25_score", spark_bm25, DUCK_BM25),
@@ -360,6 +542,9 @@ def main():
                 + ("" if r[4] else " CHECKSUM-MISMATCH") + ")"
             )
         print(f"| {name} | " + " | ".join(cells) + " |")
+
+    if not skip_index:
+        index_slope(spark, dirs)
 
 
 if __name__ == "__main__":

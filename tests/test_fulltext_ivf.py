@@ -218,9 +218,18 @@ def test_ivf_probe_plan_prunes_to_probed_cells(spark, tmp_path):
 
     out = ivf_probe_indexed(spark, path, queries, k=5, nprobe=nprobe)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m, f"no PartitionFilters in probe plan:\n{plan[:2000]}"
-    got = sorted(int(x) for x in re.findall(r"\d+", m.group(1).split("IN")[-1]))
+    # parse the INDEX scan's line specifically (the query-side
+    # embeddings scans carry their own empty PartitionFilters), and the
+    # IN-list specifically (the cell join also pushes an
+    # isnotnull(ivf_cell#NNN) whose attribute id is not a cell value)
+    got = None
+    for line in plan.splitlines():
+        if "FileScan" in line and path in line:
+            m = re.search(
+                r"PartitionFilters: \[[^\]]*?IN \(([0-9,]+)\)", line
+            )
+            assert m, f"index scan without IN partition filter:\n{line}"
+            got = sorted(int(x) for x in m.group(1).split(","))
     assert got == expected, (got, expected)
     # and the scan schema is pruned too: no text/extra columns read
     assert out.count() > 0
