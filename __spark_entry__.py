@@ -4676,6 +4676,62 @@ FROM s
     return r
 
 
+def _op_quality_classifier(spark, sf_dir):
+    """fastText-style hashed n-gram linear quality scoring
+    (operators/classifier.py classifier_logits): documents scored
+    against a DETERMINISTIC synthesized weight table (w_micro(b) =
+    (b * 2654435761) % 2000001 - 1000000 over 4096 md5 feature
+    buckets) — the oracle replays hashing, mean pooling, and the
+    logit quantization exactly; training equality vs a numpy replica
+    is pinned in tests/test_classifier.py (the bpe_train pattern)."""
+    from fourstore_spark.operators.classifier import classifier_logits
+
+    d = _docs(spark, sf_dir)
+    weights = spark.range(4096).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 2000001 - 1000000)
+        .alias("w_micro"),
+    )
+    return classifier_logits(d, weights, n_features=4096)
+
+
+def _round11_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    # linear classifier scoring: identical md5 feature hashing, exact
+    # integer weight sums, one float division + round at the end —
+    # summing w per GRAM occurrence equals summing cnt*w per distinct
+    # bucket (the Spark side groups first; the sums are the same
+    # integers)
+    r["quality_classifier"] = (
+        _op_quality_classifier,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), f AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 4096 AS b
+  FROM grams
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM((b * 2654435761) % 2000001 - 1000000) AS BIGINT) AS s
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(round(1000000.0 * (s / (1000000.0 * n_grams)))
+            AS BIGINT) AS logit_micro,
+       CAST(round(1000000.0 * (s / (1000000.0 * n_grams)))
+            AS BIGINT) >= 0 AS quality
+FROM agg
+""",
+    )
+    return r
+
+
 def _reg() -> dict[str, tuple]:
     global _REG
     if _REG is None:
@@ -4686,6 +4742,7 @@ def _reg() -> dict[str, tuple]:
         full.update(_round6_entries())
         full.update(_round9_entries())
         full.update(_round10_entries())
+        full.update(_round11_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)

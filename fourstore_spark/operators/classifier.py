@@ -1,0 +1,295 @@
+"""Hashed n-gram linear text classifier — the fastText-style quality
+filter every large curation pipeline trains (CCNet §4.2 fits a fastText
+model on Wikipedia-vs-crawl; Dolma and RefinedWeb ship the same shape):
+word unigram+bigram features hashed into a fixed bucket space, mean
+pooling, a linear layer, a squashing function.
+
+Engine-replayable by construction (the module discipline shared with
+lm.py / sampling.py):
+
+- Features hash with the md5-based ``sampling.hash_bucket`` — the same
+  assignment in Spark, DuckDB, and numpy.
+- Weights are INTEGER micro-units; a document's logit numerator is an
+  exact integer sum (partitioning-invariant), divided once at the end:
+  ``z = (bias_micro + sum_g w_micro[b(g)]) / (1e6 * n_grams)``.
+- The score surface is the LOGIT (``logit_micro = round(1e6 * z)``) and
+  its sign threshold — pure +,*,/ on IEEE doubles, so a DuckDB oracle
+  reproduces it bit-for-bit. ``sigmoid`` is exposed for humans but kept
+  off the oracle surface (libm ``exp`` is not guaranteed identically
+  rounded across engines).
+- Training is full-batch gradient descent on a HARD-sigmoid logistic
+  loss: p = clip(0.5 + z/4, 0, 1). The hard sigmoid keeps the whole
+  training loop transcendental-free, so the distributed run and the
+  numpy replica in tests agree exactly, iteration for iteration.
+  Per-(doc, feature) gradient contributions are micro-quantized BEFORE
+  the feature-wise integer sum — the same
+  quantize-then-sum-exact-integers rule lm_score established.
+
+100 TB shape: the per-iteration work is one broadcast join of the
+weight table (n_features rows, bounded and small by construction —
+that is the hashing trick's whole point) onto a checkpointed exploded
+feature table, one groupBy(doc) for logits, one groupBy(feature) for
+the gradient whose output is again n_features-bounded. No corpus-sized
+shuffle; the corpus tokenizes exactly once.
+
+No counterpart in the reference (a SPARQL store): cited against the
+published pipelines above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _grams_expr, hash_bucket
+
+MICRO = 1_000_000.0
+
+# gradient/weight tables are n_features-bounded and collected to the
+# driver each iteration — guard like every driver materialization
+MAX_FEATURES = 1 << 22
+
+
+def doc_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+) -> DataFrame:
+    """Exploded hashed-feature table: (doc_id, b, cnt, n_grams) with b =
+    hash_bucket(gram) % n_features. Blank documents drop (no grams —
+    nothing to score, same rule as lm_score)."""
+    from .lm import lm_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    g = toks.select(
+        "doc_id", F.explode(_grams_expr()).alias("gram")
+    ).select(
+        "doc_id", (hash_bucket(F.col("gram")) % n_features).alias("b")
+    )
+    counts = g.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return counts.join(totals, "doc_id")
+
+
+def classifier_logits(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    bias_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score documents against a weight table (b, w_micro): (doc_id,
+    n_grams, logit_micro, quality) where quality = logit_micro >=
+    threshold_micro. The logit is mean-pooled:
+
+        z = (bias_micro + sum_g w_micro[b(g)]) / (1e6 * n_grams)
+        logit_micro = round(1e6 * z)    -- half away from zero
+
+    Unhashed-but-unweighted buckets score 0 (a missing row in the
+    weight table is a zero weight). Thresholding happens in LOGIT space
+    — sigmoid is monotonic, so quality at threshold_micro=0 equals
+    p >= 0.5 without putting exp() on the oracle surface."""
+    feats = doc_features(
+        df, text_col=text_col, id_col=id_col, n_features=n_features
+    )
+    z = (
+        F.lit(int(bias_micro))
+        + F.sum(F.col("cnt") * F.coalesce("w_micro", F.lit(0)))
+    ) / (F.lit(MICRO) * F.first("n_grams"))
+    return (
+        feats.join(F.broadcast(weights), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.round(z * MICRO, 0).cast("long").alias("logit_micro"),
+        )
+        .withColumn(
+            "quality",
+            F.col("logit_micro") >= F.lit(int(threshold_micro)),
+        )
+    )
+
+
+def sigmoid_prob(logit_micro: Column) -> Column:
+    """Display-only probability from a logit_micro column. NOT on any
+    oracle surface: libm exp() rounding may differ across engines."""
+    return 1.0 / (1.0 + F.exp(-(logit_micro / F.lit(MICRO))))
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    *,
+    iters: int = 20,
+    lr: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+) -> tuple[DataFrame, int]:
+    """Fit the linear layer on a positive corpus (quality reference,
+    y=1 — CCNet uses Wikipedia) vs a negative corpus (y=0, raw crawl).
+    Returns (weights DataFrame (b, w_micro), bias_micro).
+
+    Full-batch gradient descent on hard-sigmoid logistic loss,
+    deterministic end to end:
+
+        z_i    = (bias + sum_f w[f] x_if) / 1e6      (x_if = cnt/n_i)
+        p_i    = clip(0.5 + z_i / 4, 0, 1)           (hard sigmoid)
+        r_i    = round(1e6 (p_i - y_i))              (integer residual)
+        c_if   = round(r_i * cnt_if / n_i)           (integer contrib)
+        g_f    = sum_i c_if                          (EXACT integer sum)
+        w[f]  -= round(lr * g_f / n_docs)            (driver, integer)
+
+    The quantize-before-sum rule makes every iteration independent of
+    partitioning and shuffle order; tests replay the identical
+    recurrence in numpy. One tokenization: the exploded feature table
+    is checkpointed and reused by all ``iters`` passes. The gradient
+    table is n_features-bounded (<= {MAX_FEATURES}); the per-iteration
+    driver traffic is O(n_features), never O(corpus)."""
+    if n_features > MAX_FEATURES:
+        raise ValueError(
+            f"n_features={n_features} > {MAX_FEATURES}: the weight and "
+            "gradient tables are collected driver-side each iteration — "
+            "use a coarser hash space (collisions are the hashing "
+            "trick's accepted trade-off, fastText defaults to 2M bigram "
+            "buckets)"
+        )
+    spark = positive.sparkSession
+    # prefix-synthesized ids: the two corpora may legitimately share
+    # id values (both start at doc_id 0) — a raw union would merge a
+    # positive and a negative document into one feature bag
+    labeled = positive.select(
+        F.concat(F.lit("p:"), F.col(id_col).cast("string")).alias("__id"),
+        F.col(text_col).alias(text_col),
+    ).unionByName(
+        negative.select(
+            F.concat(F.lit("n:"), F.col(id_col).cast("string"))
+            .alias("__id"),
+            F.col(text_col).alias(text_col),
+        )
+    )
+    # one tokenization for all iterations (lm_score discipline)
+    feats = (
+        doc_features(
+            labeled, text_col=text_col, id_col="__id",
+            n_features=n_features,
+        )
+        .withColumn(
+            "__y",
+            F.when(F.col("doc_id").startswith("p:"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .localCheckpoint()
+    )
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no non-blank documents to train on")
+
+    w: dict[int, int] = {}
+    bias = 0
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            list(w.items()) or [(0, 0)], "b long, w_micro long"
+        )
+        z = (
+            F.lit(bias)
+            + F.sum(F.col("cnt") * F.coalesce("w_micro", F.lit(0)))
+        ) / (F.lit(MICRO) * F.first("n_grams"))
+        p = F.least(
+            F.greatest(F.lit(0.5) + z / 4.0, F.lit(0.0)), F.lit(1.0)
+        )
+        resid = (
+            feats.join(F.broadcast(wdf), "b", "left")
+            .groupBy("doc_id", "__y")
+            .agg(
+                F.first("n_grams").alias("n_grams"),
+                F.round((p - F.col("__y")) * MICRO, 0)
+                .cast("long")
+                .alias("r_micro"),
+            )
+        )
+        grad = (
+            feats.join(resid.select("doc_id", "r_micro"), "doc_id")
+            .select(
+                "b",
+                F.round(
+                    F.col("r_micro") * F.col("cnt") / F.col("n_grams"), 0
+                ).cast("long").alias("c"),
+                "r_micro",
+            )
+        )
+        gb = grad.groupBy("b").agg(F.sum("c").alias("g")).collect()
+        gbias = resid.agg(F.sum("r_micro")).head()[0] or 0
+        for r in gb:
+            step = round(lr * r["g"] / n_docs)
+            if step:
+                w[r["b"]] = w.get(r["b"], 0) - step
+        bias -= round(lr * gbias / n_docs)
+    wdf = spark.createDataFrame(
+        list(w.items()) or [(0, 0)], "b long, w_micro long"
+    ).where(F.col("w_micro") != 0)
+    return wdf, bias
+
+
+def save_classifier(
+    weights: DataFrame,
+    bias_micro: int,
+    path: str,
+    *,
+    n_features: int = 4096,
+    threshold_micro: int = 0,
+) -> None:
+    """Persist the trained artifact (the save_lm shape: parquet weight
+    table + JSON sidecar pinning the hyperparameters the scorer must
+    reuse — a different n_features would silently remap every
+    feature)."""
+    import json
+    import os
+
+    weights.write.mode("overwrite").parquet(os.path.join(path, "weights"))
+    with open(os.path.join(path, "_classifier.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(
+            {
+                "bias_micro": int(bias_micro),
+                "n_features": int(n_features),
+                "threshold_micro": int(threshold_micro),
+                "features": "word unigram+bigram, md5 hash_bucket",
+                "pooling": "mean",
+            },
+            fh,
+        )
+
+
+def load_classifier(spark, path: str):
+    """-> (weights DataFrame, sidecar dict)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_classifier.json"),
+              encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "weights")), meta
+
+
+def classifier_score_artifact(
+    spark, df: DataFrame, path: str, **kwargs
+) -> DataFrame:
+    """Score against a saved artifact — train once, ship everywhere
+    (the CCNet deployment shape)."""
+    weights, meta = load_classifier(spark, path)
+    return classifier_logits(
+        df,
+        weights,
+        bias_micro=meta["bias_micro"],
+        n_features=meta["n_features"],
+        threshold_micro=meta.get("threshold_micro", 0),
+        **kwargs,
+    )

@@ -1,0 +1,198 @@
+"""Hashed n-gram linear quality classifier (operators/classifier.py).
+
+The training recurrence is transcendental-free and integer-quantized by
+design, so a pure-Python/numpy replica must agree EXACTLY with the
+distributed run, iteration for iteration — the bpe_train test
+discipline. Scoring is pinned against the same replica and against the
+saved-artifact round trip, and must be partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _round_half(x: float) -> int:
+    # Spark F.round(x, 0): HALF_UP = away from zero (python round() is
+    # banker's and would disagree on exact .5 boundaries)
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _bucket(gram: str, n_features: int) -> int:
+    return (
+        int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % 1_000_000
+    ) % n_features
+
+
+def _feats(text: str, n_features: int) -> tuple[dict[int, int], int]:
+    toks = text.strip().lower().split()
+    grams = toks + [
+        f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+    ]
+    counts: dict[int, int] = {}
+    for g in grams:
+        b = _bucket(g, n_features)
+        counts[b] = counts.get(b, 0) + 1
+    return counts, len(grams)
+
+
+def _train_replica(pos, neg, iters, lr, n_features):
+    docs = [(f"p:{i}", t, 1) for i, t in pos] + [
+        (f"n:{i}", t, 0) for i, t in neg
+    ]
+    feats = [
+        (_feats(t, n_features), y)
+        for _, t, y in docs
+        if t.strip()
+    ]
+    n_docs = len(feats)
+    w: dict[int, int] = {}
+    bias = 0
+    for _ in range(iters):
+        grad: dict[int, int] = {}
+        gbias = 0
+        for (counts, n), y in feats:
+            s = bias + sum(c * w.get(b, 0) for b, c in counts.items())
+            z = s / (1_000_000.0 * n)
+            p = min(max(0.5 + z / 4.0, 0.0), 1.0)
+            r = _round_half((p - y) * 1_000_000.0)
+            gbias += r
+            for b, c in counts.items():
+                grad[b] = grad.get(b, 0) + _round_half(r * c / n)
+        for b, g in grad.items():
+            step = round(lr * g / n_docs)
+            if step:
+                w[b] = w.get(b, 0) - step
+        bias -= round(lr * gbias / n_docs)
+    return {b: v for b, v in w.items() if v != 0}, bias
+
+
+def _score_replica(text, w, bias, n_features):
+    counts, n = _feats(text, n_features)
+    s = bias + sum(c * w.get(b, 0) for b, c in counts.items())
+    return _round_half(1_000_000.0 * (s / (1_000_000.0 * n)))
+
+
+POS = [
+    (i, t)
+    for i, t in enumerate(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "a well written article about science and method",
+            "careful analysis shows the method works in practice",
+            "the experiment was repeated with consistent results",
+            "clear writing and sound structure improve the article",
+            "the study reports results with appropriate caveats",
+        ]
+    )
+]
+NEG = [
+    (i, t)
+    for i, t in enumerate(
+        [
+            "click here buy now cheap cheap cheap",
+            "win win win free free prize prize",
+            "zzz spam spam keyword keyword keyword stuffing",
+            "buy cheap now click click free prize",
+            "free free free win now now now",
+            "keyword spam cheap prize click zzz",
+        ]
+    )
+]
+
+
+def test_train_matches_numpy_replica_exactly(spark):
+    from fourstore_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(POS, ["doc_id", "text"])
+    neg = spark.createDataFrame(NEG, ["doc_id", "text"])
+    wdf, bias = train_quality_classifier(
+        pos, neg, iters=4, lr=4.0, n_features=512
+    )
+    got = {r["b"]: r["w_micro"] for r in wdf.collect()}
+    want_w, want_b = _train_replica(POS, NEG, 4, 4.0, 512)
+    assert got == want_w
+    assert bias == want_b
+
+
+def test_scores_match_replica_and_separate_classes(spark):
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(POS, ["doc_id", "text"])
+    neg = spark.createDataFrame(NEG, ["doc_id", "text"])
+    wdf, bias = train_quality_classifier(
+        pos, neg, iters=10, lr=4.0, n_features=512
+    )
+    w, b = _train_replica(POS, NEG, 10, 4.0, 512)
+
+    # held-out docs recombining seen vocabulary
+    test_docs = [
+        (100, "the article shows consistent results in practice", True),
+        (101, "cheap prize click free spam now", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in test_docs], ["doc_id", "text"]
+    ).repartition(7)  # partitioning must not change a single micro-unit
+    got = {
+        r["doc_id"]: (r["logit_micro"], r["quality"])
+        for r in classifier_logits(
+            df, wdf, bias_micro=bias, n_features=512
+        ).collect()
+    }
+    for i, t, want_quality in test_docs:
+        want_logit = _score_replica(t, w, b, 512)
+        assert got[i] == (want_logit, want_logit >= 0)
+        assert got[i][1] is want_quality
+
+
+def test_artifact_roundtrip_and_guard(spark, tmp_path):
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        classifier_score_artifact,
+        save_classifier,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(POS, ["doc_id", "text"])
+    neg = spark.createDataFrame(NEG, ["doc_id", "text"])
+    wdf, bias = train_quality_classifier(
+        pos, neg, iters=3, lr=4.0, n_features=256
+    )
+    path = str(tmp_path / "clf")
+    save_classifier(wdf, bias, path, n_features=256)
+    docs = pos.unionByName(
+        neg.withColumn("doc_id", F.col("doc_id") + 100)
+    )
+    direct = sorted(
+        map(tuple, classifier_logits(
+            docs, wdf, bias_micro=bias, n_features=256
+        ).collect())
+    )
+    via_artifact = sorted(
+        map(tuple, classifier_score_artifact(spark, docs, path).collect())
+    )
+    assert direct == via_artifact
+
+    with pytest.raises(ValueError, match="n_features"):
+        train_quality_classifier(pos, neg, n_features=1 << 23)
+
+
+def test_blank_documents_drop_like_lm_score(spark):
+    from fourstore_spark.operators.classifier import classifier_logits
+
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame([(0, 0)], "b long, w_micro long")
+    got = classifier_logits(df, w, n_features=64).collect()
+    assert [r["doc_id"] for r in got] == [1]
