@@ -1,0 +1,159 @@
+"""Count-min sketch: sublinear-memory frequency estimation for
+heavy-hitter analysis over corpus-scale key streams (Cormode &
+Muthukrishnan 2005) — the standard answer to "how often does each of
+these tokens/domains/n-grams occur in 100 TB" when the exact groupBy's
+output (one row per DISTINCT key) is itself too large to keep.
+
+Engine-portable and integer-exact by the module discipline
+(sampling.hash_bucket md5 hashing, exact integer counters): the sketch
+a DuckDB oracle builds from the same rows is cell-for-cell identical,
+and every estimate obeys the CMS contract EXACTLY — never below the
+true count, above it by at most eps*N with probability 1-delta
+(eps = e/width, delta = e^-depth).
+
+100 TB shape: the build is one explode to ``depth`` (row, col) cells
+per key occurrence and one map-side-combined groupBy whose output is
+bounded by depth*width CELLS — never by the number of distinct keys.
+Sketches are counters, so shard sketches MERGE BY ADDITION
+(``cms_merge``): build per day/per shard, add for any window — the
+whole reason to sketch instead of groupBy. Queries join the probe
+keys' cells against the sketch and take the row-wise min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _MOD, hash_bucket
+
+# depth*width cells may be collected/broadcast — same guard class as
+# the Bloom filter's max_filter_bytes
+MAX_CELLS = 50_000_000
+
+
+def _cms_col(key: Column, row: int, width: int) -> Column:
+    """Row ``row``'s column index for a key: md5 of 'row:key' (the seed
+    folded into the hashed string keeps the depth hash functions
+    pairwise independent enough AND engine-portable — any SQL engine
+    with md5 replays it)."""
+    return hash_bucket(F.concat(F.lit(f"{row}:"), key.cast("string"))) % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over a key column: DataFrame
+    (r, c, cnt) with at most depth*width rows — sparse (zero cells are
+    absent). ``weight_col`` counts each row by an integer weight
+    instead of 1 (e.g. pre-aggregated (key, count) input). NULL keys
+    are not counted (a NULL key is the absence of a key, matching
+    groupBy semantics where NULL forms its own group only if present —
+    callers who want NULL tracked should coalesce to a sentinel).
+
+    width must divide the hash space evenly enough: it is capped at
+    hash_bucket's 1e6 modulus; eps = e/width, so width 2048 gives
+    ~0.13% of N overcount at 99.3% confidence with depth 5."""
+    if width > _MOD:
+        raise ValueError(f"width {width} > hash modulus {_MOD}")
+    if width * depth > MAX_CELLS:
+        raise ValueError(
+            f"depth*width = {width * depth} cells > {MAX_CELLS}: the "
+            "sketch is meant to be broadcastable — lower width/depth "
+            "(estimates degrade gracefully) or shard and cms_merge"
+        )
+    k = F.col(key_col)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = df.where(k.isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_col(k, r, width).alias("c"),
+                    w.alias("w"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell")
+    )
+    return (
+        cells.select("cell.r", "cell.c", "cell.w")
+        .groupBy("r", "c")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum sketches built with the SAME width/depth — counters add, so
+    per-shard/per-day sketches compose into any window without touching
+    the raw data (the linearity that makes sketching worth it)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Point estimates for a key set: (key, est) with est = min over
+    the depth rows of that key's cell counter (0 when a cell is absent
+    — the key was never seen on that row). Estimates are >= the true
+    count always, and <= true + (e/width)*N with prob 1 - e^-depth.
+
+    The sketch broadcasts (depth*width-bounded by construction); the
+    probe is one join + a depth-bounded groupBy min — works for a
+    thousand keys or a billion (the keys side never collects)."""
+    k = F.col(key_col)
+    probes = keys.where(k.isNotNull()).select(
+        k.alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_col(k, r, width).alias("c")
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("key", "cell.r", "cell.c")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+    threshold: int = 100,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Keys whose estimated count >= threshold. CMS alone cannot
+    enumerate keys (it stores counters, not keys), so candidates come
+    from a pass over the data (default: the distinct keys of ``df``
+    itself — useful when the SKETCH was built elsewhere/earlier and
+    ``df`` is a recent slice; pass an explicit candidate set
+    otherwise). One-sided error: every true heavy hitter is returned
+    (estimates never undercount); some near-threshold keys may slip in."""
+    sk = cms_build(df, key_col, width=width, depth=depth)
+    cand = (candidates or df).select(key_col).distinct()
+    est = cms_query(sk, cand, key_col, width=width, depth=depth)
+    return est.where(F.col("est") >= threshold)
