@@ -4695,8 +4695,64 @@ def _op_quality_classifier(spark, sf_dir):
     return classifier_logits(d, weights, n_features=4096)
 
 
+def _op_cms_token_counts(spark, sf_dir):
+    """Count-min sketch build + point queries (operators/sketch.py,
+    Cormode 2005): a 4x1024 sketch over every corpus token, probed
+    with a fixed key set (common words, rare words, one never-seen
+    key). Cell counters are exact integer sums of md5-derived
+    positions, so the DuckDB oracle rebuilds the identical sketch and
+    the estimates match value-for-value."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import cms_build, cms_query
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    sk = cms_build(toks, "tok", width=1024, depth=4)
+    probe = spark.createDataFrame(
+        [(w,) for w in _CMS_PROBE_KEYS], "tok string"
+    )
+    return cms_query(sk, probe, "tok", width=1024, depth=4)
+
+
+_CMS_PROBE_KEYS = [
+    "the", "and", "table", "spark", "merge", "data",
+    "query", "never-seen-key-xyz",
+]
+
+
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # CMS: identical md5 cell positions, exact integer counters, min
+    # over depth rows — cell-for-cell sketch equality makes the
+    # estimates exact cross-engine (one-sided CMS error is a property
+    # of the sketch, not of either engine)
+    probe_sql = ", ".join(f"'{w}'" for w in _CMS_PROBE_KEYS)
+    r["cms_token_counts"] = (
+        _op_cms_token_counts,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok),
+                                 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 1024 AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM stream, (SELECT unnest(range(4)) AS r)
+  GROUP BY 1, 2
+), probe AS (SELECT unnest([{probe_sql}]) AS key),
+pc AS (
+  SELECT key, r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || key),
+                                 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 1024 AS c
+  FROM probe, (SELECT unnest(range(4)) AS r)
+)
+SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN cells USING (r, c)
+GROUP BY key
+""",
+    )
     # linear classifier scoring: identical md5 feature hashing, exact
     # integer weight sums, one float division + round at the end —
     # summing w per GRAM occurrence equals summing cnt*w per distinct

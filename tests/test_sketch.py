@@ -1,0 +1,128 @@
+"""Count-min sketch (operators/sketch.py).
+
+The CMS contract is one-sided and, with md5 hashing and integer
+counters, exactly replayable: estimates never undercount, overcount by
+at most (e/width)*N in expectation, merged shard sketches equal the
+one-pass sketch cell-for-cell, and a Python replica of the build
+agrees exactly (partitioning-invariance falls out: integer sums).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _col(row: int, key, width: int) -> int:
+    h = hashlib.md5(f"{row}:{key}".encode()).hexdigest()
+    return (int(h[:8], 16) % 1_000_000) % width
+
+
+def _replica(keys, width, depth):
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r in range(depth):
+            c = _col(r, k, width)
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    return cells
+
+
+def test_cms_never_undercounts_and_matches_replica(spark):
+    from fourstore_spark.operators.sketch import cms_build, cms_query
+
+    # zipf-ish synthetic stream: key i appears ~ 600 // (i + 1) times
+    keys = [f"k{i}" for i in range(80) for _ in range(600 // (i + 1))]
+    true = {k: keys.count(k) for k in set(keys)}
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(9)  # partitioning must not change any counter
+
+    sk = cms_build(df, "key", width=256, depth=4)
+    got_cells = {(r["r"], r["c"]): r["cnt"] for r in sk.collect()}
+    assert got_cells == _replica(keys, 256, 4)
+
+    probe = spark.createDataFrame(
+        [(k,) for k in true], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in cms_query(sk, probe, "key", width=256, depth=4).collect()
+    }
+    n = len(keys)
+    for k, t in true.items():
+        assert est[k] >= t, f"undercount for {k}"
+        # loose sanity bound: e/width * N, ~4x slack over expectation
+        assert est[k] - t <= 4 * 2.718 * n / 256
+
+    # an unseen key estimates from whatever collisions exist — still
+    # bounded, and zero when its cells are all empty
+    unseen = cms_query(
+        sk,
+        spark.createDataFrame([("never-seen-xyz",)], "key string"),
+        "key", width=256, depth=4,
+    ).head()
+    assert 0 <= unseen["est"] <= 4 * 2.718 * n / 256
+
+
+def test_cms_merge_equals_single_pass(spark):
+    from fourstore_spark.operators.sketch import cms_build, cms_merge
+
+    keys = [f"w{i % 37}" for i in range(1000)]
+    df = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                               "key string, i long")
+    whole = cms_build(df, "key", width=128, depth=3)
+    parts = cms_merge(
+        cms_build(df.where("i % 3 = 0"), "key", width=128, depth=3),
+        cms_build(df.where("i % 3 = 1"), "key", width=128, depth=3),
+        cms_build(df.where("i % 3 = 2"), "key", width=128, depth=3),
+    )
+    a = {(r["r"], r["c"]): r["cnt"] for r in whole.collect()}
+    b = {(r["r"], r["c"]): r["cnt"] for r in parts.collect()}
+    assert a == b
+
+
+def test_cms_weighted_nulls_and_heavy_hitters(spark):
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        cms_heavy_hitters,
+        cms_query,
+    )
+
+    # pre-aggregated (key, count) input via weight_col; NULL keys drop
+    agg = spark.createDataFrame(
+        [("a", 500), ("b", 90), (None, 10_000), ("c", 3)],
+        "key string, n long",
+    )
+    sk = cms_build(agg, "key", width=64, depth=3, weight_col="n")
+    est = {
+        r["key"]: r["est"]
+        for r in cms_query(
+            sk, agg.where("key is not null"), "key", width=64, depth=3
+        ).collect()
+    }
+    assert est["a"] >= 500 and est["b"] >= 90 and est["c"] >= 3
+    assert est["a"] <= 500 + 93  # collisions only with b/c mass
+
+    raw = spark.createDataFrame(
+        [(k,) for k in ["x"] * 300 + ["y"] * 5 + ["z"] * 299],
+        "key string",
+    )
+    hh = {
+        r["key"]
+        for r in cms_heavy_hitters(
+            raw, "key", width=256, depth=4, threshold=250
+        ).collect()
+    }
+    assert "x" in hh and "z" in hh and "y" not in hh
+
+
+def test_cms_guards(spark):
+    from fourstore_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="hash modulus"):
+        cms_build(df, "key", width=2_000_000, depth=2)
+    with pytest.raises(ValueError, match="broadcastable"):
+        cms_build(df, "key", width=1_000_000, depth=51)
