@@ -4720,8 +4720,46 @@ _CMS_PROBE_KEYS = [
 ]
 
 
+def _op_hll_registers(spark, sf_dir):
+    """HyperLogLog distinct-count registers (operators/sketch.py,
+    Flajolet 2007) over every corpus token: (j, M) with j = 32-bit
+    md5-prefix % 1024 and M = max leading-zero rank of the remaining
+    22 bits. Registers are the oracle surface — exact integers from
+    md5 string arithmetic, so the DuckDB replay is register-for-
+    register identical; the float estimate readout (a deterministic
+    function of this table) is accuracy-pinned in tests/test_sketch.py
+    and stays off the hash."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import hll_build
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    return hll_build(toks, "tok", m=1024)
+
+
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # HLL: j/rho from the same md5 prefix arithmetic; bit_length via
+    # unpadded base-2 string length on both engines (Spark conv /
+    # DuckDB bin+ltrim)
+    r["hll_distinct_tokens"] = (
+        _op_hll_registers,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+h AS (
+  SELECT CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+              AS BIGINT) AS hv
+  FROM stream
+), jr AS (
+  SELECT hv % 1024 AS j,
+         CASE WHEN hv // 1024 = 0 THEN 23
+              ELSE 22 - length(bin(hv // 1024)) + 1 END AS rho
+  FROM h
+)
+SELECT j, CAST(MAX(rho) AS INTEGER) AS M FROM jr GROUP BY j
+""",
+    )
     # CMS: identical md5 cell positions, exact integer counters, min
     # over depth rows — cell-for-cell sketch equality makes the
     # estimates exact cross-engine (one-sided CMS error is a property

@@ -1,8 +1,9 @@
-"""Count-min sketch: sublinear-memory frequency estimation for
-heavy-hitter analysis over corpus-scale key streams (Cormode &
-Muthukrishnan 2005) — the standard answer to "how often does each of
-these tokens/domains/n-grams occur in 100 TB" when the exact groupBy's
-output (one row per DISTINCT key) is itself too large to keep.
+"""Mergeable sketches over corpus-scale key streams: count-min
+(frequency estimation, Cormode & Muthukrishnan 2005) and HyperLogLog
+(distinct counting, Flajolet 2007) — the standard answers to "how
+often does each of these tokens/domains/n-grams occur in 100 TB" and
+"how many distinct ones are there" when the exact groupBy's output
+(one row per DISTINCT key) is itself too large to keep.
 
 Engine-portable and integer-exact by the module discipline
 (sampling.hash_bucket md5 hashing, exact integer counters): the sketch
@@ -135,6 +136,83 @@ def cms_query(
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# ------------------------------------------------------------ HyperLogLog
+# Distinct-count companion to the CMS (Flajolet 2007): m integer
+# registers, mergeable by ELEMENT-WISE MAX — per-shard sketches compose
+# into any window, the same linearity argument as cms_merge. The
+# register table is the oracle surface (exact integers, md5-portable);
+# the float estimate is a driver-side readout of an m-bounded table.
+
+_HLL_HASH_BITS = 32
+
+
+def hll_build(df: DataFrame, key_col: str, *, m: int = 1024) -> DataFrame:
+    """HyperLogLog registers over a key column: DataFrame (j, M) with
+    at most ``m`` rows (never-hit registers are absent = 0). The
+    32-bit md5 prefix splits into register index j = h % m and the
+    remaining bits w; M = max over keys of rho(w) (leading-zero count
+    + 1 within the remaining bit width). Both j and rho are integer
+    string/arithmetic ops any md5-capable engine replays exactly.
+
+    m must be a power of two in [128, 65536]: the standard bias
+    constant below 128 differs, and past 2^16 the 32-bit hash's
+    remaining bits get too short."""
+    if m < 128 or m > 65536 or m & (m - 1):
+        raise ValueError(f"m={m}: need a power of two in [128, 65536]")
+    p = m.bit_length() - 1
+    rem_bits = _HLL_HASH_BITS - p
+    k = F.col(key_col)
+    h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = (h / m).cast("long")  # h // m: h >= 0 so truncation == floor
+    # bit_length(w) via base-2 string length (exact, engine-portable);
+    # w = 0 -> all remaining bits zero -> rho = rem_bits + 1
+    bl = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - bl + 1
+    )
+    return (
+        df.where(k.isNotNull())
+        .select((h % m).alias("j"), rho.cast("int").alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise register max — sketches built with the same m
+    compose losslessly (max is idempotent and commutative, so a key
+    counted in several shards still counts once)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(registers: DataFrame, *, m: int = 1024) -> float:
+    """Distinct-count estimate from a register table (collects <= m
+    rows — bounded by construction). Standard HLL readout: harmonic
+    mean with alpha_m bias constant, linear-counting correction for
+    the small range. Each 2^-M term is an exact dyadic rational, so
+    the register sum is order-independent; the readout is
+    deterministic for a given register table. Typical error is
+    ~1.04/sqrt(m) (about 3% at m=1024)."""
+    rows = registers.collect()
+    if len(rows) > m:
+        raise ValueError(f"register table has {len(rows)} rows > m={m}")
+    seen = {r["j"]: r["M"] for r in rows}
+    s = sum(2.0 ** -v for v in seen.values()) + (m - len(seen))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    zeros = m - len(seen)
+    if e <= 2.5 * m and zeros:
+        import math
+
+        return m * math.log(m / zeros)
+    return e
 
 
 def cms_heavy_hitters(

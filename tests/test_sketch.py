@@ -126,3 +126,60 @@ def test_cms_guards(spark):
         cms_build(df, "key", width=2_000_000, depth=2)
     with pytest.raises(ValueError, match="broadcastable"):
         cms_build(df, "key", width=1_000_000, depth=51)
+
+
+# --------------------------------------------------------------- HLL
+def _hll_replica(keys, m):
+    rem = 32 - (m.bit_length() - 1)
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        j, w = h % m, h // m
+        rho = rem + 1 if w == 0 else rem - w.bit_length() + 1
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_replica_and_merge(spark):
+    from fourstore_spark.operators.sketch import hll_build, hll_merge
+
+    keys = [f"u{i}" for i in range(3000)] * 2  # duplicates collapse
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "key string, i long"
+    ).repartition(11)
+    regs = {
+        r["j"]: r["M"]
+        for r in hll_build(df, "key", m=1024).collect()
+    }
+    assert regs == _hll_replica(keys, 1024)
+
+    merged = hll_merge(
+        hll_build(df.where("i % 2 = 0"), "key", m=1024),
+        hll_build(df.where("i % 2 = 1"), "key", m=1024),
+    )
+    assert {
+        (r["j"], r["M"]) for r in merged.collect()
+    } == set(regs.items())
+
+
+def test_hll_estimate_accuracy_and_guards(spark):
+    from fourstore_spark.operators.sketch import hll_build, hll_estimate
+
+    # large range: harmonic-mean branch, ~1.04/sqrt(1024) = 3.3% typical
+    df = spark.createDataFrame(
+        [(f"distinct-{i}",) for i in range(20_000)], "key string"
+    )
+    est = hll_estimate(hll_build(df, "key", m=1024), m=1024)
+    assert abs(est - 20_000) / 20_000 < 0.10
+
+    # small range: linear-counting branch is near-exact
+    small = spark.createDataFrame(
+        [(f"s{i % 60}",) for i in range(600)], "key string"
+    )
+    est = hll_estimate(hll_build(small, "key", m=1024), m=1024)
+    assert abs(est - 60) < 3
+
+    with pytest.raises(ValueError, match="power of two"):
+        hll_build(df, "key", m=1000)
+    with pytest.raises(ValueError, match="power of two"):
+        hll_build(df, "key", m=64)
