@@ -183,6 +183,102 @@ FROM m
 """
 
 
+DUCK_CLF = f"""
+WITH toks AS ({LM_TOKS}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), f AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 4096 AS b
+  FROM grams
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM((b * 2654435761) % 2000001 - 1000000) AS BIGINT) AS s
+  FROM f GROUP BY doc_id
+)
+SELECT count(*),
+       CAST(SUM(CAST(round(1000000.0 * (s / (1000000.0 * n)))
+                AS BIGINT)) AS BIGINT)
+FROM agg
+"""
+
+DUCK_CMS = f"""
+WITH toks AS ({LM_TOKS}),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok),
+                                 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 2048 AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM stream, (SELECT unnest(range(5)) AS r)
+  GROUP BY 1, 2
+)
+SELECT count(*), CAST(SUM(cnt) AS BIGINT) FROM cells
+"""
+
+DUCK_HLL = f"""
+WITH toks AS ({LM_TOKS}),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+h AS (
+  SELECT CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+              AS BIGINT) AS hv
+  FROM stream
+), jr AS (
+  SELECT hv % 1024 AS j,
+         CASE WHEN hv // 1024 = 0 THEN 23
+              ELSE 22 - length(bin(hv // 1024)) + 1 END AS rho
+  FROM h
+), regs AS (SELECT j, MAX(rho) AS m FROM jr GROUP BY j)
+SELECT count(*), CAST(SUM(m) AS BIGINT) FROM regs
+"""
+
+
+def spark_clf(spark, sf):
+    from pyspark.sql import functions as FF
+
+    from fourstore_spark.operators.classifier import classifier_logits
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    weights = spark.range(4096).select(
+        FF.col("id").alias("b"),
+        ((FF.col("id") * FF.lit(2654435761)) % 2000001 - 1000000)
+        .alias("w_micro"),
+    )
+    r = classifier_logits(d, weights, n_features=4096).agg(
+        F.count("*"), F.sum("logit_micro")
+    ).head()
+    return (r[0], r[1])
+
+
+def spark_cms(spark, sf):
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import cms_build
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    r = cms_build(toks, "tok", width=2048, depth=5).agg(
+        F.count("*"), F.sum("cnt")
+    ).head()
+    return (r[0], r[1])
+
+
+def spark_hll(spark, sf):
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import hll_build
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    r = hll_build(toks, "tok", m=1024).agg(
+        F.count("*"), F.sum("M")
+    ).head()
+    return (r[0], r[1])
+
+
 def spark_dsir(spark, sf):
     from fourstore_spark.operators.sampling import dsir_weights
 
@@ -500,6 +596,9 @@ def main():
         ("ahash_neardup", spark_ahash, DUCK_AHASH),
         ("dsir_weights", spark_dsir, DUCK_DSIR),
         ("gopher_rules", spark_gopher, DUCK_GOPHER),
+        ("quality_clf", spark_clf, DUCK_CLF),
+        ("cms_sketch", spark_cms, DUCK_CMS),
+        ("hll_sketch", spark_hll, DUCK_HLL),
     ]
     rows = []
     for sf in dirs:
