@@ -4737,8 +4737,53 @@ def _op_hll_registers(spark, sf_dir):
     return hll_build(toks, "tok", m=1024)
 
 
+def _op_stream_quality_filter(spark, sf_dir):
+    """Streaming classifier quality filter (streaming.py
+    stream_quality_filter): the same synthesized deterministic weight
+    table as quality_classifier, scored through the stateless Arrow
+    projection that runs at ingest time — batch/stream equivalence is
+    pinned in tests/test_classifier.py; here the driver replays the
+    batch frame against the identical DuckDB oracle."""
+    from fourstore_spark.streaming import stream_quality_filter
+
+    d = _docs(spark, sf_dir)
+    weights = spark.range(4096).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 2000001 - 1000000)
+        .alias("w_micro"),
+    )
+    return stream_quality_filter(d, weights, n_features=4096)
+
+
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # streaming classifier: same logit surface as quality_classifier
+    # minus the threshold column (score-only mode)
+    r["stream_quality_filter"] = (
+        _op_stream_quality_filter,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), f AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 4096 AS b
+  FROM grams
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM((b * 2654435761) % 2000001 - 1000000) AS BIGINT) AS s
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(round(1000000.0 * (s / (1000000.0 * n_grams)))
+            AS BIGINT) AS logit_micro
+FROM agg
+""",
+    )
     # HLL: j/rho from the same md5 prefix arithmetic; bit_length via
     # unpadded base-2 string length on both engines (Spark conv /
     # DuckDB bin+ltrim)

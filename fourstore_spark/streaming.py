@@ -522,3 +522,95 @@ def stream_lm_filter(
             <= F.lit(float(max_avg_nll_micro))
         )
     return scored
+
+
+def stream_quality_filter(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    bias_micro: int = 0,
+    n_features: int = 4096,
+    threshold_micro: int | None = None,
+    max_weight_rows: int = 5_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time classifier quality filtering — the streaming form of
+    operators.classifier.classifier_logits with a PRETRAINED weight
+    table (the fastText-at-the-crawl-frontier deployment: CCNet scores
+    every arriving page before it ever lands). Keeps docs whose
+    logit_micro >= ``threshold_micro`` (None = score-only).
+
+    Same shape as stream_lm_filter: the weight table is collected once
+    into the task closure (guarded by ``max_weight_rows`` — the
+    hashing trick bounds it at n_features by construction, so the
+    guard only trips on a mis-built table), scoring is an
+    Arrow-batched STATELESS projection — no shuffle, no state store,
+    append-only micro-batches, and the same frame works batch or
+    streaming. Semantics equal classifier_logits exactly: tokens come
+    from the SAME Spark ``lm_tokens`` expression (the Java-vs-Python
+    whitespace lesson), grams and md5 buckets replay hash_bucket
+    bit-for-bit via hashlib, rounding is half-away-from-zero, and
+    blank docs drop (no grams — nothing to score)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from .operators.lm import lm_tokens
+
+    n_rows = weights.limit(max_weight_rows + 1).count()
+    if n_rows > max_weight_rows:
+        raise ValueError(
+            f"weight table exceeds {max_weight_rows} rows — a hashed-"
+            f"feature classifier is n_features-bounded by construction; "
+            "collecting more than that into the task closure would OOM "
+            "the driver (was the table built with a different "
+            "n_features?)"
+        )
+    w = {r["b"]: r["w_micro"] for r in weights.collect()}
+    bias = int(bias_micro)
+
+    def _round_half_up(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def _bucket(gram: str) -> int:
+        return (
+            int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        ) % n_features
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for did, toks in zip(pdf["doc_id"], pdf["__t"]):
+                toks = list(toks) if toks is not None else []
+                if not toks:
+                    continue
+                s = bias
+                n = 2 * len(toks) - 1
+                for i, t in enumerate(toks):
+                    s += w.get(_bucket(t), 0)
+                    if i + 1 < len(toks):
+                        s += w.get(_bucket(f"{t} {toks[i + 1]}"), 0)
+                out.append(
+                    (did, n, _round_half_up(1e6 * (s / (1e6 * n))))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_grams", "logit_micro"]
+            )
+
+    did_t = docs.select(F.col(id_col).alias("doc_id")).schema[
+        "doc_id"
+    ].dataType.simpleString()
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lm_tokens(F.col(text_col)).alias("__t"),
+    ).mapInPandas(
+        score, f"doc_id {did_t}, n_grams long, logit_micro long"
+    )
+    if threshold_micro is not None:
+        scored = scored.where(
+            F.col("logit_micro") >= F.lit(int(threshold_micro))
+        )
+    return scored

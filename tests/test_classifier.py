@@ -186,6 +186,71 @@ def test_artifact_roundtrip_and_guard(spark, tmp_path):
         train_quality_classifier(pos, neg, n_features=1 << 23)
 
 
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """stream_quality_filter (pretrained weights, stateless Arrow
+    projection) equals batch classifier_logits doc-for-doc, through a
+    real streaming micro-batch run and under the threshold filter."""
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        train_quality_classifier,
+    )
+    from fourstore_spark.streaming import stream_quality_filter
+
+    pos = spark.createDataFrame(POS, ["doc_id", "text"])
+    neg = spark.createDataFrame(NEG, ["doc_id", "text"])
+    wdf, bias = train_quality_classifier(
+        pos, neg, iters=6, lr=4.0, n_features=512
+    )
+    score_docs = (
+        [(i + 50, t) for i, t in POS]
+        + [(i + 70, t) for i, t in NEG]
+        + [(998, "   "), (999, "single")]
+    )
+    sdf = spark.createDataFrame(score_docs, "doc_id long, text string")
+    batch = {
+        tuple(r)
+        for r in classifier_logits(
+            sdf, wdf, bias_micro=bias, n_features=512
+        ).select("doc_id", "n_grams", "logit_micro").collect()
+    }
+
+    src = tmp_path / "qstream"
+    for ci in range(3):
+        chunk = [p for p in score_docs if p[0] % 3 == ci]
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{ci}"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = stream_quality_filter(
+        stream, wdf, bias_micro=bias, n_features=512
+    )
+    q = (
+        out.writeStream.format("memory").queryName("qf")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM qf").collect()}
+    assert got == batch
+
+    # threshold filter on the batch frame == logit-space cut
+    kept = {
+        r["doc_id"]
+        for r in stream_quality_filter(
+            sdf, wdf, bias_micro=bias, n_features=512, threshold_micro=0
+        ).collect()
+    }
+    assert kept == {d for d, _, lm in batch if lm >= 0}
+
+    # oversized-weight-table guard
+    big = spark.range(3).select(
+        F.col("id").alias("b"), F.lit(1).alias("w_micro")
+    )
+    with pytest.raises(ValueError, match="weight table"):
+        stream_quality_filter(sdf, big, max_weight_rows=2)
+
+
 def test_blank_documents_drop_like_lm_score(spark):
     from fourstore_spark.operators.classifier import classifier_logits
 
