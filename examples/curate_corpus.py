@@ -4,14 +4,20 @@ fourstore_spark operators — the canonical order most published pipelines
 
     1. scrub      — HTML strip, PII redaction, Unicode NFC
     2. rule gate  — Gopher quality flags (exact scaled-integer rules)
-    3. dedup      — exact fingerprint, then MinHash-LSH near-dup with
+    3. clf gate   — fastText-style hashed n-gram classifier trained on
+                    a reference slice vs the rest (the CCNet
+                    Wikipedia-vs-crawl move, self-supervised here)
+    4. dedup      — exact fingerprint, then MinHash-LSH near-dup with
                     connected-component cluster resolution
-    4. decontam   — n-gram overlap vs an eval set + embedding-cosine
+    5. decontam   — n-gram overlap vs an eval set + embedding-cosine
                     semantic decontamination
-    5. score      — CCNet bigram-LM perplexity buckets + DSIR importance
+    6. score      — CCNet bigram-LM perplexity buckets + DSIR importance
                     weights against a target slice
-    6. select     — keep the head/middle buckets, cap per source domain
-    7. pack/shard — fixed-token-budget packing, deterministic shards
+    7. select     — keep the head/middle buckets, cap per source domain
+    8. pack/shard — fixed-token-budget packing, deterministic shards
+    9. report     — CMS heavy-hitter tokens + HLL distinct-token count
+                    over the final selection (the sketches a 100 TB run
+                    keeps instead of a distinct-key groupBy)
 
 Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -74,7 +80,33 @@ def curate(spark: SparkSession, sf_dir: str):
     docs = docs.join(gate.select("doc_id"), "doc_id", "left_semi")
     n_rules = docs.count()
 
-    # 3. exact dedup by normalization fingerprint (keep smallest id)
+    # 3. classifier gate: train the hashed n-gram linear model with a
+    # deterministic slice as the quality reference (on a real corpus:
+    # Wikipedia as positive, raw crawl as negative) and keep docs the
+    # model does NOT score far below the reference (logit floor well
+    # under 0 — the demo corpus is homogeneous, so this is a
+    # tail-trim, not a halving)
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        train_quality_classifier,
+    )
+
+    wdf, bias = train_quality_classifier(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        iters=4,
+        n_features=2048,
+    )
+    scores = classifier_logits(
+        docs, wdf, bias_micro=bias, n_features=2048,
+        threshold_micro=-500_000,
+    )
+    docs = docs.join(
+        scores.where("quality").select("doc_id"), "doc_id", "left_semi"
+    )
+    n_clf = docs.count()
+
+    # 4. exact dedup by normalization fingerprint (keep smallest id)
     keep = docs.groupBy(
         fingerprint(F.col("text")).alias("__fp")
     ).agg(F.min("doc_id").alias("doc_id"))
@@ -118,14 +150,34 @@ def curate(spark: SparkSession, sf_dir: str):
     )
     packed = pack_sequences(sized, "doc_id", "n_tokens", budget=256)
     shards = shard_corpus(docs.select("doc_id", "source"), "doc_id", 8)
+
+    # 9. sketch report over the final selection: the vocabulary stats a
+    # 100 TB run keeps (depth*width / m bounded) instead of a
+    # distinct-token groupBy
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        cms_heavy_hitters,
+        hll_build,
+        hll_estimate,
+    )
+
+    toks = docs.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    heavy = cms_heavy_hitters(
+        toks, "tok", width=1024, depth=4, threshold=50
+    ).count()
+    distinct_est = hll_estimate(hll_build(toks, "tok", m=1024), m=1024)
     return {
         "input_docs": n0,
         "after_rules": n_rules,
+        "after_classifier": n_clf,
         "after_dedup": n_dedup,
         "after_decontam": n_decon,
         "selected": n_sel,
         "packs": packed.select("pack_id").distinct().count(),
         "shards": shards.select("shard").distinct().count(),
+        "heavy_tokens_ge50": heavy,
+        "distinct_tokens_est": round(distinct_est),
     }
 
 

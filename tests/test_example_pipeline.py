@@ -26,6 +26,7 @@ def test_curation_pipeline_end_to_end(spark):
     assert (
         stats["input_docs"]
         >= stats["after_rules"]
+        >= stats["after_classifier"]
         >= stats["after_dedup"]
         >= stats["after_decontam"]
         >= stats["selected"]
@@ -33,3 +34,8 @@ def test_curation_pipeline_end_to_end(spark):
     )
     assert 0 < stats["packs"] <= stats["selected"]
     assert stats["shards"] == 8
+    # sketch report: the selection has SOME vocabulary, and the HLL
+    # estimate is a sane positive count (exactness is pinned in
+    # tests/test_sketch.py; this is the composition check)
+    assert stats["heavy_tokens_ge50"] >= 0
+    assert stats["distinct_tokens_est"] > 0
