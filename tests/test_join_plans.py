@@ -355,6 +355,44 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_classifier_weight_table_broadcasts(spark):
+    """classifier_logits' scale argument mirrors dsir's: the weight
+    table is n_features-bounded by the hashing trick and BROADCASTS
+    onto the exploded doc features — BroadcastHashJoin required, and
+    the corpus side must never SortMergeJoin against the weights."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.classifier import classifier_logits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = spark.range(2048).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * 7919) % 2_000_001 - 1_000_000).alias("w_micro"),
+    )
+    plan = _plan(classifier_logits(docs, weights, n_features=2048))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_cms_hll_single_shuffle(spark):
+    """Sketch builds are one explode + one map-side-combined groupBy:
+    exactly ONE Exchange in the plan (the cell/register aggregation),
+    nothing corpus-shaped after it."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import cms_build, hll_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    for sk in (
+        cms_build(toks, "tok", width=256, depth=4),
+        hll_build(toks, "tok", m=256),
+    ):
+        plan = _plan(sk)
+        assert plan.count("Exchange") == 1, plan[:3000]
+
+
 def test_cap_per_group_under_cap_groups_skip_window(spark):
     """cap_per_group's pre-pass claim: when EVERY group is under cap,
     the output equals the input (no rows ranked away) and the hot
