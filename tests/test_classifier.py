@@ -251,6 +251,54 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
         stream_quality_filter(sdf, big, max_weight_rows=2)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_train_and_score_match_replica(spark, seed):
+    """Random corpora (including empty/1-token/duplicate-gram docs and
+    non-ASCII words): train + score must equal the replica exactly for
+    every seed — the recurrence has no float-accumulation freedom."""
+    import random
+
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "γάμμα", "δέλτα", "x", "longerword",
+             "naïve", "word-with-dash", "12", "..."]
+
+    def corpus(n, base):
+        return [
+            (base + i,
+             " ".join(rng.choice(words) for _ in range(rng.randint(0, 9))))
+            for i in range(n)
+        ]
+
+    pos, neg = corpus(12, 0), corpus(12, 0)
+    pdf = spark.createDataFrame(pos, ["doc_id", "text"])
+    ndf = spark.createDataFrame(neg, ["doc_id", "text"])
+    wdf, bias = train_quality_classifier(
+        pdf, ndf, iters=3, lr=4.0, n_features=128
+    )
+    want_w, want_b = _train_replica(pos, neg, 3, 4.0, 128)
+    got = {r["b"]: r["w_micro"] for r in wdf.collect()}
+    assert got == want_w and bias == want_b
+
+    score = corpus(15, 100)
+    sdf = spark.createDataFrame(score, ["doc_id", "text"]).repartition(5)
+    out = {
+        r["doc_id"]: r["logit_micro"]
+        for r in classifier_logits(
+            sdf, wdf, bias_micro=bias, n_features=128
+        ).collect()
+    }
+    for i, t in score:
+        if not t.strip():
+            assert i not in out
+        else:
+            assert out[i] == _score_replica(t, want_w, want_b, 128)
+
+
 def test_blank_documents_drop_like_lm_score(spark):
     from fourstore_spark.operators.classifier import classifier_logits
 
