@@ -111,10 +111,16 @@ def load_acl_info(quads, max_rows: int = MAX_ACL_ROWS) -> AclInfo:
     forms (httpd.c:499 hashes the apikey with fs_hash_literal(key, 0))."""
     from pyspark.sql import functions as F
 
+    from fourstore_spark.model import KIND_LITERAL
+
     rows = (
         quads.where(
             (F.col("g") == FS_SYSTEM_CONFIG)
             & F.col("p").isin([FS_ACL_ADMIN, FS_ACL_ONLY_ACCESS_BY])
+            # apikeys hash as LITERALS in the reference (httpd.c:499
+            # fs_hash_literal), so a URI/bnode object in an ACL quad
+            # can never match any key — skip those rows outright
+            & (F.col("o_kind") == KIND_LITERAL)
         )
         .select("s", "p", "o_lex")
         .limit(max_rows + 1)
