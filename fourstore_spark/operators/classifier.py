@@ -71,7 +71,12 @@ def doc_features(
         "doc_id", (hash_bucket(F.col("gram")) % n_features).alias("b")
     )
     counts = g.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
-    totals = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # totals from the aggregated counts, not the raw gram stream: the
+    # second shuffle carries (doc, bucket) rows instead of every gram
+    # occurrence, and ReuseExchange shares the first aggregation
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams")
+    )
     return counts.join(totals, "doc_id")
 
 
