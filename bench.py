@@ -131,6 +131,13 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # a single small parquet file otherwise plans as ONE input
+        # split, pinning compute-heavy scans (q8's tokenizer ran 0.5 s
+        # on 1 of 32 cores — stage profile r11) to a single task while
+        # DuckDB parallelizes the same file across row groups; the
+        # standard knob, not a bench trick — any real deployment sets
+        # split sizing to its core count
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.eventLog.enabled", "true")
