@@ -581,6 +581,9 @@ def main():
         .appName("llm-trend")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
+        # single-file corpora otherwise plan as one input split (see
+        # bench.py — q8's tokenizer measured 1 of 32 cores busy)
+        .config("spark.sql.files.minPartitionNum", str(CPUS))
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
