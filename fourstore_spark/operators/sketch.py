@@ -167,7 +167,12 @@ def hll_build(df: DataFrame, key_col: str, *, m: int = 1024) -> DataFrame:
     h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
-    w = (h / m).cast("long")  # h // m: h >= 0 so truncation == floor
+    # exact integer h // m (h % m is the register index, so the
+    # remainder subtraction costs nothing extra) — double division
+    # would be correctly-rounded-but-float on a hash surface that must
+    # replay bit-for-bit in the oracle
+    w = (h - h % m) / m
+    w = w.cast("long")
     # bit_length(w) via base-2 string length (exact, engine-portable);
     # w = 0 -> all remaining bits zero -> rho = rem_bits + 1
     bl = F.length(F.conv(w.cast("string"), 10, 2))
