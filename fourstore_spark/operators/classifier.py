@@ -156,7 +156,7 @@ def train_quality_classifier(
     partitioning and shuffle order; tests replay the identical
     recurrence in numpy. One tokenization: the exploded feature table
     is checkpointed and reused by all ``iters`` passes. The gradient
-    table is n_features-bounded (<= {MAX_FEATURES}); the per-iteration
+    table is n_features-bounded (<= MAX_FEATURES); the per-iteration
     driver traffic is O(n_features), never O(corpus)."""
     if n_features > MAX_FEATURES:
         raise ValueError(
