@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     srv = sub.add_parser("serve")
     srv.add_argument("store", nargs="?")
     srv.add_argument("--port", type=int, default=8890)
+    # 4s-httpd -A (httpd.c:1913-1924): data-driven graph access control
+    # from acl#admin / acl#onlyAccessBy quads in system:config
+    srv.add_argument(
+        "-A", "--acl", action="store_true",
+        help="enable data-driven graph ACLs (4s-httpd -A): apikey "
+        "required on queries, admin key on writes, ACLs read from "
+        "the system:config graph",
+    )
 
     dmp = sub.add_parser("dump")
     dmp.add_argument("store")
@@ -475,7 +483,10 @@ def main(argv: list[str] | None = None) -> int:
             else UpdateEngine(spark)
         )
         print(f"serving on :{args.port}", file=sys.stderr)
-        SparqlHttpServer(spark, ue, port=args.port).serve()
+        SparqlHttpServer(
+            spark, ue, port=args.port,
+            graph_access_control=True if args.acl else None,
+        ).serve()
         return 0
 
     if args.cmd == "dump":
