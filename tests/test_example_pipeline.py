@@ -39,3 +39,26 @@ def test_curation_pipeline_end_to_end(spark):
     # tests/test_sketch.py; this is the composition check)
     assert stats["heavy_tokens_ge50"] >= 0
     assert stats["distinct_tokens_est"] > 0
+
+
+def test_retrieval_indexes_example(spark, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "build_retrieval_indexes",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "build_retrieval_indexes.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.build_and_query(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "idx")
+    )
+    assert stats["bm25_matches"] > 0
+    assert len(stats["top_text_ids"]) == 5
+    assert stats["ann_queries"] == 3
+    assert stats["ann_rows"] == 15  # 3 queries x k=5
