@@ -4755,8 +4755,59 @@ def _op_stream_quality_filter(spark, sf_dir):
     return stream_quality_filter(d, weights, n_features=4096)
 
 
+_BLOCK_PHRASES = ["merge", "slow scan", "table table table", "Batch WINDOW"]
+
+
+def _op_blocklist(spark, sf_dir):
+    """C4-style blocked-phrase gate (operators/cleaning.py
+    blocklist_flags): word-boundary exact matching of normalized
+    phrases of mixed lengths (1/2/3 words, one needing case folding)
+    against every document's token n-grams — zero shuffle, the whole
+    check lives in one scan projection."""
+    from fourstore_spark.operators.cleaning import blocklist_flags
+
+    return blocklist_flags(_docs(spark, sf_dir), _BLOCK_PHRASES)
+
+
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # blocklist: identical token n-gram algebra per phrase length
+    # (DISTINCT grams, short-doc fallback can never match a longer
+    # phrase), counts summed across lengths
+    r["blocklist_gate"] = (
+        _op_blocklist,
+        """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 1 THEN list_distinct(t)
+         ELSE []::VARCHAR[] END AS g1,
+    CASE WHEN len(t) >= 2 THEN list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> array_to_string(t[i:i+1], ' ')))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' ')))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE []::VARCHAR[] END AS g3
+  FROM base
+), m AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(g1, ['merge']))
+       + len(list_intersect(g2, ['batch window', 'slow scan']))
+       + len(list_intersect(g3, ['table table table'])) AS BIGINT)
+      AS n_blocked
+  FROM g
+)
+SELECT doc_id, n_blocked, n_blocked > 0 AS blocked FROM m
+""",
+    )
     # streaming classifier: same logit surface as quality_classifier
     # minus the threshold column (score-only mode)
     r["stream_quality_filter"] = (

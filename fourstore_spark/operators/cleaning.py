@@ -380,3 +380,68 @@ def contamination_report(
             F.coalesce("n_gram_hits", F.lit(0)).alias("n_gram_hits"),
         )
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    phrases: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_inline_phrases: int = 50_000,
+) -> DataFrame:
+    """The C4/RefinedWeb "bad words" gate: flag documents containing
+    ANY blocked word sequence (C4 §2.2 drops pages with a word on the
+    blocklist; RefinedWeb couples it with the URL blocklist —
+    scrubbing.url_host is that step's grouping key).
+
+    Matching is word-boundary exact on the module's normalized tokens
+    (lowercase, whitespace-split): a blocked phrase of n words matches
+    iff it appears as a token n-gram, so "class" never flags
+    "classify". Output: (id_col, n_blocked, blocked) for every row —
+    n_blocked counts DISTINCT blocked grams present; compose with
+    ``.where(~F.col("blocked"))`` for the cleaned corpus.
+
+    100 TB shape: phrases group by word count and inline as literal
+    arrays into ONE scan projection (arrays_overlap / array_intersect
+    are codegen'd JVM ops) — zero shuffle, zero join, fully
+    pushdown-compatible. The guard caps the inlined list (a plan with
+    megabytes of literals slows codegen); past it, explode the doc
+    grams and broadcast-semi-join the phrase table instead (the
+    ngram_decontaminate shape)."""
+    norm: dict[int, list[str]] = {}
+    for p in phrases:
+        toks = p.lower().split()
+        if toks:
+            norm.setdefault(len(toks), []).append(" ".join(toks))
+    total = sum(len(v) for v in norm.values())
+    if total > max_inline_phrases:
+        raise ValueError(
+            f"{total} phrases exceed max_inline_phrases="
+            f"{max_inline_phrases}: inline literals would bloat the "
+            "codegen'd plan — use the broadcast-join path "
+            "(ngram_decontaminate with the phrase list as the eval "
+            "side) for blocklists this large"
+        )
+    if not norm:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_blocked"),
+            F.lit(False).alias("blocked"),
+        )
+    counts = []
+    for n, plist in sorted(norm.items()):
+        lit = F.array(*[F.lit(x) for x in sorted(set(plist))])
+        counts.append(
+            F.size(
+                F.array_intersect(word_ngrams(F.col(text_col), n), lit)
+            ).cast("long")
+        )
+    n_blocked = counts[0]
+    for c in counts[1:]:
+        n_blocked = n_blocked + c
+    return df.select(
+        F.col(id_col),
+        n_blocked.alias("n_blocked"),
+        (n_blocked > 0).alias("blocked"),
+    )

@@ -416,3 +416,55 @@ def test_line_frequencies(spark):
         for r in line_frequencies(docs).collect()
     }
     assert got == {"a": (1, 2), "b": (2, 2)}
+
+
+def test_blocklist_flags_word_boundary_and_lengths(spark):
+    """C4-style blocked-phrase gate: word-boundary exact (no substring
+    false positives), mixed phrase lengths, DISTINCT-gram counting,
+    normalization (case/whitespace), short-doc safety, empty list."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.cleaning import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this classify step is classy"),     # substrings only
+            (2, "drop this CLASS now"),              # 1-gram, case-folded
+            (3, "a bad phrase here and bad phrase again"),  # dup counts once
+            (4, "bad phrase and class together"),    # two different hits
+            (5, "bad"),                              # shorter than phrase
+            (6, ""),                                 # empty doc
+            (7, "three word phrase inside text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocked"], r["blocked"])
+        for r in blocklist_flags(
+            docs, ["class", "Bad  Phrase", "three word phrase"]
+        ).collect()
+    }
+    assert got[1] == (0, False), "substring must not match"
+    assert got[2] == (1, True)
+    assert got[3] == (1, True), "distinct grams count once"
+    assert got[4] == (2, True)
+    assert got[5] == (0, False), "short doc cannot match a longer phrase"
+    assert got[6] == (0, False)
+    assert got[7] == (1, True)
+    assert len(got) == 7, "every row gets a flag row"
+
+    # empty / whitespace-only phrase lists flag nothing
+    none = blocklist_flags(docs, ["", "   "]).where("blocked").count()
+    assert none == 0
+
+    with _pytest.raises(ValueError, match="max_inline_phrases"):
+        blocklist_flags(
+            docs, [f"p{i}" for i in range(11)], max_inline_phrases=10
+        )
+
+    # zero-shuffle claim: the whole gate is one scan projection
+    plan = blocklist_flags(
+        docs, ["class", "bad phrase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
