@@ -4755,6 +4755,21 @@ def _op_stream_quality_filter(spark, sf_dir):
     return stream_quality_filter(d, weights, n_features=4096)
 
 
+def _op_kcenter(spark, sf_dir):
+    """Greedy k-center diversity selection (operators/similarity.py
+    kcenter_select, Gonzalez 1985): 4 maximally-dissimilar exemplars
+    from the embeddings table — seed = lowest id, then argmin of the
+    max cosine to the selected set, ties toward the lower id; the
+    integer micro-cosine at each pick is the value surface. The oracle
+    unrolls the same four picks as chained CTEs."""
+    from fourstore_spark.operators.similarity import kcenter_select
+
+    rows = kcenter_select(_emb(spark, sf_dir), 4)
+    return spark.createDataFrame(
+        rows, "vec_id long, sel_order int, max_cos_micro long"
+    )
+
+
 _BLOCK_PHRASES = ["merge", "slow scan", "table table table", "Batch WINDOW"]
 
 
@@ -4771,6 +4786,56 @@ def _op_blocklist(spark, sf_dir):
 
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # k-center: the same greedy recurrence unrolled — micro-rounded
+    # cosines, greatest-fold of the running max, argmin with id
+    # tie-break at each pick
+    r["kcenter_diverse"] = (
+        _op_kcenter,
+        """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT e.vec_id, e.v,
+         CAST(round(list_cosine_similarity(e.v, c0.v) * 1000000)
+              AS BIGINT) AS mc
+  FROM e, c0
+), c1 AS (
+  SELECT vec_id, v, mc FROM m1
+  WHERE vec_id != (SELECT vec_id FROM c0)
+  ORDER BY mc ASC, vec_id ASC LIMIT 1
+), m2 AS (
+  SELECT m1.vec_id, m1.v,
+         GREATEST(m1.mc,
+           CAST(round(list_cosine_similarity(m1.v, c1.v) * 1000000)
+                AS BIGINT)) AS mc
+  FROM m1, c1
+), c2 AS (
+  SELECT vec_id, v, mc FROM m2
+  WHERE vec_id NOT IN (SELECT vec_id FROM c0
+                       UNION ALL SELECT vec_id FROM c1)
+  ORDER BY mc ASC, vec_id ASC LIMIT 1
+), m3 AS (
+  SELECT m2.vec_id, m2.v,
+         GREATEST(m2.mc,
+           CAST(round(list_cosine_similarity(m2.v, c2.v) * 1000000)
+                AS BIGINT)) AS mc
+  FROM m2, c2
+), c3 AS (
+  SELECT vec_id, v, mc FROM m3
+  WHERE vec_id NOT IN (SELECT vec_id FROM c0
+                       UNION ALL SELECT vec_id FROM c1
+                       UNION ALL SELECT vec_id FROM c2)
+  ORDER BY mc ASC, vec_id ASC LIMIT 1
+)
+SELECT (SELECT vec_id FROM c0) AS vec_id,
+       CAST(0 AS INTEGER) AS sel_order,
+       CAST(-2000000 AS BIGINT) AS max_cos_micro
+UNION ALL SELECT vec_id, CAST(1 AS INTEGER), mc FROM c1
+UNION ALL SELECT vec_id, CAST(2 AS INTEGER), mc FROM c2
+UNION ALL SELECT vec_id, CAST(3 AS INTEGER), mc FROM c3
+""",
+    )
     # blocklist: identical token n-gram algebra per phrase length
     # (DISTINCT grams, short-doc fallback can never match a longer
     # phrase), counts summed across lengths

@@ -410,6 +410,77 @@ def ivf_assign(
     )
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_k: int = 1024,
+) -> list[tuple]:
+    """Greedy k-center (farthest-point-first) diversity selection over
+    an embedding column — the coreset/exemplar-picking step of
+    embedding-driven curation (pick k maximally-dissimilar documents
+    as cluster seeds, eval anchors, or annotation exemplars; Gonzalez
+    1985's 2-approximation).
+
+    Cosine flavor: the next pick is the vector with the SMALLEST
+    maximum cosine similarity to everything already selected (ties
+    break toward the lower id; the seed is the lowest id — fully
+    deterministic). Returns [(id, sel_order, max_cos_micro_at_pick)]
+    with the integer micro-quantized similarity at selection time
+    (order-invariant: per-candidate max over <= k selected vectors,
+    never a float accumulation).
+
+    100 TB shape: k passes, each one narrow argmin over the corpus
+    (ORDER BY + LIMIT 1 — Spark's TakeOrdered, no full sort) plus a
+    column update against ONE broadcast-literal vector; the running
+    max-cosine state rides in a localCheckpointed column so iteration
+    i never recomputes the i-1 earlier cosines. Cost is k corpus
+    scans — right for tens-to-hundreds of exemplars (``max_k``
+    guards), not for k ~ corpus size (use kmeans_fit there)."""
+    if k > max_k:
+        raise ValueError(
+            f"k={k} > max_k={max_k}: k-center costs one corpus pass "
+            "per pick — for large k use kmeans_fit and take cluster "
+            "representatives"
+        )
+    state = corpus.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__v")
+    )
+    first = state.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return []
+    NEG = -2_000_000  # below any cos_micro: "nothing selected yet"
+    sel = [(first[0]["vec_id"], 0, NEG)]
+    vec = [float(x) for x in first[0]["__v"]]
+    state = state.withColumn("__maxcos", F.lit(NEG).cast("long"))
+    for i in range(1, k):
+        cos_micro = F.round(
+            cosine(F.col("__v"), F.array(*[F.lit(x) for x in vec]))
+            * 1_000_000.0,
+            0,
+        ).cast("long")
+        state = state.withColumn(
+            "__maxcos",
+            F.greatest(F.col("__maxcos"), F.coalesce(cos_micro, F.lit(NEG))),
+        )
+        # truncate lineage: each iteration otherwise stacks another
+        # |dim|-literal cosine onto an ever-deeper plan
+        state = state.localCheckpoint()
+        nxt = (
+            state.where(~F.col("vec_id").isin([s[0] for s in sel]))
+            .orderBy(F.col("__maxcos").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # corpus exhausted before k picks
+        sel.append((nxt[0]["vec_id"], i, int(nxt[0]["__maxcos"])))
+        vec = [float(x) for x in nxt[0]["__v"]]
+    return sel
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 16,

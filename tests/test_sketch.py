@@ -183,3 +183,55 @@ def test_hll_estimate_accuracy_and_guards(spark):
         hll_build(df, "key", m=1000)
     with pytest.raises(ValueError, match="power of two"):
         hll_build(df, "key", m=64)
+
+
+# ------------------------------------------------------- k-center picks
+def test_kcenter_select_matches_numpy_replica(spark):
+    """Greedy farthest-point (smallest max-cosine) selection: the pick
+    sequence and the integer similarity at each pick must equal a
+    numpy replica exactly — per-candidate max over the selected set is
+    order-invariant, so partitioning cannot change a pick."""
+    import numpy as np
+
+    from fourstore_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+
+    got = kcenter_select(df, 5)
+
+    def cos_micro(a, b):
+        import math
+
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return int(math.copysign(math.floor(abs(c * 1e6) + 0.5), c))
+
+    NEG = -2_000_000
+    sel = [(0, 0, NEG)]
+    maxcos = {i: NEG for i in range(60)}
+    last = 0
+    for order in range(1, 5):
+        for i in range(60):
+            maxcos[i] = max(maxcos[i], cos_micro(X[i], X[last]))
+        cand = sorted(
+            (maxcos[i], i)
+            for i in range(60)
+            if i not in {s[0] for s in sel}
+        )[0]
+        sel.append((cand[1], order, cand[0]))
+        last = cand[1]
+    assert got == sel
+
+    # degenerate corpora: fewer rows than k, and empty
+    small = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    assert len(kcenter_select(small, 5)) == 2
+    assert kcenter_select(small.limit(0), 3) == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_k"):
+        kcenter_select(df, 5, max_k=4)
