@@ -445,6 +445,8 @@ def kcenter_select(
             "per pick — for large k use kmeans_fit and take cluster "
             "representatives"
         )
+    if k <= 0:
+        return []
     state = corpus.select(
         F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("__v")
     )
