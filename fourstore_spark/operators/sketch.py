@@ -69,8 +69,10 @@ def cms_build(
             "(estimates degrade gracefully) or shard and cms_merge"
         )
     k = F.col(key_col)
+    # NULL weight = zero contribution (made explicit so a cell fed only
+    # by NULL-weight rows holds 0, not a NULL counter)
     w = (
-        F.col(weight_col).cast("long")
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
         if weight_col
         else F.lit(1).cast("long")
     )
