@@ -4784,8 +4784,38 @@ def _op_blocklist(spark, sf_dir):
     return blocklist_flags(_docs(spark, sf_dir), _BLOCK_PHRASES)
 
 
+def _op_kmv_sample(spark, sf_dir):
+    """KMV/bottom-k sketch (operators/sketch.py, Bar-Yossef 2002) over
+    the corpus token stream: the 64 distinct tokens with the smallest
+    48-bit md5-prefix hashes — simultaneously a mergeable
+    distinct-count estimator and a deterministic uniform sample of the
+    distinct-token set. The sketch is literally SELECT DISTINCT ORDER
+    BY hash LIMIT k, so the oracle replays it exactly."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import kmv_build
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    return kmv_build(toks, "tok", k=64)
+
+
 def _round11_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
+    # KMV: identical 48-bit md5-prefix hash, distinct, bottom-64
+    r["kmv_token_sample"] = (
+        _op_kmv_sample,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+stream AS (SELECT unnest(t) AS tok FROM toks),
+d AS (
+  SELECT DISTINCT
+    CAST(('0x' || substring(md5(tok), 1, 12))::UBIGINT AS BIGINT) AS h,
+    tok AS key
+  FROM stream
+)
+SELECT h, key FROM d ORDER BY h, key LIMIT 64
+""",
+    )
     # k-center: the same greedy recurrence unrolled — micro-rounded
     # cosines, greatest-fold of the running max, argmin with id
     # tie-break at each pick

@@ -222,6 +222,66 @@ def hll_estimate(registers: DataFrame, *, m: int = 1024) -> float:
     return e
 
 
+# ---------------------------------------------------------- KMV/bottom-k
+# Third member of the sketch family (Bar-Yossef 2002 "k minimum
+# values"): keep the k smallest hash values ever seen. Unlike HLL it
+# doubles as a UNIFORM DISTINCT SAMPLE of the keys (the bottom-k keys
+# ARE a deterministic sample — useful for profiling a join key's value
+# distribution without a distinct-groupBy), and the sketch is exactly
+# engine-replayable: it is literally SELECT DISTINCT ORDER BY hash
+# LIMIT k.
+
+_KMV_SPACE = float(1 << 48)
+
+
+def _kmv_hash(key: Column) -> Column:
+    """48-bit md5-prefix hash (12 hex chars): exact in a long on any
+    engine, dense enough that collisions don't bias the estimator
+    below ~10^7 distinct keys per sketch."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def kmv_build(df: DataFrame, key_col: str, *, k: int = 1024) -> DataFrame:
+    """Bottom-k sketch: (h, key) for the k distinct keys with the
+    smallest hashes — k rows, mergeable, and a deterministic uniform
+    sample of the DISTINCT key set (hash order is independent of
+    frequency, so heavy keys are not over-represented — the property
+    that makes it a profiling sample). One distinct + TakeOrdered: the
+    exchange carries distinct (h, key) pairs and the limit never sorts
+    the full set."""
+    kc = F.col(key_col)
+    return (
+        df.where(kc.isNotNull())
+        .select(_kmv_hash(kc).alias("h"), kc.cast("string").alias("key"))
+        .distinct()
+        .orderBy("h", "key")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Bottom-k of the union of bottom-k's — equals the one-pass sketch
+    of the concatenated streams (min is associative), the same shard
+    linearity as cms_merge/hll_merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h", "key").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 1024) -> float:
+    """Distinct-count estimate: with fewer than k values the sketch IS
+    the distinct set (exact count); otherwise the classic unbiased
+    (k - 1) / normalized k-th minimum. Collects <= k rows."""
+    rows = sketch.select("h").collect()
+    if len(rows) < k:
+        return float(len(rows))
+    hk = max(r["h"] for r in rows)
+    return (k - 1) / ((hk + 1) / _KMV_SPACE)
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,

@@ -235,3 +235,45 @@ def test_kcenter_select_matches_numpy_replica(spark):
 
     with _pytest.raises(ValueError, match="max_k"):
         kcenter_select(df, 5, max_k=4)
+
+
+# ----------------------------------------------------------- KMV/bottom-k
+def test_kmv_matches_replica_merges_and_estimates(spark):
+    from fourstore_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    keys = [f"kv{i}" for i in range(5000)] + [f"kv{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(x, i) for i, x in enumerate(keys)], "key string, i long"
+    ).repartition(9)
+
+    def replica(ks, k):
+        hs = sorted(
+            {
+                (int(hashlib.md5(x.encode()).hexdigest()[:12], 16), x)
+                for x in ks
+            }
+        )
+        return hs[:k]
+
+    got = [(r["h"], r["key"]) for r in kmv_build(df, "key", k=64).collect()]
+    assert got == replica(keys, 64)
+
+    merged = kmv_merge(
+        kmv_build(df.where("i % 2 = 0"), "key", k=64),
+        kmv_build(df.where("i % 2 = 1"), "key", k=64),
+        k=64,
+    )
+    assert [(r["h"], r["key"]) for r in merged.collect()] == got
+
+    # saturated sketch: unbiased estimate within ~2/sqrt(k)
+    est = kmv_estimate(kmv_build(df, "key", k=256), k=256)
+    assert abs(est - 5000) / 5000 < 0.25
+    # under-full sketch: exact distinct count
+    tiny = spark.createDataFrame(
+        [(f"t{i % 7}",) for i in range(100)], "key string"
+    )
+    assert kmv_estimate(kmv_build(tiny, "key", k=64), k=64) == 7.0
