@@ -41,13 +41,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _grams_expr, hash_bucket
+from .sampling import _MOD, _grams_expr, hash_bucket
 
 MICRO = 1_000_000.0
 
 # gradient/weight tables are n_features-bounded and collected to the
-# driver each iteration — guard like every driver materialization
-MAX_FEATURES = 1 << 22
+# driver each iteration — guard like every driver materialization.
+# Capped at hash_bucket's modulus (the same ceiling cms_build enforces
+# on width): grams hash through a 1e6 space before the % n_features
+# fold, so any bucket >= _MOD would be permanently unreachable and
+# every extra "feature" past it pure collision.
+MAX_FEATURES = _MOD
 
 
 def doc_features(
@@ -61,6 +65,14 @@ def doc_features(
     hash_bucket(gram) % n_features. Blank documents drop (no grams —
     nothing to score, same rule as lm_score)."""
     from .lm import lm_tokens
+
+    if n_features > _MOD:
+        raise ValueError(
+            f"n_features={n_features} > hash modulus {_MOD}: buckets "
+            ">= the modulus are unreachable through hash_bucket, so a "
+            "larger space only pretends to cut collisions — use "
+            f"n_features <= {_MOD}"
+        )
 
     toks = df.select(
         F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
@@ -151,6 +163,15 @@ def train_quality_classifier(
         c_if   = round(r_i * cnt_if / n_i)           (integer contrib)
         g_f    = sum_i c_if                          (EXACT integer sum)
         w[f]  -= round(lr * g_f / n_docs)            (driver, integer)
+        bias  -= round(lr * sum_i r_i / n_docs)      (driver, integer)
+
+    Note the bias gradient sums the RAW residual r_i without the
+    1/n_i mean-pooling factor the weight gradients carry (even though
+    z divides bias by n_i too) — an intentional asymmetry: the bias
+    sees every document at weight 1 regardless of length, i.e. it
+    trains at an effectively larger rate. This recurrence, asymmetry
+    included, IS the documented contract the numpy replica in
+    tests/test_classifier.py replays iteration for iteration.
 
     The quantize-before-sum rule makes every iteration independent of
     partitioning and shuffle order; tests replay the identical
@@ -160,11 +181,12 @@ def train_quality_classifier(
     driver traffic is O(n_features), never O(corpus)."""
     if n_features > MAX_FEATURES:
         raise ValueError(
-            f"n_features={n_features} > {MAX_FEATURES}: the weight and "
-            "gradient tables are collected driver-side each iteration — "
-            "use a coarser hash space (collisions are the hashing "
-            "trick's accepted trade-off, fastText defaults to 2M bigram "
-            "buckets)"
+            f"n_features={n_features} > {MAX_FEATURES}: buckets past "
+            "hash_bucket's modulus are unreachable (grams fold through "
+            "a 1e6 hash space first), and the weight/gradient tables "
+            "are collected driver-side each iteration — use a coarser "
+            "hash space (collisions are the hashing trick's accepted "
+            "trade-off)"
         )
     spark = positive.sparkSession
     # prefix-synthesized ids: the two corpora may legitimately share
@@ -219,6 +241,11 @@ def train_quality_classifier(
                 .cast("long")
                 .alias("r_micro"),
             )
+            # doc-count-bounded rows, consumed by BOTH the gradient
+            # groupBy and the bias aggregate below — checkpoint so the
+            # feats-join-weights groupBy runs once per iteration, not
+            # twice (the lm_score discipline)
+            .localCheckpoint()
         )
         grad = (
             feats.join(resid.select("doc_id", "r_micro"), "doc_id")

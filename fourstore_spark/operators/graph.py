@@ -97,11 +97,19 @@ def pagerank(
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     ranks = ranks.localCheckpoint()
-    e = edges.select("src", "dst")
+    # deg is loop-invariant: pre-join it onto the edge list ONCE,
+    # pre-partitioned by src and checkpointed, so each iteration pays
+    # one join (ranks, which changes) + one groupBy instead of
+    # re-shuffling edges against the degree table every pass
+    e_deg = (
+        edges.select("src", "dst")
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .repartition("src")
+        .localCheckpoint()
+    )
     for step in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div deg").alias("c"),

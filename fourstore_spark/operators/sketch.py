@@ -56,6 +56,10 @@ def cms_build(
     are not counted (a NULL key is the absence of a key, matching
     groupBy semantics where NULL forms its own group only if present —
     callers who want NULL tracked should coalesce to a sentinel).
+    Weights must be NON-NEGATIVE — the one-sided CMS bound ("never
+    below the true count") is a min over cells that only hold
+    overcounts, which a negative weight voids; the build fails the job
+    on the first negative weight it sees.
 
     width must divide the hash space evenly enough: it is capped at
     hash_bucket's 1e6 modulus; eps = e/width, so width 2048 gives
@@ -70,9 +74,16 @@ def cms_build(
         )
     k = F.col(key_col)
     # NULL weight = zero contribution (made explicit so a cell fed only
-    # by NULL-weight rows holds 0, not a NULL counter)
+    # by NULL-weight rows holds 0, not a NULL counter); negative
+    # weights fail the job — they'd silently void the one-sided bound
     w = (
-        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        F.expr(
+            f"CASE WHEN CAST({weight_col} AS LONG) < 0 THEN "
+            f"CAST(raise_error('cms_build: negative weight in "
+            f"{weight_col} voids the one-sided CMS bound "
+            f"(min over overcounting cells)') AS LONG) "
+            f"ELSE coalesce(CAST({weight_col} AS LONG), 0) END"
+        )
         if weight_col
         else F.lit(1).cast("long")
     )
@@ -203,10 +214,15 @@ def hll_estimate(registers: DataFrame, *, m: int = 1024) -> float:
     """Distinct-count estimate from a register table (collects <= m
     rows — bounded by construction). Standard HLL readout: harmonic
     mean with alpha_m bias constant, linear-counting correction for
-    the small range. Each 2^-M term is an exact dyadic rational, so
-    the register sum is order-independent; the readout is
-    deterministic for a given register table. Typical error is
-    ~1.04/sqrt(m) (about 3% at m=1024)."""
+    the small range, and the large-range hash-collision correction
+    -2^32 * ln(1 - E/2^32) once E passes 2^32/30 (~1.4e8) — without it
+    a 32-bit hash saturates and the raw estimate biases low. Each 2^-M
+    term is an exact dyadic rational, so the register sum is
+    order-independent; the readout is deterministic for a given
+    register table. Typical error is ~1.04/sqrt(m) (about 3% at
+    m=1024)."""
+    import math
+
     rows = registers.collect()
     if len(rows) > m:
         raise ValueError(f"register table has {len(rows)} rows > m={m}")
@@ -216,9 +232,10 @@ def hll_estimate(registers: DataFrame, *, m: int = 1024) -> float:
     e = alpha * m * m / s
     zeros = m - len(seen)
     if e <= 2.5 * m and zeros:
-        import math
-
         return m * math.log(m / zeros)
+    two32 = float(1 << _HLL_HASH_BITS)
+    if e > two32 / 30.0:
+        return -two32 * math.log(1.0 - e / two32)
     return e
 
 
@@ -264,7 +281,15 @@ def kmv_build(df: DataFrame, key_col: str, *, k: int = 1024) -> DataFrame:
 def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
     """Bottom-k of the union of bottom-k's — equals the one-pass sketch
     of the concatenated streams (min is associative), the same shard
-    linearity as cms_merge/hll_merge."""
+    linearity as cms_merge/hll_merge.
+
+    ``k`` must NOT exceed any input's build k: bottom-512 of a
+    bottom-1024 sketch is a valid k=512 sketch (merging DOWN is
+    lossless), but merging k=512 builds under k=1024 yields a table
+    whose 1024th minimum is not the stream's — the estimator would
+    silently bias low. A saturated smaller-k input is indistinguishable
+    from an exact small key set by row count alone, which is why the
+    build k travels in the ``kmv_save`` sidecar."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -274,12 +299,48 @@ def kmv_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
 def kmv_estimate(sketch: DataFrame, *, k: int = 1024) -> float:
     """Distinct-count estimate: with fewer than k values the sketch IS
     the distinct set (exact count); otherwise the classic unbiased
-    (k - 1) / normalized k-th minimum. Collects <= k rows."""
+    (k - 1) / normalized k-th minimum. Collects <= k rows.
+
+    ``k`` must be the BUILD k (sidecar-pinned by ``kmv_save``): a
+    sketch carrying more rows than k was built with a larger k — its
+    max hash is not the k-th minimum — and the call raises; a sketch
+    built with a SMALLER k that saturated would be silently read as
+    exact, which is the mismatch the sidecar exists to prevent."""
     rows = sketch.select("h").collect()
+    if len(rows) > k:
+        raise ValueError(
+            f"sketch has {len(rows)} rows > k={k}: it was built/merged "
+            "with a larger k — pass the build k (see kmv_save/kmv_load, "
+            "which pin it in a sidecar)"
+        )
     if len(rows) < k:
         return float(len(rows))
     hk = max(r["h"] for r in rows)
     return (k - 1) / ((hk + 1) / _KMV_SPACE)
+
+
+def kmv_save(sketch: DataFrame, path: str, *, k: int = 1024) -> None:
+    """Persist a sketch with its build k pinned in a JSON sidecar (the
+    save_classifier/save_lm shape): estimating or merging under a
+    different k than the build silently biases the estimator, and the
+    row count alone cannot reveal the build k once a sketch saturates."""
+    import json
+    import os
+
+    sketch.write.mode("overwrite").parquet(os.path.join(path, "sketch"))
+    with open(os.path.join(path, "_kmv.json"), "w", encoding="utf-8") as fh:
+        json.dump({"k": int(k), "hash": "md5-prefix-48bit"}, fh)
+
+
+def kmv_load(spark, path: str) -> tuple[DataFrame, int]:
+    """-> (sketch DataFrame, build k). Feed the returned k to
+    kmv_estimate/kmv_merge — never a default."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_kmv.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "sketch")), int(meta["k"])
 
 
 def cms_heavy_hitters(

@@ -559,8 +559,16 @@ def stream_quality_filter(
 
     from .operators.lm import lm_tokens
 
-    n_rows = weights.limit(max_weight_rows + 1).count()
-    if n_rows > max_weight_rows:
+    if n_features > 1_000_000:
+        raise ValueError(
+            f"n_features={n_features} > the 1e6 hash_bucket modulus: "
+            "buckets past it are unreachable (same guard as "
+            "operators.classifier.doc_features)"
+        )
+    # one materialization serves both the guard and the closure dict
+    # (the lm_score discipline: never evaluate the same plan twice)
+    w_rows = weights.limit(max_weight_rows + 1).collect()
+    if len(w_rows) > max_weight_rows:
         raise ValueError(
             f"weight table exceeds {max_weight_rows} rows — a hashed-"
             f"feature classifier is n_features-bounded by construction; "
@@ -568,7 +576,7 @@ def stream_quality_filter(
             "the driver (was the table built with a different "
             "n_features?)"
         )
-    w = {r["b"]: r["w_micro"] for r in weights.collect()}
+    w = {r["b"]: r["w_micro"] for r in w_rows}
     bias = int(bias_micro)
 
     def _round_half_up(x: float) -> int:

@@ -277,3 +277,97 @@ def test_kmv_matches_replica_merges_and_estimates(spark):
         [(f"t{i % 7}",) for i in range(100)], "key string"
     )
     assert kmv_estimate(kmv_build(tiny, "key", k=64), k=64) == 7.0
+
+
+def test_kmv_build_k_pinning_and_sidecar(spark, tmp_path):
+    """r12: the build k is part of the sketch's meaning — estimating
+    under a smaller k raises (the max hash would not be the k-th
+    minimum), and save/load pins k in a sidecar so saturated sketches
+    can't be silently misread as exact under a larger k."""
+    from fourstore_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_load,
+        kmv_merge,
+        kmv_save,
+    )
+
+    df = spark.createDataFrame(
+        [(f"pin{i}",) for i in range(2000)], "key string"
+    )
+    sk = kmv_build(df, "key", k=128)
+    with pytest.raises(ValueError, match="larger k"):
+        kmv_estimate(sk, k=64)
+
+    path = str(tmp_path / "kmv")
+    kmv_save(sk, path, k=128)
+    loaded, k = kmv_load(spark, path)
+    assert k == 128
+    est = kmv_estimate(loaded, k=k)
+    assert abs(est - 2000) / 2000 < 0.3
+    # merging DOWN is lossless: bottom-64 of a k=128 sketch equals the
+    # direct k=64 build
+    down = kmv_merge(loaded, k=64)
+    direct = kmv_build(df, "key", k=64)
+    assert [tuple(r) for r in down.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+def test_cms_negative_weight_fails_job(spark):
+    """r12 ADVICE: negative weights void the one-sided bound — the
+    build must fail, not undercount."""
+    from fourstore_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", -1)], "key string, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        cms_build(df, "key", weight_col="w").collect()
+    # non-negative + NULL weights still fine
+    ok = spark.createDataFrame(
+        [("a", 3), ("b", None)], "key string, w long"
+    )
+    total = sum(
+        r["cnt"] for r in cms_build(ok, "key", weight_col="w").collect()
+    )
+    assert total == 3 * 5  # depth rows, weight 3 + explicit 0
+
+
+def test_hll_large_range_correction(spark):
+    """r12 ADVICE: past ~2^32/30 the 32-bit hash saturates — the
+    readout must apply -2^32*ln(1 - E/2^32), which is strictly above
+    the raw estimate and finite while registers aren't all maxed."""
+    import math
+
+    from fourstore_spark.operators.sketch import hll_estimate
+
+    m = 1024
+    regs = spark.createDataFrame(
+        [(j, 20) for j in range(m)], "j long, M int"
+    )
+    est = hll_estimate(regs, m=m)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / (m * 2.0**-20)
+    assert raw > (1 << 32) / 30.0  # the correction regime is engaged
+    assert math.isfinite(est)
+    assert est == pytest.approx(-(2.0**32) * math.log(1.0 - raw / 2.0**32))
+    assert est > raw
+
+
+def test_classifier_n_features_hash_modulus_guard(spark):
+    """r12 ADVICE: buckets past hash_bucket's 1e6 modulus are
+    unreachable — doc_features/train/stream filter all refuse."""
+    from fourstore_spark.operators.classifier import (
+        MAX_FEATURES,
+        doc_features,
+    )
+    from fourstore_spark.streaming import stream_quality_filter
+
+    assert MAX_FEATURES == 1_000_000
+    df = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="modulus"):
+        doc_features(df, n_features=2_000_000)
+    w = spark.createDataFrame([(0, 0)], "b long, w_micro long")
+    with pytest.raises(ValueError, match="modulus"):
+        stream_quality_filter(df, w, n_features=2_000_000)
