@@ -11,6 +11,9 @@ for RAG-style retrieval over a curated corpus.
        stored cell labels (the assignment was paid at write time).
     3. Incremental append   — new documents/vectors land O(delta)
        (append_bm25_index / append_ivf_index); results equal a rebuild.
+    4. Compaction           — appends grow small files; compact_bm25_index
+       / compact_ivf_index rewrite one file set per bucket/cell with
+       results pinned identical (the real-ops maintenance step).
 
 Run:  python examples/build_retrieval_indexes.py [sf_dir] [out_dir]
       (defaults /root/testdata/sf0.001, /tmp/retrieval_demo)
@@ -37,10 +40,12 @@ def build_and_query(spark: SparkSession, sf_dir: str, out: str) -> dict:
     from fourstore_spark.operators.lm import (
         append_bm25_index,
         bm25_query,
+        compact_bm25_index,
         write_bm25_index,
     )
     from fourstore_spark.operators.similarity import (
         append_ivf_index,
+        compact_ivf_index,
         ivf_probe_indexed,
         train_centroids,
         write_ivf_index,
@@ -65,12 +70,28 @@ def build_and_query(spark: SparkSession, sf_dir: str, out: str) -> dict:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     neighbors = ivf_probe_indexed(spark, ivf_path, queries, k=5, nprobe=3)
-
-    return {
+    pre = {
         "bm25_matches": hits.count(),
         "top_text_ids": [r["doc_id"] for r in top_text.collect()],
-        "ann_rows": neighbors.count(),
+        "ann_rows": sorted(map(tuple, neighbors.collect())),
         "ann_queries": neighbors.select("query_id").distinct().count(),
+    }
+
+    # 3. maintenance: compact the append-grown layouts; lookups must be
+    # value-identical afterwards (the equality the tests pin)
+    compact_bm25_index(spark, bm25_path)
+    compact_ivf_index(spark, ivf_path)
+    hits2 = bm25_query(spark, bm25_path, ["table", "spark", "merge"])
+    n2 = ivf_probe_indexed(spark, ivf_path, queries, k=5, nprobe=3)
+    assert hits2.count() == pre["bm25_matches"]
+    assert sorted(map(tuple, n2.collect())) == pre["ann_rows"]
+
+    return {
+        "bm25_matches": pre["bm25_matches"],
+        "top_text_ids": pre["top_text_ids"],
+        "ann_rows": len(pre["ann_rows"]),
+        "ann_queries": pre["ann_queries"],
+        "compacted_ok": True,
     }
 
 

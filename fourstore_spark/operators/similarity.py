@@ -730,3 +730,37 @@ def append_ivf_index(
         .partitionBy("ivf_cell")
         .parquet(path)
     )
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Small-files maintenance for an append-heavy IVF index (the
+    compact_bm25_index discipline applied to the cell layout): every
+    append adds one parquet file per touched cell directory, so after
+    many appends a probe opens many small files per pruned cell.
+    Compaction rewrites the corpus back to one file set per cell —
+    same rows, same cell labels, same sidecar centroids; probe results
+    are identical before and after (equality-tested).
+
+    The swap is local-filesystem rename (write to ``<path>.compact``,
+    carry the centroid sidecar over, rename the old dir away, rename
+    the new one in, delete the old) — on an object store use a
+    manifest/pointer swap instead. Not concurrency-safe: quiesce
+    writers first."""
+    import os
+    import shutil
+
+    tmp, old = path + ".compact", path + ".old"
+    (
+        spark.read.parquet(path)
+        .repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(tmp)
+    )
+    shutil.copy(
+        os.path.join(path, "_ivf_centroids.json"),
+        os.path.join(tmp, "_ivf_centroids.json"),
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

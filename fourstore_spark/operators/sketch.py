@@ -172,11 +172,25 @@ def hll_build(df: DataFrame, key_col: str, *, m: int = 1024) -> DataFrame:
     m must be a power of two in [128, 65536]: the standard bias
     constant below 128 differs, and past 2^16 the 32-bit hash's
     remaining bits get too short."""
+    k = F.col(key_col)
+    j, rho = hll_register_exprs(k, m)
+    return (
+        df.where(k.isNotNull())
+        .select(j.alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_register_exprs(k: Column, m: int) -> tuple[Column, Column]:
+    """The per-row HLL register expressions (j, rho) for a key column —
+    shared by the global ``hll_build`` and per-group consumers like
+    ``reports.corpus_report(approx=True)``. Pure integer/string ops on
+    the md5 prefix, so any md5-capable engine replays them exactly."""
     if m < 128 or m > 65536 or m & (m - 1):
         raise ValueError(f"m={m}: need a power of two in [128, 65536]")
     p = m.bit_length() - 1
     rem_bits = _HLL_HASH_BITS - p
-    k = F.col(key_col)
     h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
@@ -192,12 +206,7 @@ def hll_build(df: DataFrame, key_col: str, *, m: int = 1024) -> DataFrame:
     rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
         F.lit(rem_bits) - bl + 1
     )
-    return (
-        df.where(k.isNotNull())
-        .select((h % m).alias("j"), rho.cast("int").alias("rho"))
-        .groupBy("j")
-        .agg(F.max("rho").alias("M"))
-    )
+    return (h % m), rho.cast("int")
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:

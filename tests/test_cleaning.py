@@ -210,6 +210,45 @@ def test_corpus_report_shape_and_dup_frac(spark):
     assert fr["n_docs"] == 1 and fr["dup_frac"] == 0.0
 
 
+def test_corpus_report_approx_hll(spark):
+    """r12: approx=True swaps the corpus-sized exact-distinct state for
+    per-bucket HLL registers. Volume/quality columns must be IDENTICAL
+    to the exact path (they stay exact sums); n_distinct lands within
+    the documented ~1.04/sqrt(m) HLL error band and never exceeds
+    n_docs (clamped so dup_frac stays in [0, 1])."""
+    from fourstore_spark.operators.reports import corpus_report
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    exact = {
+        (r["source"], r["lang_guess"]): r
+        for r in corpus_report(docs).collect()
+    }
+    m = 1024
+    approx = {
+        (r["source"], r["lang_guess"]): r
+        for r in corpus_report(docs, approx=True, m=m).collect()
+    }
+    assert set(exact) == set(approx)
+    for key, e in exact.items():
+        a = approx[key]
+        assert a["n_docs"] == e["n_docs"]
+        assert a["total_tokens"] == e["total_tokens"]
+        assert a["avg_quality"] == e["avg_quality"]
+        assert a["n_distinct"] <= a["n_docs"]
+        assert 0.0 <= a["dup_frac"] <= 1.0
+        # 5 sigma of the documented standard error (+1 for tiny buckets
+        # where rounding dominates)
+        tol = 5 * 1.04 / (m**0.5) * e["n_distinct"] + 1
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= tol, key
+
+    # exact path result shape is unchanged by the new parameter
+    assert corpus_report(docs).columns == corpus_report(
+        docs, approx=True
+    ).columns
+
+
 def test_hash_sampling_deterministic_and_partitioned(spark):
     from fourstore_spark.operators.sampling import (
         sample_by_hash,

@@ -266,3 +266,49 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
             spark, inc_p, queries, k=5, nprobe=nprobe
         ).select("query_id", "vec_id", "rank").collect()))
         assert got == want, f"nprobe={nprobe}"
+
+
+def test_ivf_index_compaction_preserves_probes(spark, tmp_path):
+    """r12: compact_ivf_index rewrites an append-grown index to one
+    file set per cell — probe results identical, parquet file count
+    strictly lower, sidecar centroids carried over."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_probe_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=4)
+    path = str(tmp_path / "grown")
+    write_ivf_index(emb.where("vec_id % 4 = 0"), cents, path)
+    for r in (1, 2, 3):
+        append_ivf_index(emb.where(f"vec_id % 4 = {r}"), path)
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(map(tuple, ivf_probe_indexed(
+        spark, path, queries, k=5, nprobe=4
+    ).select("query_id", "vec_id", "rank").collect()))
+    before = len(glob.glob(f"{path}/ivf_cell=*/*.parquet"))
+    with open(f"{path}/_ivf_centroids.json", encoding="utf-8") as fh:
+        sidecar_before = json.load(fh)
+
+    compact_ivf_index(spark, path)
+
+    after = len(glob.glob(f"{path}/ivf_cell=*/*.parquet"))
+    assert after < before
+    with open(f"{path}/_ivf_centroids.json", encoding="utf-8") as fh:
+        assert json.load(fh) == sidecar_before
+    got = sorted(map(tuple, ivf_probe_indexed(
+        spark, path, queries, k=5, nprobe=4
+    ).select("query_id", "vec_id", "rank").collect()))
+    assert got == want
