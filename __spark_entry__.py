@@ -2884,9 +2884,14 @@ _HEAD = [
                                 #   driver rounds)
     "a1_count_having",          # A1+A8
     "a2_sum_avg",               # A2+A3
-    "bm25_search",              # LLM: BM25 ranked retrieval (r9)
-                                #   (a4_min_max: local gate, term-order
-                                #   min/max also fuzzed in pytest)
+    "quality_classifier",       # LLM: fastText-style hashed classifier
+                                #   (r11; promoted r12 over bm25_search —
+                                #   the integer BM25 scoring surface stays
+                                #   window-certified via bm25_indexed_
+                                #   search, which replays the same scoring
+                                #   math through the written postings
+                                #   index; full-scan bm25_search stays in
+                                #   the local gate after 3 green rounds)
     "url_canonicalize",         # LLM: URL canonicalization + host key
                                 #   (r10; promoted r11 over
                                 #   a5_a6_a9_aggregates — SAMPLE/
@@ -2908,12 +2913,26 @@ _HEAD = [
     "service_federated",        # SPARQL 1.1 SERVICE (live endpoint)
     "subselect_join",           # Q1 subselect
     "exists_not_exists",        # EXISTS/NOT EXISTS
-    "f_strings",                # F-str1/str2/regex/enc/replace/log
+    "cms_token_counts",         # LLM: count-min sketch (r11; promoted
+                                #   r12 over f_strings — STRLEN/SUBSTR/
+                                #   UCASE/CONCAT/STRSTARTS/REGEX/REPLACE/
+                                #   ENCODE_FOR_URI stay in the local gate
+                                #   + pytest after 11 green rounds; string
+                                #   machinery still runs inside
+                                #   url_canonicalize's window row and the
+                                #   fulltext rows' tokenize/stem paths)
     "f_numeric_cast",           # F-arith/num/cast (doubles, DEC(38,6) grid)
     "remove_duplicate_spans",   # LLM: Lee-2022 span removal (r9)
                                 #   (f_decimal_exact: local gate, pinned
                                 #   by tests/test_contract_types.py)
-    "f_terms",                  # F-extract/strdt/same/cmp/ispred/langm
+    "hll_distinct_tokens",      # LLM: HyperLogLog registers (r11;
+                                #   promoted r12 over f_terms — STR/LANG/
+                                #   DATATYPE/sameTerm/isIRI/langMatches
+                                #   stay in the local gate + pytest after
+                                #   11 green rounds; term comparison/
+                                #   promotion still runs inside
+                                #   p_filter_pushdown and f_numeric_cast's
+                                #   window rows)
     "semantic_decontaminate",   # LLM: embedding-space decontamination
                                 #   (r10; promoted r11 over f_cond —
                                 #   BOUND/IF/COALESCE stay in the local
@@ -2957,7 +2976,14 @@ _HEAD = [
                                 #   rotated in r10 over sim_ivf_exact —
                                 #   same search through the on-disk
                                 #   partition-pruned layout)
-    "dedup_embedding_exact",    # LLM: embedding-cosine near-dup (oracle)
+    "blocklist_gate",           # LLM: C4 blocked-phrase gate (r11;
+                                #   promoted r12 over dedup_embedding_
+                                #   exact — the exact cosine kernel stays
+                                #   window-certified via semdedup and
+                                #   semantic_decontaminate, which replay
+                                #   the same dot/norm surface; the
+                                #   all-pairs near-dup entry stays in the
+                                #   local gate after 4 green rounds)
     "semdedup",                 # LLM: within-cell cosine dedup (promoted)
     "ann_recall_int8",          # LLM: recall@k eval, int8 vs float (r9)
                                 #   (duplicate_spans detector: local gate —
