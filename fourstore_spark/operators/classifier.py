@@ -241,12 +241,14 @@ def train_quality_classifier(
                 .cast("long")
                 .alias("r_micro"),
             )
-            # doc-count-bounded rows, consumed by BOTH the gradient
-            # groupBy and the bias aggregate below — checkpoint so the
-            # feats-join-weights groupBy runs once per iteration, not
-            # twice (the lm_score discipline)
-            .localCheckpoint()
         )
+        # the bias gradient (raw residual sum — see the recurrence
+        # note above) rides the SAME aggregation as the weight
+        # gradients via a b = -1 sentinel row, so the residual plan
+        # evaluates once per iteration in one job instead of twice
+        # (r12: a localCheckpoint here measured SLOWER — shuffle-stage
+        # reuse already made the recompute cheap; the fold removes the
+        # second action outright)
         grad = (
             feats.join(resid.select("doc_id", "r_micro"), "doc_id")
             .select(
@@ -254,12 +256,19 @@ def train_quality_classifier(
                 F.round(
                     F.col("r_micro") * F.col("cnt") / F.col("n_grams"), 0
                 ).cast("long").alias("c"),
-                "r_micro",
+            )
+            .unionByName(
+                resid.select(
+                    F.lit(-1).alias("b"), F.col("r_micro").alias("c")
+                )
             )
         )
         gb = grad.groupBy("b").agg(F.sum("c").alias("g")).collect()
-        gbias = resid.agg(F.sum("r_micro")).head()[0] or 0
+        gbias = 0
         for r in gb:
+            if r["b"] == -1:
+                gbias = r["g"] or 0
+                continue
             step = round(lr * r["g"] / n_docs)
             if step:
                 w[r["b"]] = w.get(r["b"], 0) - step

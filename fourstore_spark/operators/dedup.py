@@ -178,6 +178,41 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFra
 from fourstore_spark.operators.util import ensure_parallel as _ensure_parallel
 
 
+def _banded_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(__id, band, bucket) LSH rows: each document's signature split
+    into ``bands`` bands of num_hashes/bands rows, each band hashed to
+    one bucket. Shared by the one-shot candidate generator and the
+    written index (identical parameters => identical buckets, which is
+    what makes index probes comparable to fresh signatures)."""
+    rows = num_hashes // bands
+    df = _ensure_parallel(df)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"__h{b * rows + r}") for r in range(rows)], F.lit(b)
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("__id", F.explode(band_buckets).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -195,24 +230,9 @@ def minhash_lsh_candidates(
     degenerate corpus (template clusters, empty docs) can't go quadratic;
     pass None to disable the cap.
     """
-    rows = num_hashes // bands
-    df = _ensure_parallel(df)
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
-    )
-    band_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"__h{b * rows + r}") for r in range(rows)], F.lit(b)
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("__id", F.explode(band_buckets).alias("bb")).select(
-        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = _banded_rows(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     )
     if max_bucket is not None:
         # grouped pair generation: ONE shuffle to (band, bucket), pairs
@@ -927,3 +947,171 @@ def subtract_corpus_bloom(
         "__pos", F.when(fp.isNotNull(), positions(fp))
     )
     return with_pos.mapInPandas(keep, with_pos.schema).drop("__pos")
+
+
+# ------------------------------------------------------ written LSH index
+# Incremental near-dup maintenance: real pipelines dedup each NEW crawl
+# batch against the EXISTING corpus — re-running one-shot LSH over
+# corpus+delta re-signs the whole corpus every batch. The written index
+# applies the repo's written-index discipline (write_bm25_index /
+# write_ivf_index) to MinHash LSH: (doc, band, bucket) rows land ONCE,
+# partitioned into a bounded number of directories by bucket hash, and
+# a query batch signs only ITSELF, prunes to the directories its
+# buckets hash into (PartitionFilters — plan-pinned in tests), and
+# joins (band, bucket) inside them. Hyperparameters travel in a JSON
+# sidecar (the kmv_save lesson from birth): a different shingle_k /
+# num_hashes / bands would silently make buckets incomparable.
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    n_dirs: int = 256,
+) -> None:
+    """Materialize the corpus's banded MinHash rows, partitioned by
+    ``pdir = pmod(bucket, n_dirs)`` (bucket is already a xxhash64
+    output, so the directories balance). One exchange on pdir at write
+    time; every later query batch reads only its own buckets' dirs."""
+    import json
+    import os
+
+    banded = _banded_rows(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).withColumn("pdir", F.pmod(F.col("bucket"), F.lit(n_dirs)).cast("int"))
+    (
+        banded.repartition("pdir")
+        .write.mode("overwrite")
+        .partitionBy("pdir")
+        .parquet(os.path.join(path, "bands"))
+    )
+    with open(os.path.join(path, "_lsh.json"), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "shingle_k": int(shingle_k),
+                "n_dirs": int(n_dirs),
+                "hash": "xxhash64 shingles, rotate-xor derivation",
+            },
+            fh,
+        )
+
+
+def _read_lsh_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def append_lsh_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add NEW documents — O(delta): sign the delta with
+    the SIDECAR's parameters, append to the touched directories. Caller
+    contract mirrors append_bm25_index: appended ids must be new; one
+    writer at a time; results equal a rebuild (equality-tested)."""
+    import os
+
+    m = _read_lsh_meta(path)
+    banded = _banded_rows(
+        df, text_col, id_col,
+        num_hashes=m["num_hashes"], bands=m["bands"],
+        shingle_k=m["shingle_k"],
+    ).withColumn(
+        "pdir", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])).cast("int")
+    )
+    (
+        banded.repartition("pdir")
+        .write.mode("append")
+        .partitionBy("pdir")
+        .parquet(os.path.join(path, "bands"))
+    )
+
+
+def lsh_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs between a query batch and the
+    INDEXED corpus: (id_a = indexed doc, id_b = query doc), distinct.
+
+    The query batch signs itself with the sidecar's parameters
+    (checkpointed once — it feeds both the probe list and the join),
+    the corpus scan prunes to the <= n_dirs directories the query
+    buckets hash into (the probe list collect is bounded by n_dirs
+    integers, never by corpus or batch size), and candidates come from
+    one (band, bucket) join inside the pruned rows. ``max_bucket``
+    drops corpus-side buckets larger than the cap (the _cap_buckets
+    safety valve — a template cluster in the CORPUS would otherwise
+    make every matching query doc quadratic); pass None to disable.
+
+    Query-vs-query duplicates are deliberately out of scope — run
+    minhash_lsh_candidates on the batch itself, then append it."""
+    import os
+
+    m = _read_lsh_meta(path)
+    qb = _banded_rows(
+        queries, text_col, id_col,
+        num_hashes=m["num_hashes"], bands=m["bands"],
+        shingle_k=m["shingle_k"],
+    ).withColumn(
+        "pdir", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])).cast("int")
+    ).localCheckpoint()
+    probe = sorted(
+        r["pdir"] for r in qb.select("pdir").distinct().collect()
+    )
+    corpus = spark.read.parquet(os.path.join(path, "bands")).where(
+        F.col("pdir").isin(probe) if probe else F.lit(False)
+    )
+    if max_bucket is not None:
+        corpus = _cap_buckets(corpus, ["band", "bucket"], max_bucket)
+    return (
+        corpus.select(F.col("__id").alias("id_a"), "band", "bucket")
+        .join(
+            qb.select(F.col("__id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def compact_lsh_index(spark, path: str) -> None:
+    """Small-files maintenance after many appends — one file set per
+    directory, query results identical (the compact_bm25_index /
+    compact_ivf_index discipline; local-rename swap, quiesce writers,
+    manifest swap on an object store)."""
+    import os
+    import shutil
+
+    src = os.path.join(path, "bands")
+    tmp, old = src + ".compact", src + ".old"
+    (
+        spark.read.parquet(src)
+        .repartition("pdir")
+        .write.mode("overwrite")
+        .partitionBy("pdir")
+        .parquet(tmp)
+    )
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
