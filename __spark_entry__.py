@@ -5043,6 +5043,58 @@ FROM agg
     return r
 
 
+def _op_lsh_indexed(spark, sf_dir):
+    """Written MinHash-LSH index (operators/dedup.py write_lsh_index):
+    the corpus's banded signature rows on disk, a query batch signs only
+    itself and partition-prunes into the indexed buckets — then exact
+    n-gram-Jaccard verification, so the surface is deterministic (= the
+    exact all-pairs answer restricted to corpus x batch) and the same
+    oracle algebra as dedup_minhash_lsh applies. Index cached on a
+    content fingerprint (the _stage_key discipline); the sidecar is
+    written last, so a crashed build rebuilds instead of wedging."""
+    import os as _os
+
+    from fourstore_spark.operators.dedup import (
+        lsh_query_index,
+        write_lsh_index,
+    )
+
+    path = f"/tmp/fourstore_lshv1_{_stage_key(sf_dir)}"
+    if not _os.path.isfile(_os.path.join(path, "_lsh.json")):
+        write_lsh_index(
+            _docs(spark, sf_dir).where("doc_id % 3 != 0"), path
+        )
+    d = _docs(spark, sf_dir)
+    cand = lsh_query_index(spark, path, d.where("doc_id % 3 = 0"))
+    return _verify_pairs(cand, d)
+
+
+def _round12_entries() -> dict[str, tuple]:
+    r: dict[str, tuple] = {}
+    # indexed LSH probe -> verification: exact cross-pairs answer
+    # (corpus side doc_id % 3 != 0, query batch % 3 = 0); the oracle is
+    # _NGRAM_PAIRS_SQL's algebra restricted to cross pairs with the
+    # (indexed, batch) orientation the probe emits
+    r["dedup_lsh_indexed"] = (
+        _op_lsh_indexed,
+        r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks)-2, 1)),
+               i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')))
+             AS grams
+      FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN g b ON a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+""",
+    )
+    return r
+
+
 def _reg() -> dict[str, tuple]:
     global _REG
     if _REG is None:
@@ -5054,6 +5106,7 @@ def _reg() -> dict[str, tuple]:
         full.update(_round9_entries())
         full.update(_round10_entries())
         full.update(_round11_entries())
+        full.update(_round12_entries())
         assert len(_HEAD) == 50 and all(n in full for n in _HEAD), "head list"
         ordered = {n: full[n] for n in _HEAD}
         ordered.update((n, v) for n, v in full.items() if n not in ordered)
