@@ -37,7 +37,11 @@ FEATID = "http://www.census.gov/tiger/2002/featid/"
 TLID = "http://www.census.gov/tiger/2002/tlid/"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 GRAPH_TIGER = "http://example.com/TGR06001.nt"
+# the model URI the reference's BENCHMARK suite imports under
+# (tests/benchmark/queries/feature-h12.rq names it in a GRAPH clause)
+GRAPH_TIGER_BENCH = "file:///usr/local/tiger/CA/TGR06001.ttl"
 
 # the coordinate shared by the end of segment 125030028 and the starts
 # of segments 1001/1003 — the "road continues here" join key
@@ -69,7 +73,14 @@ def tiger_quads() -> list[tuple]:
         ("1002", "A41", ("37.702000", "-121.502000"),
          ("37.703000", "-121.503000")),
         ("1003", "A41", _SHARED, ("37.704000", "-121.504000")),
-        ("1004", "A41", ("37.705000", "-121.505000"),
+        # pS1004 deliberately sits AT pE1001 (segment 1004 continues
+        # where Broadway's 1001 ends): benchmark roads.rq Q2 joins
+        # altpath ENDS to Broadway START longs (pE028 long matches
+        # pS1001's) and Q3 joins altpath STARTS to Broadway END
+        # coordinates — this makes Q3 non-empty; the (lat AND long)
+        # chain joins elsewhere key on the _SHARED coordinate and are
+        # unaffected
+        ("1004", "A41", ("37.701000", "-121.501000"),
          ("37.706000", "-121.506000")),
         ("1005", "A41", ("37.721727", "-121.507000"),
          ("37.707000", "-121.508000")),
@@ -147,10 +158,25 @@ def tiger_quads() -> list[tuple]:
             b_lit(f"L{lid}", VOCAB + "long", loc[1])
     # one referenced landmark so tiger-groupby-class sees the class
     uri(FEATID + "101", VOCAB + "nearby", FEATID + "201")
+
+    # --- CFCC class hierarchy (real TIGER ships it; the benchmark
+    # queries lines.rq / roads.rq walk type -> subClassOf -> label) ----
+    hierarchy = [
+        ("A41", "Local, neighborhood, or rural road", "A4"),
+        ("A4", "Local, neighborhood, and rural roads", "A"),
+        ("A", "Road", None),
+        ("H12", "Perennial stream", "H1"),
+        ("H1", "Naturally flowing water features", "H"),
+        ("H", "Hydrography", None),
+    ]
+    for cls, label, parent in hierarchy:
+        lit(CFCC + cls, RDFS_LABEL, label)
+        if parent:
+            uri(CFCC + cls, RDFS_SUBCLASS, CFCC + parent)
     return q
 
 
-def tiger_nq() -> str:
+def tiger_nq(graph: str = GRAPH_TIGER) -> str:
     """The same quads as N-Quads text (the form the reference's
     4s-import would ingest)."""
     lines = []
@@ -162,22 +188,22 @@ def tiger_nq() -> str:
             ot = f"_:{o}"
         else:
             ot = f"<{o}>"
-        lines.append(f"{st} <{p}> {ot} <{GRAPH_TIGER}> .")
+        lines.append(f"{st} <{p}> {ot} <{graph}> .")
     return "\n".join(lines) + "\n"
 
 
-def load_tiger(spark):
+def load_tiger(spark, graph: str = GRAPH_TIGER):
     """Quads DataFrame through the real N-Quads parse path, bnode labels
     preserved (namespace_bnodes=False) so engine output is directly
     comparable to the oracle's bare labels."""
     from fourstore_spark.sources.rdfio import quads_from_nt_text
 
     return quads_from_nt_text(
-        spark, tiger_nq(), namespace_bnodes=False
+        spark, tiger_nq(graph), namespace_bnodes=False
     )
 
 
-def duckdb_quads(con) -> None:
+def duckdb_quads(con, graph: str = GRAPH_TIGER) -> None:
     """Register the SAME quads as DuckDB table ``q(g, s, skind, p, o,
     okind)`` — URIs as full strings, bnodes as ``_:label`` (the
     engine's stored lexical form, rdfio.py parse), plain literals as
@@ -191,7 +217,7 @@ def duckdb_quads(con) -> None:
         "INSERT INTO q VALUES (?, ?, ?, ?, ?, ?)",
         [
             (
-                GRAPH_TIGER,
+                graph,
                 f"_:{s}" if sk == "bnode" else s,
                 sk,
                 p,
