@@ -110,7 +110,12 @@ def corpus_report(
     # large-range correction — kept in lockstep with sketch.hll_estimate)
     n = F.sum("__pn")
     nregs = F.count("M")
-    s = F.sum(F.pow(F.lit(0.5), F.col("M"))) + (F.lit(m) - nregs)
+    # coalesce: a bucket whose fingerprints are ALL NULL has no
+    # registers at all — its sum is NULL, but the readout must see
+    # s = m (all-zero registers) and estimate 0 like the exact path
+    s = F.coalesce(
+        F.sum(F.pow(F.lit(0.5), F.col("M"))), F.lit(0.0)
+    ) + (F.lit(m) - nregs)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     raw = F.lit(alpha * m * m) / s
     zeros = F.lit(m) - nregs

@@ -248,6 +248,26 @@ def test_corpus_report_approx_hll(spark):
         docs, approx=True
     ).columns
 
+    # all-NULL-text bucket: no fingerprints, no registers — the approx
+    # readout must see all-zero registers and report 0 distinct like
+    # the exact path, not propagate a NULL register sum (r12 fix)
+    nulls = spark.createDataFrame(
+        [(900 + i, "nullsrc", None) for i in range(3)],
+        "doc_id long, source string, text string",
+    )
+    ae = {
+        (r["source"], r["lang_guess"]): r
+        for r in corpus_report(nulls).collect()
+    }
+    aa = {
+        (r["source"], r["lang_guess"]): r
+        for r in corpus_report(nulls, approx=True).collect()
+    }
+    assert set(ae) == set(aa)
+    for key in ae:
+        assert aa[key]["n_distinct"] == ae[key]["n_distinct"], key
+        assert aa[key]["n_docs"] == ae[key]["n_docs"] == 3
+
 
 def test_hash_sampling_deterministic_and_partitioned(spark):
     from fourstore_spark.operators.sampling import (
