@@ -106,14 +106,28 @@ def curate(spark: SparkSession, sf_dir: str):
     )
     n_clf = docs.count()
 
-    # 4. exact dedup by normalization fingerprint (keep smallest id)
+    # 4a. exact dedup by normalization fingerprint (keep smallest id)
     keep = docs.groupBy(
         fingerprint(F.col("text")).alias("__fp")
     ).agg(F.min("doc_id").alias("doc_id"))
     docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    # 4b. near-dup: MinHash-LSH candidates -> connected-component
+    # cluster resolution (keep each cluster's minimum id). On an
+    # INCREMENTAL run, replace minhash_lsh_candidates with
+    # write_lsh_index once + lsh_query_index per new batch (the corpus
+    # is then never re-signed — see examples/build_retrieval_indexes.py
+    # for the written-index maintenance pattern).
+    from fourstore_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+    from fourstore_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id")
+    docs = resolve_duplicate_clusters(docs, pairs)
     n_dedup = docs.count()
 
-    # 4. decontamination: lexical n-gram + embedding-cosine
+    # 5. decontamination: lexical n-gram + embedding-cosine
     eval_set = docs.where(F.col("doc_id") % 97 == 0)
     docs = ngram_decontaminate(
         docs.where(F.col("doc_id") % 97 != 0), eval_set.select("text"), n=13
@@ -132,19 +146,19 @@ def curate(spark: SparkSession, sf_dir: str):
     )
     n_decon = docs.count()
 
-    # 5. scoring: CCNet perplexity buckets + DSIR importance
+    # 6. scoring: CCNet perplexity buckets + DSIR importance
     buckets = ccnet_partition(lm_score(docs)).select("doc_id", "bucket")
     weights = dsir_weights(
         docs, docs.where(F.col("doc_id") % 5 == 0)
     ).select("doc_id", "logweight_micro")
     docs = docs.join(buckets, "doc_id").join(weights, "doc_id", "left")
 
-    # 6. selection: drop the perplexity tail, cap each source domain
+    # 7. selection: drop the perplexity tail, cap each source domain
     docs = docs.where(F.col("bucket") != "tail")
     docs = cap_per_group(docs, "source", 40)
     n_sel = docs.count()
 
-    # 7. pack + shard
+    # 8. pack + shard
     sized = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
