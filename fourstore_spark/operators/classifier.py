@@ -112,19 +112,41 @@ def classifier_logits(
     Unhashed-but-unweighted buckets score 0 (a missing row in the
     weight table is a zero weight). Thresholding happens in LOGIT space
     — sigmoid is monotonic, so quality at threshold_micro=0 equals
-    p >= 0.5 without putting exp() on the oracle surface."""
-    feats = doc_features(
-        df, text_col=text_col, id_col=id_col, n_features=n_features
+    p >= 0.5 without putting exp() on the oracle surface.
+
+    One-pass shape (r12, measured -30% at sf1/sf3 with identical
+    outputs): the logit numerator is summed over the raw gram
+    OCCURRENCE stream through the broadcast weight join — scoring
+    never needs the per-(doc, bucket) count table (sum over
+    occurrences of w[b] == sum over buckets of cnt*w[b], exact
+    integers either way), so the plan is one broadcast hash join and
+    ONE shuffle to doc_id instead of doc_features' two aggregations
+    plus a re-join. Training keeps doc_features: its gradient rounds
+    per (doc, bucket, cnt) — that shape IS the documented
+    recurrence."""
+    if n_features > MAX_FEATURES:
+        raise ValueError(
+            f"n_features={n_features} > hash modulus {MAX_FEATURES}: "
+            "buckets past it are unreachable through hash_bucket"
+        )
+    from .lm import lm_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    g = toks.select(
+        "doc_id", F.explode(_grams_expr()).alias("gram")
+    ).select(
+        "doc_id", (hash_bucket(F.col("gram")) % n_features).alias("b")
     )
     z = (
-        F.lit(int(bias_micro))
-        + F.sum(F.col("cnt") * F.coalesce("w_micro", F.lit(0)))
-    ) / (F.lit(MICRO) * F.first("n_grams"))
+        F.lit(int(bias_micro)) + F.sum(F.coalesce("w_micro", F.lit(0)))
+    ) / (F.lit(MICRO) * F.count(F.lit(1)))
     return (
-        feats.join(F.broadcast(weights), "b", "left")
+        g.join(F.broadcast(weights), "b", "left")
         .groupBy("doc_id")
         .agg(
-            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_grams"),
             F.round(z * MICRO, 0).cast("long").alias("logit_micro"),
         )
         .withColumn(
@@ -219,48 +241,54 @@ def train_quality_classifier(
     if n_docs == 0:
         raise ValueError("no non-blank documents to train on")
 
+    from pyspark.sql import Window
+
     w: dict[int, int] = {}
     bias = 0
+    # per-iteration shape (r12, measured -47% vs the groupBy+re-join
+    # form in a same-session A/B at sf1, identical weights): the
+    # per-doc logit is a WINDOW sum over the doc's feature rows — the
+    # residual lands on every row in the same shuffle that grouped the
+    # doc, so the doc-count-sized aggregate-then-rejoin round trip
+    # disappears. The bias gradient (raw residual sum — see the
+    # recurrence note above) rides the same aggregation as the weight
+    # gradients via a b = -1 sentinel emitted from each doc's first
+    # row (min b marks it; (doc_id, b) rows are unique). One shuffle
+    # to doc_id + one n_features-bounded groupBy per iteration, one
+    # job, no checkpoint (r12 also measured localCheckpoint here
+    # SLOWER than recompute — shuffle-stage reuse already made the
+    # old double evaluation cheap).
+    win = Window.partitionBy("doc_id")
     for _ in range(iters):
         wdf = spark.createDataFrame(
             list(w.items()) or [(0, 0)], "b long, w_micro long"
         )
+        fw = feats.join(F.broadcast(wdf), "b", "left")
         z = (
             F.lit(bias)
             + F.sum(F.col("cnt") * F.coalesce("w_micro", F.lit(0)))
-        ) / (F.lit(MICRO) * F.first("n_grams"))
+            .over(win)
+        ) / (F.lit(MICRO) * F.col("n_grams"))
         p = F.least(
             F.greatest(F.lit(0.5) + z / 4.0, F.lit(0.0)), F.lit(1.0)
         )
-        resid = (
-            feats.join(F.broadcast(wdf), "b", "left")
-            .groupBy("doc_id", "__y")
-            .agg(
-                F.first("n_grams").alias("n_grams"),
-                F.round((p - F.col("__y")) * MICRO, 0)
-                .cast("long")
-                .alias("r_micro"),
-            )
+        rows = fw.select(
+            "b",
+            "cnt",
+            "n_grams",
+            F.round((p - F.col("__y")) * MICRO, 0)
+            .cast("long")
+            .alias("r_micro"),
+            (F.col("b") == F.min("b").over(win)).alias("__first"),
         )
-        # the bias gradient (raw residual sum — see the recurrence
-        # note above) rides the SAME aggregation as the weight
-        # gradients via a b = -1 sentinel row, so the residual plan
-        # evaluates once per iteration in one job instead of twice
-        # (r12: a localCheckpoint here measured SLOWER — shuffle-stage
-        # reuse already made the recompute cheap; the fold removes the
-        # second action outright)
-        grad = (
-            feats.join(resid.select("doc_id", "r_micro"), "doc_id")
-            .select(
-                "b",
-                F.round(
-                    F.col("r_micro") * F.col("cnt") / F.col("n_grams"), 0
-                ).cast("long").alias("c"),
-            )
-            .unionByName(
-                resid.select(
-                    F.lit(-1).alias("b"), F.col("r_micro").alias("c")
-                )
+        grad = rows.select(
+            "b",
+            F.round(
+                F.col("r_micro") * F.col("cnt") / F.col("n_grams"), 0
+            ).cast("long").alias("c"),
+        ).unionByName(
+            rows.where("__first").select(
+                F.lit(-1).alias("b"), F.col("r_micro").alias("c")
             )
         )
         gb = grad.groupBy("b").agg(F.sum("c").alias("g")).collect()
