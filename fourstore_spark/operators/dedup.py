@@ -192,11 +192,18 @@ def _banded_rows(
     one bucket. Shared by the one-shot candidate generator and the
     written index (identical parameters => identical buckets, which is
     what makes index probes comparable to fresh signatures)."""
-    rows = num_hashes // bands
     df = _ensure_parallel(df)
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
+    return _bands_from_sig(sig, num_hashes=num_hashes, bands=bands)
+
+
+def _bands_from_sig(
+    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band/bucket rows from a minhash_signatures frame."""
+    rows = num_hashes // bands
     band_buckets = F.array(
         *[
             F.struct(
@@ -210,6 +217,23 @@ def _banded_rows(
     )
     return sig.select("__id", F.explode(band_buckets).alias("bb")).select(
         "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _sig_rows(sig: DataFrame, num_hashes: int, n_dirs: int) -> DataFrame:
+    """(__id, sig array<long>, sdir) — the signature table rows the
+    written index stores for verification, directory-keyed by an
+    id-hash so verification lookups prune like band probes do."""
+    from fourstore_spark.operators.sampling import hash_bucket
+
+    return sig.select(
+        "__id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias(
+            "sig"
+        ),
+        (hash_bucket(F.col("__id").cast("string")) % n_dirs)
+        .cast("int")
+        .alias("sdir"),
     )
 
 
@@ -976,20 +1000,33 @@ def write_lsh_index(
 ) -> None:
     """Materialize the corpus's banded MinHash rows, partitioned by
     ``pdir = pmod(bucket, n_dirs)`` (bucket is already a xxhash64
-    output, so the directories balance). One exchange on pdir at write
-    time; every later query batch reads only its own buckets' dirs."""
+    output, so the directories balance), plus a ``sigs/`` table of the
+    full signatures (id-hash-keyed directories) so queries can VERIFY
+    candidates by signature agreement without the corpus text. One
+    exchange per sub-table at write time; every later query batch
+    reads only its own buckets'/candidates' dirs."""
     import json
     import os
 
-    banded = _banded_rows(
-        df, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    sig = minhash_signatures(
+        _ensure_parallel(df), text_col, id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    ).localCheckpoint()  # feeds both the bands and the sigs writes
+    banded = _bands_from_sig(
+        sig, num_hashes=num_hashes, bands=bands
     ).withColumn("pdir", F.pmod(F.col("bucket"), F.lit(n_dirs)).cast("int"))
     (
         banded.repartition("pdir")
         .write.mode("overwrite")
         .partitionBy("pdir")
         .parquet(os.path.join(path, "bands"))
+    )
+    (
+        _sig_rows(sig, num_hashes, n_dirs)
+        .repartition("sdir")
+        .write.mode("overwrite")
+        .partitionBy("sdir")
+        .parquet(os.path.join(path, "sigs"))
     )
     with open(os.path.join(path, "_lsh.json"), "w", encoding="utf-8") as fh:
         json.dump(
@@ -1020,16 +1057,19 @@ def append_lsh_index(
     id_col: str = "doc_id",
 ) -> None:
     """Incrementally add NEW documents — O(delta): sign the delta with
-    the SIDECAR's parameters, append to the touched directories. Caller
-    contract mirrors append_bm25_index: appended ids must be new; one
-    writer at a time; results equal a rebuild (equality-tested)."""
+    the SIDECAR's parameters, append to the touched directories (bands
+    AND sigs). Caller contract mirrors append_bm25_index: appended ids
+    must be new; one writer at a time; results equal a rebuild
+    (equality-tested)."""
     import os
 
     m = _read_lsh_meta(path)
-    banded = _banded_rows(
-        df, text_col, id_col,
-        num_hashes=m["num_hashes"], bands=m["bands"],
-        shingle_k=m["shingle_k"],
+    sig = minhash_signatures(
+        _ensure_parallel(df), text_col, id_col,
+        num_hashes=m["num_hashes"], shingle_k=m["shingle_k"],
+    ).localCheckpoint()
+    banded = _bands_from_sig(
+        sig, num_hashes=m["num_hashes"], bands=m["bands"]
     ).withColumn(
         "pdir", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])).cast("int")
     )
@@ -1038,6 +1078,13 @@ def append_lsh_index(
         .write.mode("append")
         .partitionBy("pdir")
         .parquet(os.path.join(path, "bands"))
+    )
+    (
+        _sig_rows(sig, m["num_hashes"], m["n_dirs"])
+        .repartition("sdir")
+        .write.mode("append")
+        .partitionBy("sdir")
+        .parquet(os.path.join(path, "sigs"))
     )
 
 
@@ -1049,32 +1096,47 @@ def lsh_query_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = 1000,
+    verify_micro: int | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs between a query batch and the
-    INDEXED corpus: (id_a = indexed doc, id_b = query doc), distinct.
+    """Near-duplicate pairs between a query batch and the INDEXED
+    corpus: (id_a = indexed doc, id_b = query doc), distinct.
 
-    The query batch signs itself with the sidecar's parameters
-    (checkpointed once — it feeds both the probe list and the join),
-    the corpus scan prunes to the <= n_dirs directories the query
-    buckets hash into (the probe list collect is bounded by n_dirs
-    integers, never by corpus or batch size), and candidates come from
-    one (band, bucket) join inside the pruned rows. ``max_bucket``
-    drops corpus-side buckets larger than the cap (the _cap_buckets
-    safety valve — a template cluster in the CORPUS would otherwise
-    make every matching query doc quadratic); pass None to disable.
+    With ``verify_micro=None`` (default) the output is the raw LSH
+    CANDIDATE set — collisions, not confirmed duplicates; follow with
+    your own verification (e.g. exact n-gram Jaccard over the texts)
+    before dropping anything. With ``verify_micro`` set, each candidate
+    is VERIFIED against the index's stored signatures: agreement =
+    matching minhash components / num_hashes (the standard unbiased
+    Jaccard estimator, std err ~1/sqrt(num_hashes)), and only pairs
+    with ``round(1e6 * agreement) >= verify_micro`` return, with the
+    estimate in an ``agree_micro`` column — no corpus text needed,
+    which is the point: the corpus may be 100 TB and the index is not
+    going to re-read it.
+
+    The query batch signs itself ONCE with the sidecar's parameters
+    (checkpointed — it feeds the probe list, the join, and the
+    verification), the corpus band scan prunes to the <= n_dirs
+    directories the query buckets hash into, the verification scan
+    prunes to the candidate ids' signature directories (both probe
+    lists are bounded by n_dirs integers, never by corpus or batch
+    size). ``max_bucket`` drops corpus-side buckets larger than the
+    cap (the _cap_buckets safety valve); pass None to disable.
 
     Query-vs-query duplicates are deliberately out of scope — run
     minhash_lsh_candidates on the batch itself, then append it."""
     import os
 
+    from fourstore_spark.operators.sampling import hash_bucket
+
     m = _read_lsh_meta(path)
-    qb = _banded_rows(
-        queries, text_col, id_col,
-        num_hashes=m["num_hashes"], bands=m["bands"],
-        shingle_k=m["shingle_k"],
-    ).withColumn(
-        "pdir", F.pmod(F.col("bucket"), F.lit(m["n_dirs"])).cast("int")
+    nh, nd = m["num_hashes"], m["n_dirs"]
+    qsig = minhash_signatures(
+        _ensure_parallel(queries), text_col, id_col,
+        num_hashes=nh, shingle_k=m["shingle_k"],
     ).localCheckpoint()
+    qb = _bands_from_sig(qsig, num_hashes=nh, bands=m["bands"]).withColumn(
+        "pdir", F.pmod(F.col("bucket"), F.lit(nd)).cast("int")
+    )
     probe = sorted(
         r["pdir"] for r in qb.select("pdir").distinct().collect()
     )
@@ -1083,7 +1145,7 @@ def lsh_query_index(
     )
     if max_bucket is not None:
         corpus = _cap_buckets(corpus, ["band", "bucket"], max_bucket)
-    return (
+    cand = (
         corpus.select(F.col("__id").alias("id_a"), "band", "bucket")
         .join(
             qb.select(F.col("__id").alias("id_b"), "band", "bucket"),
@@ -1093,25 +1155,70 @@ def lsh_query_index(
         .select("id_a", "id_b")
         .distinct()
     )
+    if verify_micro is None:
+        return cand
+    cand = cand.localCheckpoint()  # feeds the sdir probe AND the join
+    sdirs = sorted(
+        r["sdir"]
+        for r in cand.select(
+            (hash_bucket(F.col("id_a").cast("string")) % nd)
+            .cast("int")
+            .alias("sdir")
+        ).distinct().collect()
+    )
+    sigs = spark.read.parquet(os.path.join(path, "sigs")).where(
+        F.col("sdir").isin(sdirs) if sdirs else F.lit(False)
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "__sa", "__sb", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(
+            sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            qsig.select(
+                F.col("__id").alias("id_b"),
+                F.array(*[F.col(f"__h{i}") for i in range(nh)]).alias("__sb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "agree_micro",
+            F.round(matches * F.lit(1_000_000.0) / F.lit(nh), 0)
+            .cast("long"),
+        )
+        .where(F.col("agree_micro") >= F.lit(int(verify_micro)))
+        .select("id_a", "id_b", "agree_micro")
+    )
 
 
 def compact_lsh_index(spark, path: str) -> None:
     """Small-files maintenance after many appends — one file set per
-    directory, query results identical (the compact_bm25_index /
-    compact_ivf_index discipline; local-rename swap, quiesce writers,
-    manifest swap on an object store)."""
+    directory in both sub-tables, query results identical (the
+    compact_bm25_index / compact_ivf_index discipline; local-rename
+    swap, quiesce writers, manifest swap on an object store).
+    Duplicate rows from replayed at-least-once appends collapse here
+    (distinct — a replayed append rewrites identical rows by
+    construction, in both sub-tables)."""
     import os
     import shutil
 
-    src = os.path.join(path, "bands")
-    tmp, old = src + ".compact", src + ".old"
-    (
-        spark.read.parquet(src)
-        .repartition("pdir")
-        .write.mode("overwrite")
-        .partitionBy("pdir")
-        .parquet(tmp)
-    )
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old)
+    for sub, key in (("bands", "pdir"), ("sigs", "sdir")):
+        src = os.path.join(path, sub)
+        tmp, old = src + ".compact", src + ".old"
+        df = spark.read.parquet(src).distinct()
+        (
+            df.repartition(key)
+            .write.mode("overwrite")
+            .partitionBy(key)
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)

@@ -622,3 +622,113 @@ def stream_quality_filter(
             F.col("logit_micro") >= F.lit(int(threshold_micro))
         )
     return scored
+
+
+def stream_ingest_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+    threshold_micro: int = 500_000,
+    trigger_available_now: bool = False,
+):
+    """Dedup-at-ingest against a WRITTEN MinHash-LSH index — the
+    incremental-crawl deployment the index exists for: the corpus was
+    signed once (operators.dedup.write_lsh_index); each arriving
+    micro-batch then
+
+      1. resolves its OWN near-dup clusters — LSH candidates VERIFIED
+         by exact word-trigram Jaccard >= ``threshold_micro``/1e6 (the
+         batch's texts are in hand, so the exact verifier is free),
+         connected components, min-id survivor per cluster,
+      2. drops survivors that near-duplicate the INDEXED corpus —
+         lsh_query_index with ``verify_micro=threshold_micro``: signs
+         only the batch, partition-pruned scan, candidates verified by
+         stored-signature agreement (the corpus text is NOT re-read;
+         at 100 TB it can't be — signature agreement is the unbiased
+         Jaccard estimator, ~1/sqrt(num_hashes) std err),
+      3. lands the remaining docs in ``out_path/batch=<id>`` and
+         appends their signatures to the index, so every LATER batch
+         dedups against them too.
+
+    Exactly-once notes (foreachBatch is at-least-once on retry): the
+    parquet output is keyed by batch id and written mode=overwrite, so
+    a replayed batch overwrites its own directory rather than
+    duplicating docs; the index append is NOT deduplicated on replay —
+    re-appended signature rows are identical (id, band, bucket) rows,
+    which cannot change any candidate set (lsh_query_index output is
+    DISTINCT pairs) but do grow the index until the next
+    compact_lsh_index run. Batch ids must be globally new documents
+    (the append_lsh_index caller contract).
+
+    The same candidate algebra as the batch path, so the survivors of
+    a single availableNow pass equal the batch-mode composition
+    (equality-tested in tests/test_streaming.py)."""
+    from fourstore_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+    from fourstore_spark.operators.dedup import (
+        append_lsh_index,
+        lsh_query_index,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    thr = float(threshold_micro) / 1e6
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()  # consumed by 3+ jobs below
+        texts = batch.select(
+            F.col(id_col), F.col(text_col).alias("__t")
+        )
+        pairs = (
+            minhash_lsh_candidates(
+                batch, text_col, id_col, max_bucket=max_bucket
+            )
+            .join(
+                texts.select(
+                    F.col(id_col).alias("id_a"), F.col("__t").alias("__ta")
+                ),
+                "id_a",
+            )
+            .join(
+                texts.select(
+                    F.col(id_col).alias("id_b"), F.col("__t").alias("__tb")
+                ),
+                "id_b",
+            )
+            .where(
+                ngram_jaccard(F.col("__ta"), F.col("__tb")) >= F.lit(thr)
+            )
+            .select("id_a", "id_b")
+        )
+        survivors = resolve_duplicate_clusters(batch, pairs, id_col=id_col)
+        hits = lsh_query_index(
+            spark, index_path, survivors,
+            text_col=text_col, id_col=id_col, max_bucket=max_bucket,
+            verify_micro=threshold_micro,
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        fresh = survivors.join(hits, id_col, "left_anti").localCheckpoint()
+        if fresh.isEmpty():
+            return
+        fresh.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+        append_lsh_index(fresh, index_path, text_col=text_col,
+                         id_col=id_col)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -171,3 +171,44 @@ def test_lsh_index_hot_bucket_cap(spark, tmp_path):
     ).collect()
     assert sorted(r["id_a"] for r in full) == list(range(8))
     assert all(r["id_b"] == 100 for r in full)
+
+
+def test_lsh_index_signature_verification(spark, tmp_path):
+    """r12: verify_micro filters candidates by stored-signature
+    agreement. On this shingle-dense corpus every doc band-collides
+    with something (raw candidates are NOT duplicates); only the
+    planted near-dup survives verification, with its agreement
+    estimate in hand — and no corpus text was read."""
+    from fourstore_spark.operators.dedup import (
+        lsh_query_index,
+        write_lsh_index,
+    )
+
+    docs = _corpus(7, 40, 0)
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path / "lsh")
+    write_lsh_index(corpus, path, n_dirs=32)
+
+    # batch: one true near-dup of corpus doc 3 + one fresh doc
+    words = docs[3][1].split()
+    words[5] = "zzz999"
+    batch = spark.createDataFrame(
+        [(500, " ".join(words)), (501, docs[0][1] + " tail")],
+        ["doc_id", "text"],
+    )
+    raw = lsh_query_index(spark, path, batch, max_bucket=None)
+    verified = lsh_query_index(
+        spark, path, batch, max_bucket=None, verify_micro=500_000
+    )
+    vrows = verified.collect()
+    # 501 is doc 0 plus a suffix -> genuinely near-dup too; the planted
+    # pair (3, 500) must be there with high agreement
+    assert {"id_a", "id_b", "agree_micro"} == set(verified.columns)
+    by_pair = {(r["id_a"], r["id_b"]): r["agree_micro"] for r in vrows}
+    assert by_pair.get((3, 500), 0) >= 700_000
+    assert by_pair.get((0, 501), 0) >= 700_000
+    # verification is a strict filter of the candidate set, and the
+    # corpus's random cross-collisions do not survive it
+    raw_pairs = {(r["id_a"], r["id_b"]) for r in raw.collect()}
+    assert set(by_pair) <= raw_pairs
+    assert len(by_pair) < len(raw_pairs)

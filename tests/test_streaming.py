@@ -291,3 +291,90 @@ def test_stream_corpus_clean(spark, tmp_path):
     ids = {r[0] for r in spark.sql(
         "SELECT doc_id FROM cclean_stream").collect()}
     assert ids == {1} or ids == {2}  # one survivor of the dup pair
+
+
+def test_stream_ingest_dedup_against_written_index(spark, tmp_path):
+    """r12: dedup-at-ingest over the written LSH index. Two micro-batches
+    (maxFilesPerTrigger=1): in-batch clusters resolve via exact-Jaccard-
+    verified LSH pairs to their min-id survivor, index near-dups drop
+    via stored-signature agreement (candidates alone must NOT drop —
+    this corpus makes every doc band-collide with something), survivors'
+    signatures append — so a batch-2 near-dup of a batch-1 SURVIVOR
+    drops too (the feedback that makes the ingest incremental)."""
+    import glob
+    import random
+    import shutil
+    import time
+
+    from fourstore_spark.operators.dedup import write_lsh_index
+    from fourstore_spark.streaming import stream_ingest_dedup
+
+    rng = random.Random(5)
+    vocab = [f"w{i:03d}" for i in range(60)]
+
+    def mk():
+        return " ".join(vocab[rng.randrange(60)] for _ in range(30))
+
+    def mutate(text):
+        ws = text.split()
+        ws[rng.randrange(len(ws))] = vocab[rng.randrange(60)]
+        return " ".join(ws)
+
+    corpus = [(i, mk()) for i in range(30)]
+    idx = str(tmp_path / "lsh")
+    write_lsh_index(
+        spark.createDataFrame(corpus, "doc_id long, text string"), idx,
+        n_dirs=32,
+    )
+
+    t103 = mk()
+    batch1 = [
+        (100, mk()),                      # fresh -> kept
+        (101, mutate(corpus[3][1])),      # near-dups the INDEX -> drop
+        (102, mk()),                      # fresh -> kept
+        (103, t103),                      # in-batch cluster {103, 104}
+        (104, mutate(t103)),              #   -> min id 103 survives
+    ]
+    batch2 = [
+        (200, mutate(t103)),              # near-dups batch-1 SURVIVOR
+        (201, mk()),                      # fresh -> kept
+    ]
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def drop_file(rows, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    drop_file(batch1, "0001")
+    time.sleep(1.2)  # distinct mtimes => deterministic batch order
+    drop_file(batch2, "0002")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = stream_ingest_dedup(
+        stream, idx, out, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    batch_dirs = sorted(glob.glob(f"{out}/batch=*"))
+    # the feedback is only proven if the batches really ran separately
+    assert len(batch_dirs) == 2, batch_dirs
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", out)
+        .parquet(*batch_dirs)
+        .collect()
+    )
+    assert got == [100, 102, 103, 201], got
