@@ -5069,6 +5069,41 @@ def _op_lsh_indexed(spark, sf_dir):
     return _verify_pairs(cand, d)
 
 
+def _op_qsketch_doclen(spark, sf_dir):
+    """Quantile histogram sketch (operators/sketch.py qsketch_build —
+    the HdrHistogram/DDSketch log2/linear bucketing on exact integer
+    arithmetic): per-language document-length distributions as
+    (lang, b, cnt) bucket tables. Bucket ids are pure integer ops
+    (bin length + shiftright), so the DuckDB replay is row-for-row
+    identical; this grouped table is what corpus reports and shard
+    merges carry instead of a full per-group sort at 100 TB."""
+    from fourstore_spark.operators.sketch import qsketch_build
+
+    return qsketch_build(
+        _docs(spark, sf_dir), "n_chars", group_cols=["lang"]
+    )
+
+
+def _op_qsketch_quantiles(spark, sf_dir):
+    """Per-language p50/p90 document length read out of the grouped
+    quantile sketch (qsketch_quantile: rank = ceil(q*N) in the
+    b-ascending CDF, bucket-midpoint value). The bucket table collects
+    bounded-by-construction (<= langs x ~1.9k ids); the readout is
+    deterministic integer arithmetic the oracle replays with a window
+    CDF + the same midpoint algebra."""
+    from fourstore_spark.operators.sketch import qsketch_build, qsketch_quantile
+
+    sk = qsketch_build(_docs(spark, sf_dir), "n_chars", group_cols=["lang"])
+    per: dict[str, list] = {}
+    for row in sk.collect():
+        per.setdefault(row["lang"], []).append((row["b"], row["cnt"]))
+    out = [
+        (lang, *qsketch_quantile(bs, [0.50, 0.90]))
+        for lang, bs in sorted(per.items())
+    ]
+    return spark.createDataFrame(out, "lang string, p50 long, p90 long")
+
+
 def _round12_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # indexed LSH probe -> verification: exact cross-pairs answer
@@ -5090,6 +5125,52 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM g a JOIN g b ON a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
 WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+""",
+    )
+    # quantile histogram: identical integer bucket algebra — bit length
+    # via bin() (no leading zeros in either engine), column-shift >>
+    r["qsketch_doc_lengths"] = (
+        _op_qsketch_doclen,
+        """
+WITH bk AS (
+  SELECT lang,
+         greatest(length(bin(n_chars))-1-5, 0)*32
+         + (n_chars >> greatest(length(bin(n_chars))-1-5, 0)) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT lang, b, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY lang, b
+""",
+    )
+    # quantile readout: window CDF, rank = ceil(q*N), then the exact
+    # bucket-midpoint inversion ((base<<sh) .. ((base+1)<<sh)-1)
+    r["qsketch_quantiles"] = (
+        _op_qsketch_quantiles,
+        """
+WITH bk AS (
+  SELECT lang,
+         greatest(length(bin(n_chars))-1-5, 0)*32
+         + (n_chars >> greatest(length(bin(n_chars))-1-5, 0)) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+),
+g AS (SELECT lang, b, count(*) AS cnt FROM bk GROUP BY lang, b),
+c AS (SELECT lang, b, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM g),
+q AS (SELECT lang,
+             min(CASE WHEN cum >= CAST(ceil(0.50*n) AS BIGINT) THEN b END) AS b50,
+             min(CASE WHEN cum >= CAST(ceil(0.90*n) AS BIGINT) THEN b END) AS b90
+      FROM c GROUP BY lang),
+f AS (SELECT lang, 50 AS pq, b50 AS b FROM q
+      UNION ALL SELECT lang, 90, b90 FROM q),
+m2 AS (SELECT lang, pq, greatest(b//32-1, 0) AS sh,
+              b - greatest(b//32-1, 0)*32 AS base FROM f),
+v2 AS (SELECT lang, pq,
+              ((base << sh) + (((base+1) << sh) - 1)) // 2 AS val FROM m2)
+SELECT lang,
+       CAST(max(CASE WHEN pq=50 THEN val END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN pq=90 THEN val END) AS BIGINT) AS p90
+FROM v2 GROUP BY lang
 """,
     )
     return r

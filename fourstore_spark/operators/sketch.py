@@ -1,9 +1,13 @@
 """Mergeable sketches over corpus-scale key streams: count-min
-(frequency estimation, Cormode & Muthukrishnan 2005) and HyperLogLog
-(distinct counting, Flajolet 2007) — the standard answers to "how
-often does each of these tokens/domains/n-grams occur in 100 TB" and
-"how many distinct ones are there" when the exact groupBy's output
-(one row per DISTINCT key) is itself too large to keep.
+(frequency estimation, Cormode & Muthukrishnan 2005), HyperLogLog
+(distinct counting, Flajolet 2007), KMV/bottom-k (distinct sample,
+Bar-Yossef 2002) and a log2/linear histogram quantile sketch (the
+HdrHistogram/DDSketch bucketing idea on exact integer arithmetic) —
+the standard answers to "how often does each of these tokens/domains/
+n-grams occur in 100 TB", "how many distinct ones are there", "show me
+a uniform sample of them" and "what is the p99 document length" when
+the exact groupBy's output (one row per DISTINCT key / a full sort)
+is itself too large to keep.
 
 Engine-portable and integer-exact by the module discipline
 (sampling.hash_bucket md5 hashing, exact integer counters): the sketch
@@ -372,3 +376,170 @@ def cms_heavy_hitters(
     cand = (candidates or df).select(key_col).distinct()
     est = cms_query(sk, cand, key_col, width=width, depth=depth)
     return est.where(F.col("est") >= threshold)
+
+
+# ------------------------------------------------- quantile histogram
+# Fourth member of the sketch family: mergeable quantiles. The bucket
+# scheme is the HdrHistogram / DDSketch idea — log-spaced buckets give
+# a RELATIVE error guarantee — but on exact integer arithmetic only
+# (bit length + right shift), so the bucket table a DuckDB oracle
+# builds from the same rows is row-for-row identical, unlike a
+# float-log gamma bucketing where a 1-ulp libm difference flips
+# boundary values into the neighbouring bucket.
+#
+# For a value v with magnitude mag and sub_bits = s:
+#     e     = bit_length(mag) - 1          (position of the top bit)
+#     shift = max(e - s, 0)
+#     base  = mag >> shift                 (in [2^s, 2^(s+1)) once e > s)
+#     b     = sign(v) * (shift * 2^s + base),   b = 0 iff v = 0
+# b is monotone in v (so quantiles of b are quantiles of v), exact for
+# |v| < 2^(s+1), and within relative error 2^-(s+1) of v elsewhere
+# (bucket width 2^shift against magnitude >= 2^(s+shift)). The bucket
+# id space is tiny by construction — at most 2*(63-s)*2^s + 2^(s+1)
+# ids over the whole signed 64-bit range (~3.8k at the default s=5) —
+# so sketches collect/broadcast without a guard, and per-shard
+# sketches MERGE BY ADDITION like the CMS.
+
+MAX_SUB_BITS = 12  # 2^12 sub-buckets -> <=~420k ids: still collectable
+
+
+def _qsketch_check(sub_bits: int) -> None:
+    if not 0 <= sub_bits <= MAX_SUB_BITS:
+        raise ValueError(
+            f"sub_bits={sub_bits}: need 0..{MAX_SUB_BITS} (relative "
+            f"error is 2^-(sub_bits+1); 12 is already 0.012%)"
+        )
+
+
+def qsketch_bucket(value: Column, *, sub_bits: int = 5) -> Column:
+    """The histogram bucket id for an integer value column (NULL in,
+    NULL out). Callers quantize real-valued inputs to integer
+    micro-units FIRST (module discipline — the cast here truncates).
+    Pure integer ops (bin + shiftright), engine-portable: DuckDB
+    replays it as
+    ``sign * (greatest(length(bin(mag))-1-s, 0) * 2^s
+    + (mag >> greatest(length(bin(mag))-1-s, 0)))``."""
+    _qsketch_check(sub_bits)
+    s = int(sub_bits)
+    v = value.cast("long")
+    mag = F.abs(v)
+    # bin() renders without leading zeros in both Spark and DuckDB, so
+    # length(bin(mag)) IS bit_length; mag = 0 gives "0" -> e = 0, and
+    # the sign factor zeroes the whole id anyway
+    e = (F.length(F.bin(mag)) - F.lit(1)).cast("int")
+    shift = F.greatest(e - F.lit(s), F.lit(0))
+    base = F.call_function("shiftright", mag, shift)
+    b = shift.cast("long") * F.lit(1 << s) + base
+    sgn = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return sgn * b
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    sub_bits: int = 5,
+    group_cols: tuple[str, ...] | list[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a quantile histogram over an integer value column:
+    DataFrame (*group_cols, b, cnt), one row per non-empty bucket.
+    NULL values are not counted (same convention as cms_build).
+    ``group_cols`` keeps one sketch per group in the same table (e.g.
+    per-language document-length distributions); ``weight_col`` counts
+    each row by a non-negative integer weight (pre-aggregated input —
+    negative weights fail the job, they would corrupt the CDF).
+
+    One scan projection + one map-side-combined groupBy whose output
+    is bounded by groups x ~2*(63-s)*2^s buckets — never by the number
+    of rows. Shard sketches merge by addition (``qsketch_merge``)."""
+    gcols = list(group_cols)
+    b = qsketch_bucket(F.col(value_col), sub_bits=sub_bits)
+    if weight_col:
+        w = F.expr(
+            f"CASE WHEN CAST({weight_col} AS LONG) < 0 THEN "
+            f"CAST(raise_error('qsketch_build: negative weight in "
+            f"{weight_col} corrupts the quantile CDF') AS LONG) "
+            f"ELSE coalesce(CAST({weight_col} AS LONG), 0) END"
+        )
+    else:
+        w = F.lit(1).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, b.alias("b"), w.alias("w"))
+        .groupBy(*gcols, "b")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def qsketch_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
+    """Sum bucket counters — sketches built with the SAME sub_bits
+    (and group_cols) compose into any window without touching the raw
+    data. Bucket ids encode sub_bits implicitly, so a mismatch shows
+    up as interleaved ids with inconsistent CDFs; keep sub_bits in the
+    caller's metadata like kmv_save keeps k."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(*list(group_cols), "b").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def qsketch_bounds(b: int, *, sub_bits: int = 5) -> tuple[int, int]:
+    """Inclusive [lo, hi] value range of a bucket id (driver-side
+    readout helper). Inverts the bucket encoding exactly."""
+    _qsketch_check(sub_bits)
+    if b == 0:
+        return (0, 0)
+    sub = 1 << sub_bits
+    m = abs(b)
+    shift = max(m // sub - 1, 0)
+    base = m - shift * sub
+    lo, hi = base << shift, ((base + 1) << shift) - 1
+    return (lo, hi) if b > 0 else (-hi, -lo)
+
+
+def qsketch_quantile(
+    sketch: DataFrame | list, qs, *, sub_bits: int = 5
+) -> list[int] | int:
+    """Quantile estimates from an UNGROUPED sketch (collects the
+    bucket table — bounded by construction, no guard needed; pass a
+    pre-filtered group's rows for grouped sketches, or the already-
+    collected [(b, cnt), ...] list). For each q in (0, 1]: the
+    midpoint of the bucket holding the rank-ceil(q*N) value in the
+    b-ascending (= value-ascending) CDF — the lower-quantile
+    convention, rank 1 at q -> 0+. The estimate's relative error vs
+    the true rank-q value is <= 2^-(sub_bits+1) (zero when the value
+    landed in an exact small bucket). Scalar q in -> scalar out."""
+    import math
+
+    if isinstance(sketch, DataFrame):
+        rows = [(r["b"], r["cnt"]) for r in sketch.select("b", "cnt").collect()]
+    else:
+        rows = [(int(b), int(c)) for b, c in sketch]
+    scalar = not isinstance(qs, (list, tuple))
+    qlist = [qs] if scalar else list(qs)
+    if not all(0.0 < q <= 1.0 for q in qlist):
+        raise ValueError(f"quantiles must be in (0, 1]: {qlist}")
+    rows.sort()
+    n = sum(c for _, c in rows)
+    if n <= 0:
+        raise ValueError("empty sketch")
+    out = []
+    for q in qlist:
+        rank = max(1, math.ceil(q * n))
+        cum = 0
+        val = None
+        for b, c in rows:
+            cum += c
+            if cum >= rank:
+                lo, hi = qsketch_bounds(b, sub_bits=sub_bits)
+                val = (lo + hi) // 2
+                break
+        out.append(val)
+    return out[0] if scalar else out

@@ -393,6 +393,21 @@ def test_cms_hll_single_shuffle(spark):
         assert plan.count("Exchange") == 1, plan[:3000]
 
 
+def test_qsketch_single_shuffle(spark):
+    """The quantile histogram is the same shape: one scan projection
+    (the integer bucket expression) + one map-side-combined groupBy —
+    exactly ONE Exchange, grouped or not."""
+    from fourstore_spark.operators.sketch import qsketch_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for sk in (
+        qsketch_build(docs, "n_chars"),
+        qsketch_build(docs, "n_chars", group_cols=["lang"]),
+    ):
+        plan = _plan(sk)
+        assert plan.count("Exchange") == 1, plan[:3000]
+
+
 def test_cap_per_group_under_cap_groups_skip_window(spark):
     """cap_per_group's pre-pass claim: when EVERY group is under cap,
     the output equals the input (no rows ranked away) and the hot

@@ -371,3 +371,124 @@ def test_classifier_n_features_hash_modulus_guard(spark):
     w = spark.createDataFrame([(0, 0)], "b long, w_micro long")
     with pytest.raises(ValueError, match="modulus"):
         stream_quality_filter(df, w, n_features=2_000_000)
+
+
+# ------------------------------------------------ quantile histogram
+def _qbucket(v: int, s: int = 5) -> int:
+    if v == 0:
+        return 0
+    mag = abs(v)
+    shift = max(mag.bit_length() - 1 - s, 0)
+    b = shift * (1 << s) + (mag >> shift)
+    return b if v > 0 else -b
+
+
+def test_qsketch_bucket_replica_monotone_bounds(spark):
+    """The bucket id must equal the pure-Python replica exactly (the
+    DuckDB oracle runs the same integer algebra), be monotone in the
+    value (quantiles of b ARE quantiles of v), and invert through
+    qsketch_bounds with relative error <= 2^-(s+1)."""
+    import random
+
+    from fourstore_spark.operators.sketch import (
+        qsketch_bucket,
+        qsketch_bounds,
+    )
+
+    random.seed(42)
+    vals = (
+        [0, 1, -1, 31, 32, 33, 63, 64, 65, 127, 128, 2**20 - 1, 2**20,
+         -(2**40), 2**62 - 1, 2**62, -(2**62)]
+        + [random.randint(-(10**15), 10**15) for _ in range(400)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(7)
+    got = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", qsketch_bucket(F.col("v")).alias("b")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _qbucket(v), v
+        lo, hi = qsketch_bounds(_qbucket(v))
+        assert lo <= v <= hi
+        mid = (lo + hi) // 2
+        assert abs(mid - v) <= abs(v) * 2**-6 + 1  # s=5 -> 2^-(5+1)
+        if abs(v) < 64:  # small buckets are exact
+            assert (lo, hi) == (v, v)
+    svals = sorted(vals)
+    bs = [_qbucket(v) for v in svals]
+    assert bs == sorted(bs)
+
+
+def test_qsketch_build_merge_grouped_weighted(spark):
+    from fourstore_spark.operators.sketch import qsketch_build, qsketch_merge
+
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 5000 - 1000) for i in range(900)]
+    df = spark.createDataFrame(rows, "i long, g string, v long").repartition(9)
+
+    whole = {
+        (r["g"], r["b"]): r["cnt"]
+        for r in qsketch_build(df, "v", group_cols=["g"]).collect()
+    }
+    replica: dict[tuple, int] = {}
+    for _, g, v in rows:
+        k = (g, _qbucket(v))
+        replica[k] = replica.get(k, 0) + 1
+    assert whole == replica
+
+    merged = qsketch_merge(
+        qsketch_build(df.where("i % 2 = 0"), "v", group_cols=["g"]),
+        qsketch_build(df.where("i % 2 = 1"), "v", group_cols=["g"]),
+        group_cols=["g"],
+    )
+    assert {
+        (r["g"], r["b"]): r["cnt"] for r in merged.collect()
+    } == whole
+
+    # weight_col counts pre-aggregated rows; NULL values drop;
+    # negative weights fail the job (they'd corrupt the CDF)
+    agg = spark.createDataFrame(
+        [(100, 7), (None, 99), (100, None), (3, 2)], "v long, n long"
+    )
+    got = {
+        r["b"]: r["cnt"]
+        for r in qsketch_build(agg, "v", weight_col="n").collect()
+    }
+    assert got == {_qbucket(100): 7, _qbucket(3): 2}
+    bad = spark.createDataFrame([(5, -1)], "v long, n long")
+    with pytest.raises(Exception, match="negative weight"):
+        qsketch_build(bad, "v", weight_col="n").collect()
+
+
+def test_qsketch_quantile_accuracy_and_guards(spark):
+    import math
+    import random
+
+    from fourstore_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantile,
+    )
+
+    random.seed(3)
+    vals = [int(random.lognormvariate(8, 2)) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = qsketch_build(df, "v")
+    data = sorted(vals)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    ests = qsketch_quantile(sk, qs)
+    for q, est in zip(qs, ests):
+        true = data[max(1, math.ceil(q * len(data))) - 1]
+        assert abs(est - true) <= abs(true) * 2**-6 + 1, (q, est, true)
+    # scalar in -> scalar out; small-value quantiles are exact
+    exact = spark.createDataFrame([(v,) for v in range(1, 33)], "v long")
+    assert qsketch_quantile(qsketch_build(exact, "v"), 0.5) == 16
+
+    with pytest.raises(ValueError, match="quantiles"):
+        qsketch_quantile(sk, 1.5)
+    with pytest.raises(ValueError, match="empty"):
+        qsketch_quantile(df.limit(0).select(
+            F.col("v").alias("b"), F.col("v").alias("cnt")
+        ), 0.5)
+    with pytest.raises(ValueError, match="sub_bits"):
+        qsketch_build(df, "v", sub_bits=13)
