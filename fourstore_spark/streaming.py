@@ -732,3 +732,154 @@ def stream_ingest_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sketch_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    value_col: str | None = "n_chars",
+    cms_width: int = 2048,
+    cms_depth: int = 5,
+    hll_m: int = 1024,
+    sub_bits: int = 5,
+    trigger_available_now: bool = False,
+):
+    """Sketch-at-ingest: maintain running corpus statistics — token
+    frequencies (count-min), distinct tokens (HyperLogLog) and an
+    integer column's distribution (quantile histogram) — as micro-
+    batches arrive, WITHOUT ever re-scanning landed data. The batch
+    path answers "what are the stats of this corpus"; this is the
+    deployment shape for "what are the stats of the corpus SO FAR" on
+    a crawl that never stops.
+
+    Per micro-batch: build the batch's own bounded sketches (each
+    depth*width / m / bucket-space bounded — batch size never matters)
+    and land them under ``store_path/<kind>/batch=<id>``. Merging is
+    deferred to the reader (``read_sketch_store``): sketches are
+    mergeable by construction, and a groupBy over ALL batch rows costs
+    the same one bounded shuffle as merging two.
+
+    Exactly-once: foreachBatch is at-least-once on retry, and CMS /
+    qsketch counters ADD — a naive read-merge-overwrite of one rolling
+    sketch would double-count every replayed batch (HLL's max would
+    survive, the others not). Batch-id-keyed directories written
+    mode=overwrite make the write idempotent: a replayed batch
+    overwrites its own directory with identical rows. Hyperparameters
+    pin in a ``_sketches.json`` sidecar written after the first
+    successful batch (the kmv_save discipline — a sketch's params are
+    part of its meaning); later batches and readers validate against
+    it."""
+    import json
+    import os
+
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        hll_build,
+        qsketch_build,
+    )
+
+    params = {
+        "cms_width": int(cms_width), "cms_depth": int(cms_depth),
+        "hll_m": int(hll_m), "sub_bits": int(sub_bits),
+        "value_col": value_col,
+    }
+    side = os.path.join(store_path, "_sketches.json")
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        if os.path.isfile(side):
+            with open(side, encoding="utf-8") as fh:
+                stored = json.load(fh)
+            if stored != params:
+                raise ValueError(
+                    f"sketch store {store_path} was built with {stored}, "
+                    f"this stream uses {params}: sketches with different "
+                    "params do not merge — start a new store or match them"
+                )
+        batch = batch_df.localCheckpoint()  # consumed by 2-3 builds
+        toks = batch.select(
+            F.explode(lm_tokens(F.col(text_col))).alias("tok")
+        )
+        cms_build(toks, "tok", width=cms_width, depth=cms_depth).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/cms/batch={batch_id}")
+        hll_build(toks, "tok", m=hll_m).write.mode("overwrite").parquet(
+            f"{store_path}/hll/batch={batch_id}"
+        )
+        if value_col is not None:
+            qsketch_build(batch, value_col, sub_bits=sub_bits).write.mode(
+                "overwrite"
+            ).parquet(f"{store_path}/qsketch/batch={batch_id}")
+        if not os.path.isfile(side):  # written LAST: crashed first
+            with open(side, "w", encoding="utf-8") as fh:  # batch redoes
+                json.dump(params, fh)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch_store(
+    spark, store_path: str
+) -> tuple[dict[str, DataFrame], dict]:
+    """-> ({"cms": ..., "hll": ..., "qsketch": ...}, params): each
+    sketch merged across every landed batch — one bounded groupBy per
+    kind (Spark's partition discovery reads the batch=<id> layout; the
+    merge drops it). Feed params["cms_width"] etc. to cms_query /
+    hll_estimate / qsketch_quantile — never defaults (the sidecar
+    exists so a store built at non-default params cannot be silently
+    misread)."""
+    import json
+    import os
+
+    side = os.path.join(store_path, "_sketches.json")
+    with open(side, encoding="utf-8") as fh:
+        params = json.load(fh)
+    out: dict[str, DataFrame] = {}
+    aggs = {
+        "cms": (["r", "c"], F.sum),
+        "hll": (["j"], F.max),
+        "qsketch": (["b"], F.sum),
+    }
+    for kind, (keys, agg) in aggs.items():
+        sub = os.path.join(store_path, kind)
+        if not os.path.isdir(sub):
+            continue
+        vcol = "cnt" if kind != "hll" else "M"
+        out[kind] = (
+            spark.read.parquet(sub)
+            .groupBy(*keys)
+            .agg(agg(vcol).alias(vcol))
+        )
+    return out, params
+
+
+def compact_sketch_store(spark, store_path: str) -> None:
+    """Collapse all batch directories of each sketch kind into one
+    ``batch=0`` file set — the readout is identical before and after
+    (merge is associative), only the file count changes. The
+    compact_lsh_index local-rename swap: quiesce the writer first."""
+    import os
+
+    merged, _ = read_sketch_store(spark, store_path)
+    for kind, df in merged.items():
+        src = os.path.join(store_path, kind)
+        tmp, old = src + ".compact", src + ".old"
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=0")
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        import shutil
+
+        shutil.rmtree(old)

@@ -378,3 +378,92 @@ def test_stream_ingest_dedup_against_written_index(spark, tmp_path):
         .collect()
     )
     assert got == [100, 102, 103, 201], got
+
+
+def test_stream_sketch_ingest_matches_batch_and_compacts(spark, tmp_path):
+    """Sketch-at-ingest (stream_sketch_ingest): the merged store after
+    a multi-batch availableNow run must equal the batch-mode sketches
+    built over the whole frame (merge-by-addition/max is the whole
+    contract), a replayed batch directory must change nothing
+    (exactly-once via batch-id-keyed overwrite), compaction must
+    preserve the readout, and a mismatched-params stream must refuse
+    the store."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        hll_build,
+        qsketch_build,
+    )
+    from fourstore_spark.streaming import (
+        compact_sketch_store,
+        read_sketch_store,
+        stream_sketch_ingest,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+    )
+    src = tmp_path / "in"
+    for i in range(3):  # three files -> three micro-batches
+        docs.where(f"doc_id % 3 = {i}").write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    store = str(tmp_path / "store")
+    q = stream_sketch_ingest(
+        stream, store, str(tmp_path / "ck"),
+        cms_width=256, cms_depth=3, hll_m=256, sub_bits=4,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    merged, params = read_sketch_store(spark, store)
+    assert params["cms_width"] == 256 and params["sub_bits"] == 4
+    toks = docs.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+
+    def frame(df, *keys):
+        return sorted(tuple(r) for r in df.collect())
+
+    exp_cms = frame(cms_build(toks, "tok", width=256, depth=3))
+    exp_hll = frame(hll_build(toks, "tok", m=256))
+    exp_q = frame(qsketch_build(docs, "n_chars", sub_bits=4))
+    assert frame(merged["cms"]) == exp_cms
+    assert frame(merged["hll"]) == exp_hll
+    assert frame(merged["qsketch"]) == exp_q
+
+    # replayed batch = identical overwrite of its own directory: rerun
+    # batch 0's build into its dir and require an unchanged readout
+    import os
+
+    bdir = sorted(os.listdir(os.path.join(store, "cms")))[0]
+    chunk = docs.where("doc_id % 3 = 0")
+    ctoks = chunk.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    cms_build(ctoks, "tok", width=256, depth=3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, "cms", bdir))
+    merged2, _ = read_sketch_store(spark, store)
+    assert frame(merged2["cms"]) == exp_cms
+
+    compact_sketch_store(spark, store)
+    for kind in ("cms", "hll", "qsketch"):
+        assert os.listdir(os.path.join(store, kind)) == ["batch=0"]
+    merged3, _ = read_sketch_store(spark, store)
+    assert frame(merged3["cms"]) == exp_cms
+    assert frame(merged3["hll"]) == exp_hll
+    assert frame(merged3["qsketch"]) == exp_q
+
+    # params are part of the store's meaning: a mismatched stream fails
+    import pytest as _pytest
+
+    stream2 = spark.readStream.schema(docs.schema).parquet(str(src / "f*"))
+    q2 = stream_sketch_ingest(
+        stream2, store, str(tmp_path / "ck2"),
+        cms_width=512, cms_depth=3, hll_m=256, sub_bits=4,
+        trigger_available_now=True,
+    )
+    with _pytest.raises(Exception, match="do not merge"):
+        q2.awaitTermination(120)
+        raise RuntimeError("stream should have failed")
