@@ -2912,7 +2912,15 @@ _HEAD = [
     "store_append",             # incremental store append
     "service_federated",        # SPARQL 1.1 SERVICE (live endpoint)
     "subselect_join",           # Q1 subselect
-    "exists_not_exists",        # EXISTS/NOT EXISTS
+    "dedup_lsh_indexed",        # LLM: written MinHash-LSH index probe +
+                                #   signature-verified pairs (r12;
+                                #   promoted late-r12 over
+                                #   exists_not_exists — Q1's EXISTS
+                                #   machinery still runs in-window via
+                                #   subselect_join's EXISTS-in-value
+                                #   and stays in the local gate +
+                                #   DAWG/fuzz layers after 8 green
+                                #   rounds)
     "cms_token_counts",         # LLM: count-min sketch (r11; promoted
                                 #   r12 over f_strings — STRLEN/SUBSTR/
                                 #   UCASE/CONCAT/STRSTARTS/REGEX/REPLACE/
@@ -2944,9 +2952,14 @@ _HEAD = [
     "asof_join_salted",         # skew-hardened as-of join (r8)
     "update_all",               # W1-W9 (merged r6; parts past window)
     "http_acl_query",           # S7 HTTP protocol + X1 graph ACLs
-    "trix_roundtrip",           # S3: TriX parse/serialize roundtrip (r9;
-                                #   rotated in r10 — rdf_import_nt to
-                                #   local gate, S3 stays covered)
+    "qsketch_doc_lengths",      # LLM: quantile histogram sketch (r12;
+                                #   promoted late-r12 over
+                                #   trix_roundtrip — S3's TriX/NT/
+                                #   Turtle readers stay in the local
+                                #   gate (rdf_import_nt, trix_roundtrip)
+                                #   + golden/W3C suites after 4 green
+                                #   rounds; serialize_roundtrip keeps
+                                #   the io family in-window)
     "serialize_roundtrip",      # S6
     "dump_restore",             # S5
     "fulltext_all",             # T1+T2+T3+T4
