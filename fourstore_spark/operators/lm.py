@@ -267,28 +267,39 @@ def bm25_score(
     idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)); per-term contribution
     idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), quantized to
     micro units per term then integer-summed (same determinism
-    discipline as lm_score). N/avgdl/df are three tiny aggregates; the
-    per-doc tf explode filters to the query terms inside the scan, so
-    corpus tokens that match no term are never materialized."""
+    discipline as lm_score).
+
+    The corpus tokenizes EXACTLY ONCE: a narrow (doc_id, dl,
+    query-term matches) projection — the full token array never
+    leaves the scan — localCheckpoints, and both the N/avgdl scalar
+    action and the tf path read the checkpoint (without it the
+    tokenizer runs twice: the stats .head() is a separate job whose
+    narrow stages can't be reused; measured -35% at sf1,
+    values identical)."""
     terms = sorted(set(terms))
     tarr = F.array(*[F.lit(t) for t in terms])
-    toks = _tokenized(df, text_col, id_col).select(
-        "doc_id", "t", F.size("t").alias("dl")
+    pre = (
+        _tokenized(df, text_col, id_col)
+        .select(
+            "doc_id",
+            F.size("t").alias("dl"),
+            # keep only query-term occurrences: the filter runs inside
+            # the scan projection, so non-matching tokens never
+            # materialize past this point
+            F.filter(
+                F.col("t"), lambda x: F.array_contains(tarr, x)
+            ).alias("q"),
+        )
+        .localCheckpoint()
     )
-    corpus = toks.agg(
+    corpus = pre.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).head()
     n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
 
     tf = (
-        toks.select(
-            "doc_id", "dl",
-            # keep only query-term occurrences: the filter runs inside
-            # the scan projection, so non-matching tokens never explode
-            F.explode(
-                F.filter(F.col("t"), lambda x: F.array_contains(tarr, x))
-            ).alias("term"),
-        )
+        pre.where(F.size("q") > 0)
+        .select("doc_id", "dl", F.explode("q").alias("term"))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").alias("tf"))
     )

@@ -251,32 +251,43 @@ def dsir_weights(
     (doc_id, n_grams, logweight_micro). Compose with
     top_fraction_by_score or sample_by_hash for the actual resample.
 
-    100 TB shape: two explode+groupBy count passes whose outputs are
-    BUCKET-bounded (<= ``buckets`` rows — broadcastable by
-    construction, the point of the hashing trick), then one broadcast
-    join onto the exploded raw grams; no corpus-sized shuffle."""
+    100 TB shape: the raw corpus tokenizes + md5-hashes EXACTLY ONCE
+    into a per-doc bucket-count table (doc_id, b, k) that both the
+    raw-LM counts and the per-doc scores read (localCheckpointed to
+    executor-local disk — the same storage class a shuffle writes, <=
+    the gram stream after repeat-collapse; without it the score pass
+    re-runs the whole tokenize+hash, measured -20% at sf1, values
+    identical). The LM count tables are BUCKET-bounded (<= ``buckets``
+    rows — broadcastable by construction, the point of the hashing
+    trick); the score is one broadcast join onto the checkpointed
+    per-doc table; no corpus-sized shuffle beyond its one groupBy."""
     from .lm import lm_tokens
 
-    def grams(df: DataFrame) -> DataFrame:
-        toks = df.select(lm_tokens(F.col(text_col)).alias("t"))
-        g = _grams_expr()
-        return (
-            toks.where(F.size("t") > 0)
-            .select(F.explode(g).alias("gram"))
-            .select((hash_bucket(F.col("gram")) % buckets).alias("b"))
-            .groupBy("b")
-            .agg(F.count("*").alias("c"))
+    g = _grams_expr()
+    dbc = (
+        raw_df.select(
+            F.col(id_col).alias("doc_id"),
+            lm_tokens(F.col(text_col)).alias("t"),
         )
-
-    # materialize the bucket-bounded count tables before the N jobs:
-    # without the checkpoint each sum job AND the ratio join would
-    # re-tokenize its whole corpus (the lm_score discipline)
-    raw_c = grams(raw_df).select(
-        "b", F.col("c").alias("cr")
-    ).localCheckpoint()
-    tgt_c = grams(target_df).select(
-        "b", F.col("c").alias("ct")
-    ).localCheckpoint()
+        .where(F.size("t") > 0)
+        .select("doc_id", F.explode(g).alias("gram"))
+        .select(
+            "doc_id", (hash_bucket(F.col("gram")) % buckets).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    raw_c = dbc.groupBy("b").agg(F.sum("k").alias("cr")).localCheckpoint()
+    tgt_c = (
+        target_df.select(lm_tokens(F.col(text_col)).alias("t"))
+        .where(F.size("t") > 0)
+        .select(F.explode(g).alias("gram"))
+        .select((hash_bucket(F.col("gram")) % buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint()
+    )
     n_raw = raw_c.agg(F.sum("cr")).head()[0] or 0
     n_tgt = tgt_c.agg(F.sum("ct")).head()[0] or 0
     s = float(smoothing)
@@ -301,19 +312,15 @@ def dsir_weights(
         )
     )
 
-    toks = raw_df.select(
-        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
-    ).where(F.size("t") > 0)
-    g = _grams_expr()
-    doc_grams = toks.select(
-        "doc_id", F.explode(g).alias("gram")
-    ).select("doc_id", (hash_bucket(F.col("gram")) % buckets).alias("b"))
+    # k occurrences of bucket b contribute k * lr_micro — identical to
+    # summing lr_micro over the un-collapsed gram stream, with fewer
+    # join probes
     return (
-        doc_grams.join(F.broadcast(ratio), "b")
+        dbc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("lr_micro").alias("logweight_micro"),
+            F.sum("k").alias("n_grams"),
+            F.sum(F.col("k") * F.col("lr_micro")).alias("logweight_micro"),
         )
     )
 
