@@ -5117,6 +5117,22 @@ def _op_qsketch_quantiles(spark, sf_dir):
     return spark.createDataFrame(out, "lang string, p50 long, p90 long")
 
 
+def _op_edit_distance(spark, sf_dir):
+    """Blocked edit-distance near-dup (operators/dedup.py
+    edit_distance_pairs): the short-string tier of the dedup family,
+    over the part-name field (a few words — too short to shingle, a
+    one-char typo IS the duplicate signal). Prefix/suffix-4 blocking +
+    lossless length prefilter + JVM levenshtein with the max_dist
+    threshold; dist 0 rows are the exact duplicates. The whole
+    algebra is deterministic and the oracle replays it key-for-key."""
+    from fourstore_spark.operators.dedup import edit_distance_pairs
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return edit_distance_pairs(parts, max_dist=1)
+
+
 def _round12_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # indexed LSH probe -> verification: exact cross-pairs answer
@@ -5184,6 +5200,26 @@ SELECT lang,
        CAST(max(CASE WHEN pq=50 THEN val END) AS BIGINT) AS p50,
        CAST(max(CASE WHEN pq=90 THEN val END) AS BIGINT) AS p90
 FROM v2 GROUP BY lang
+""",
+    )
+    # edit-distance dedup: identical normalize + prefix/suffix-4
+    # blocking + hot-block drop + length prefilter + levenshtein
+    r["dedup_edit_distance"] = (
+        _op_edit_distance,
+        """
+WITH p AS (SELECT p_partkey AS id, lower(trim(p_name)) AS s
+           FROM part WHERE p_name IS NOT NULL AND trim(p_name) != ''),
+k AS (SELECT id, s, 'p:' || substring(s, 1, 4) AS k FROM p
+      UNION ALL
+      SELECT id, s, 's:' || substring(s, greatest(length(s)-3, 1), 4)
+      FROM p),
+ok AS (SELECT k FROM k GROUP BY k HAVING count(*) <= 10000),
+kk AS (SELECT k.* FROM k JOIN ok USING (k)),
+c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM kk a JOIN kk b ON a.k = b.k AND a.id < b.id)
+SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+FROM c
+WHERE abs(length(sa) - length(sb)) <= 1 AND levenshtein(sa, sb) <= 1
 """,
     )
     return r

@@ -1222,3 +1222,83 @@ def compact_lsh_index(spark, path: str) -> None:
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dist: int = 1,
+    block_chars: int = 4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by EDIT DISTANCE with prefix/suffix
+    blocking — the short-string tier of the dedup family. Shingle
+    methods (MinHash/SimHash/n-gram Jaccard) need enough text to
+    shingle; titles, names, questions and queries are a few words, and
+    there a single typo IS the duplicate signal. Output: (id_a, id_b,
+    dist) with id_a < id_b and dist = levenshtein of the normalized
+    (lower+trim) strings, dist <= max_dist — dist 0 rows are the exact
+    duplicates. Compose with components.resolve_duplicate_clusters for
+    cluster/survivor resolution, like the other pair producers.
+
+    Blocking contract (deterministic, engine-replayable — the DuckDB
+    oracle runs the identical algebra): candidates are pairs sharing
+    the first-``block_chars`` or last-``block_chars`` characters of
+    the normalized string (whole string when shorter). A true pair is
+    therefore found unless its edits touch BOTH the first and last
+    window — the standard prefix-blocking recall tradeoff, stated
+    rather than hidden; raise block_chars overlap by lowering
+    block_chars if the field is tiny. The |len(a)-len(b)| <= max_dist
+    prefilter is lossless (edit distance >= length difference), and
+    the JVM levenshtein evaluates with the max_dist early-exit
+    threshold.
+
+    100 TB shape: two shuffles on the block key (self-join) + the
+    distinct; comparisons are sum over blocks of |block|^2, never
+    all-pairs; blocks larger than ``max_block`` drop entirely (the
+    minhash_lsh_candidates max_bucket discipline — a degenerate key
+    like a boilerplate prefix pairs everything with everything and
+    carries no dedup signal)."""
+    if max_dist < 0 or block_chars < 1:
+        raise ValueError(f"need max_dist >= 0, block_chars >= 1")
+    s = F.lower(F.trim(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), s.alias("s")).where(
+        s.isNotNull() & (s != "")
+    )
+    pfx = F.concat(F.lit("p:"), F.substring("s", 1, block_chars))
+    sfx = F.concat(
+        F.lit("s:"),
+        F.expr(
+            f"substring(s, greatest(length(s) - {block_chars - 1}, 1), "
+            f"{block_chars})"
+        ),
+    )
+    keys = base.select(
+        "id", "s", F.explode(F.array(pfx, sfx)).alias("k")
+    )
+    ok = keys.groupBy("k").agg(F.count("*").alias("__n")).where(
+        F.col("__n") <= max_block
+    ).select("k")
+    kk = keys.join(ok, "k")
+    cand = (
+        kk.select("k", F.col("id").alias("id_a"), F.col("s").alias("sa"))
+        .join(
+            kk.select(
+                "k", F.col("id").alias("id_b"), F.col("s").alias("sb")
+            ),
+            "k",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    dist = F.levenshtein("sa", "sb", max_dist)
+    return (
+        cand.where(
+            F.abs(F.length("sa") - F.length("sb")) <= max_dist
+        )
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
+    )

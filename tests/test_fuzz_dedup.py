@@ -270,3 +270,103 @@ def test_semantic_decontaminate_zero_norm_embedding(spark):
     }
     assert got2[2] == (0, False)  # only the orthogonal real pair counts
     assert got2[1] == (None, False)
+
+
+# ------------------------------------------------ edit-distance pairs
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_replica(spark):
+    """Fuzz vs a pure-Python replica of the WHOLE contract (normalize,
+    prefix/suffix-4 blocking, hot-block drop, length prefilter,
+    levenshtein threshold): the reported pair set must be identical —
+    the DuckDB oracle replays the same algebra."""
+    import random
+
+    from fourstore_spark.operators.dedup import edit_distance_pairs
+
+    random.seed(11)
+    words = ["table", "spark", "merge", "query", "widget", "gizmo"]
+    base = [" ".join(random.choice(words) for _ in range(2))
+            for _ in range(60)]
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((i * 3, s))
+        if i % 2 == 0:  # one-char mutation -> dist 1 of its source
+            pos = random.randrange(len(s))
+            rows.append((i * 3 + 1, s[:pos] + "x" + s[pos + 1:]))
+        if i % 5 == 0:  # exact duplicate (case/space variant) -> dist 0
+            rows.append((i * 3 + 2, "  " + s.upper()))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(df, max_dist=1, max_block=50).collect()
+    )
+
+    norm = {i: s.strip().lower() for i, s in rows}
+    from collections import defaultdict
+
+    blocks = defaultdict(set)
+    for i, s in norm.items():
+        blocks["p:" + s[:4]].add(i)
+        blocks["s:" + s[max(len(s) - 4, 0):]].add(i)
+    cand = set()
+    for ids in blocks.values():
+        if len(ids) > 50:
+            continue
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    cand.add((a, b))
+    want = sorted(
+        (a, b, _lev(norm[a], norm[b]))
+        for a, b in cand
+        if abs(len(norm[a]) - len(norm[b])) <= 1
+        and _lev(norm[a], norm[b]) <= 1
+    )
+    assert got == want
+    assert any(d == 0 for _, _, d in got)  # exact dups reported
+    assert any(d == 1 for _, _, d in got)
+
+
+def test_edit_distance_pairs_recall_contract_and_clusters(spark):
+    """The documented miss: edits touching BOTH the first and last
+    block_chars window defeat prefix/suffix blocking. And the pair set
+    composes with resolve_duplicate_clusters like every other pair
+    producer."""
+    from fourstore_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+    from fourstore_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "Xlpha beta gammX"),   # dist 2, edits in BOTH windows
+            (3, "alpha beta gammX"),   # dist 1, prefix block catches it
+            (4, "alpha beta gamma"),   # dist 0 of 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = edit_distance_pairs(df, max_dist=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in pairs.collect()}
+    assert (1, 2) not in got        # the stated blocking miss
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 0
+    # 2 and 3 share the suffix window (both end "gammX") and differ
+    # only at the first char — blocking catches what 1-2 missed, and
+    # transitivity re-links 2 into the cluster anyway:
+    assert got[(3, 4)] == 1 and got[(2, 3)] == 1
+
+    surv = resolve_duplicate_clusters(
+        df, pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert ids == {1}  # one cluster {1,2,3,4} via 2-3; min-id survives
