@@ -237,6 +237,19 @@ h AS (
 SELECT count(*), CAST(SUM(m) AS BIGINT) FROM regs
 """
 
+# quantile histogram (r12): per-language n_chars bucket table — the
+# identical integer bucket algebra as operators/sketch.qsketch_bucket
+DUCK_QSKETCH = """
+WITH bk AS (
+  SELECT lang,
+         greatest(length(bin(n_chars))-1-5, 0)*32
+         + (n_chars >> greatest(length(bin(n_chars))-1-5, 0)) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+), g AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS cnt
+         FROM bk GROUP BY lang, b)
+SELECT count(*), CAST(SUM(b * cnt) AS BIGINT) FROM g
+"""
+
 
 def spark_clf(spark, sf):
     from pyspark.sql import functions as FF
@@ -275,6 +288,16 @@ def spark_hll(spark, sf):
     toks = d.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
     r = hll_build(toks, "tok", m=1024).agg(
         F.count("*"), F.sum("M")
+    ).head()
+    return (r[0], r[1])
+
+
+def spark_qsketch(spark, sf):
+    from fourstore_spark.operators.sketch import qsketch_build
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    r = qsketch_build(d, "n_chars", group_cols=["lang"]).agg(
+        F.count("*"), F.sum(F.col("b") * F.col("cnt"))
     ).head()
     return (r[0], r[1])
 
@@ -672,6 +695,7 @@ def main():
         ("quality_clf", spark_clf, DUCK_CLF),
         ("cms_sketch", spark_cms, DUCK_CMS),
         ("hll_sketch", spark_hll, DUCK_HLL),
+        ("qsketch", spark_qsketch, DUCK_QSKETCH),
     ]
     rows = []
     for sf in dirs:
