@@ -5104,16 +5104,13 @@ def _op_qsketch_quantiles(spark, sf_dir):
     bounded-by-construction (<= langs x ~1.9k ids); the readout is
     deterministic integer arithmetic the oracle replays with a window
     CDF + the same midpoint algebra."""
-    from fourstore_spark.operators.sketch import qsketch_build, qsketch_quantile
+    from fourstore_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_group_quantiles,
+    )
 
     sk = qsketch_build(_docs(spark, sf_dir), "n_chars", group_cols=["lang"])
-    per: dict[str, list] = {}
-    for row in sk.collect():
-        per.setdefault(row["lang"], []).append((row["b"], row["cnt"]))
-    out = [
-        (lang, *qsketch_quantile(bs, [0.50, 0.90]))
-        for lang, bs in sorted(per.items())
-    ]
+    out = qsketch_group_quantiles(sk, [0.50, 0.90], ["lang"])
     return spark.createDataFrame(out, "lang string, p50 long, p90 long")
 
 

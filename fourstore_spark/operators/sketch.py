@@ -543,3 +543,43 @@ def qsketch_quantile(
                 break
         out.append(val)
     return out[0] if scalar else out
+
+
+def qsketch_group_quantiles(
+    sketch: DataFrame,
+    qs,
+    group_cols: tuple[str, ...] | list[str],
+    *,
+    sub_bits: int = 5,
+    max_groups: int = 100_000,
+) -> list[tuple]:
+    """Per-group quantile readout of a GROUPED sketch: [(group...,
+    est_for_q1, est_for_q2, ...)] sorted by group. Collects the bucket
+    table — per-group it is bounded by construction, but the group
+    count is not, hence the ``max_groups`` guard (raise it knowingly,
+    or aggregate upstream; a per-URL-host sketch at 100 TB is million-
+    group territory and belongs in a join against qsketch_bounds
+    midpoints instead of a driver readout)."""
+    gcols = list(group_cols)
+    qlist = list(qs) if isinstance(qs, (list, tuple)) else [qs]
+    n_groups = sketch.select(*gcols).distinct().limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"> {max_groups} groups: collecting this readout would "
+            "materialize an unbounded table on the driver — raise "
+            "max_groups knowingly or aggregate upstream"
+        )
+    per: dict[tuple, list] = {}
+    for row in sketch.select(*gcols, "b", "cnt").collect():
+        key = tuple(row[c] for c in gcols)
+        per.setdefault(key, []).append((row["b"], row["cnt"]))
+    return [
+        (*key, *[
+            int(v) for v in (
+                qsketch_quantile(bs, qlist, sub_bits=sub_bits)
+                if len(qlist) > 1
+                else [qsketch_quantile(bs, qlist[0], sub_bits=sub_bits)]
+            )
+        ])
+        for key, bs in sorted(per.items())
+    ]

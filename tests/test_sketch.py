@@ -492,3 +492,29 @@ def test_qsketch_quantile_accuracy_and_guards(spark):
         ), 0.5)
     with pytest.raises(ValueError, match="sub_bits"):
         qsketch_build(df, "v", sub_bits=13)
+
+
+def test_qsketch_group_quantiles_and_guard(spark):
+    """The grouped readout must equal per-group qsketch_quantile calls
+    (same rank convention), sort by group, and refuse unbounded group
+    counts."""
+    from fourstore_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_group_quantiles,
+        qsketch_quantile,
+    )
+
+    rows = [("g%d" % (i % 3), (i * 13) % 700 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = qsketch_build(df, "v", group_cols=["g"])
+    got = qsketch_group_quantiles(sk, [0.5, 0.9], ["g"])
+    assert [g for g, *_ in got] == ["g0", "g1", "g2"]
+    for g, p50, p90 in got:
+        sub = sk.where(F.col("g") == g).select("b", "cnt")
+        assert [p50, p90] == qsketch_quantile(sub, [0.5, 0.9])
+    # scalar q shape
+    one = qsketch_group_quantiles(sk, 0.5, ["g"])
+    assert [(g, p) for g, p, _ in got] == one
+
+    with pytest.raises(ValueError, match="groups"):
+        qsketch_group_quantiles(sk, 0.5, ["g"], max_groups=2)
