@@ -583,3 +583,49 @@ def qsketch_group_quantiles(
         ])
         for key, bs in sorted(per.items())
     ]
+
+
+def hll_intersect_estimate(
+    a: DataFrame, b: DataFrame, *, m: int = 1024
+) -> float:
+    """Estimated |A ∩ B| of two register tables built with the same m:
+    inclusion-exclusion over the mergeable union —
+    |A| + |B| - |A ∪ B|, each term the standard hll_estimate readout.
+    The union costs one element-wise register max (hll_merge), never a
+    data re-scan — the overlap question ("how many of last month's
+    URLs did we see this month") stays answerable from stored shard
+    sketches alone. Error compounds across the three estimates
+    (~1.04/sqrt(m) each), so small intersections of large sets drown
+    in noise — use KMV sketches' bottom-k overlap when the ratio
+    matters at that extreme; can return slightly negative on
+    noise-dominated inputs (clamp at 0)."""
+    est = (
+        hll_estimate(a, m=m)
+        + hll_estimate(b, m=m)
+        - hll_estimate(hll_merge(a, b), m=m)
+    )
+    return max(est, 0.0)
+
+
+def cms_inner_product(
+    a: DataFrame, b: DataFrame, *, width: int = 2048, depth: int = 5
+) -> int:
+    """Estimated inner product of two count-min sketches built with
+    the same width/depth: min over the depth rows of the per-row
+    cell-wise dot product (Cormode 2005 §4.3) — an estimate of
+    sum over keys of f_A(key) * f_B(key), the unnormalized corpus
+    similarity / join-size estimate. One-sided like the point query:
+    never below the true inner product, above by at most
+    (e/width) * N_A * N_B with probability 1 - e^-depth. The join is
+    cell-aligned (depth*width-bounded on both sides) and the readout
+    collects depth rows."""
+    prod = (
+        a.select("r", "c", F.col("cnt").alias("ca"))
+        .join(b.select("r", "c", F.col("cnt").alias("cb")), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    rows = prod.collect()
+    if len(rows) < depth:
+        return 0  # some row shares no cells -> its dot product is 0
+    return min(r["dot"] for r in rows)

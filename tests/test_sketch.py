@@ -518,3 +518,54 @@ def test_qsketch_group_quantiles_and_guard(spark):
 
     with pytest.raises(ValueError, match="groups"):
         qsketch_group_quantiles(sk, 0.5, ["g"], max_groups=2)
+
+
+def test_hll_intersect_and_cms_inner_product(spark):
+    """The composed readouts: HLL inclusion-exclusion tracks the true
+    overlap within compounded register noise, and the CMS inner
+    product obeys its one-sided contract (never under the true
+    sum-of-products, bounded over)."""
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+        hll_build,
+        hll_intersect_estimate,
+    )
+
+    # |A|=6000, |B|=5000, |A ∩ B|=3000
+    a = spark.createDataFrame([(f"k{i}",) for i in range(6000)], "key string")
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(3000, 8000)], "key string"
+    )
+    est = hll_intersect_estimate(
+        hll_build(a, "key", m=1024), hll_build(b, "key", m=1024), m=1024
+    )
+    assert abs(est - 3000) / 3000 < 0.25  # three compounded ~3% readouts
+
+    # zipf-ish frequency vectors with a known exact inner product
+    fa = {f"w{i}": 200 // (i + 1) + 1 for i in range(40)}
+    fb = {f"w{i}": 120 // (i + 2) + 2 for i in range(20, 60)}
+    da = spark.createDataFrame(
+        [(k,) for k, n in fa.items() for _ in range(n)], "key string"
+    )
+    db = spark.createDataFrame(
+        [(k,) for k, n in fb.items() for _ in range(n)], "key string"
+    )
+    true = sum(fa[k] * fb[k] for k in set(fa) & set(fb))
+    got = cms_inner_product(
+        cms_build(da, "key", width=512, depth=4),
+        cms_build(db, "key", width=512, depth=4),
+        width=512, depth=4,
+    )
+    na, nb = sum(fa.values()), sum(fb.values())
+    assert got >= true
+    assert got - true <= 4 * 2.718 / 512 * na * nb  # 4x slack over E[]
+
+    # disjoint sketches with an empty shared row -> exact zero
+    dx = spark.createDataFrame([("only-a",)], "key string")
+    dy = spark.createDataFrame([("only-b",)], "key string")
+    assert cms_inner_product(
+        cms_build(dx, "key", width=512, depth=4),
+        cms_build(dy, "key", width=512, depth=4),
+        width=512, depth=4,
+    ) >= 0
