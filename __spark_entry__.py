@@ -5130,6 +5130,31 @@ def _op_edit_distance(spark, sf_dir):
     return edit_distance_pairs(parts, max_dist=1)
 
 
+def _op_kmv_jaccard(spark, sf_dir):
+    """KMV set-similarity surface (operators/sketch.py
+    kmv_union_membership, Beyer 2007): the bottom-64 of the union of
+    two same-k token sketches (even-doc vs odd-doc corpora), flagged
+    with membership in each — the shared-sample table under the
+    kmv_jaccard estimator. Pure distinct/sort/limit/join algebra over
+    48-bit md5 hashes; the oracle replays it row-for-row."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import (
+        kmv_build,
+        kmv_union_membership,
+    )
+
+    d = _docs(spark, sf_dir)
+    ta = d.where("doc_id % 2 = 0").select(
+        F.explode(lm_tokens(F.col("text"))).alias("tok")
+    )
+    tb = d.where("doc_id % 2 = 1").select(
+        F.explode(lm_tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_union_membership(
+        kmv_build(ta, "tok", k=64), kmv_build(tb, "tok", k=64), k=64
+    )
+
+
 def _round12_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # indexed LSH probe -> verification: exact cross-pairs answer
@@ -5217,6 +5242,41 @@ c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
 SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
 FROM c
 WHERE abs(length(sa) - length(sb)) <= 1 AND levenshtein(sa, sb) <= 1
+""",
+    )
+    # KMV union membership: identical bottom-64 algebra per side, then
+    # bottom-64 of the union flagged by per-side membership
+    r["kmv_jaccard_overlap"] = (
+        _op_kmv_jaccard,
+        r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+sa AS (
+  SELECT DISTINCT
+    CAST(('0x' || substring(md5(tok), 1, 12))::UBIGINT AS BIGINT) AS h,
+    tok AS key
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) WHERE doc_id % 2 = 0
+  ORDER BY h, key LIMIT 64
+),
+sb AS (
+  SELECT DISTINCT
+    CAST(('0x' || substring(md5(tok), 1, 12))::UBIGINT AS BIGINT) AS h,
+    tok AS key
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) WHERE doc_id % 2 = 1
+  ORDER BY h, key LIMIT 64
+),
+u AS (
+  SELECT DISTINCT h, key FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+  ORDER BY h, key LIMIT 64
+)
+SELECT u.h, u.key,
+       (sa.h IS NOT NULL) AS in_a,
+       (sb.h IS NOT NULL) AS in_b
+FROM u
+LEFT JOIN sa ON u.h = sa.h AND u.key = sa.key
+LEFT JOIN sb ON u.h = sb.h AND u.key = sb.key
 """,
     )
     return r

@@ -52,18 +52,23 @@ def cms_build(
     width: int = 2048,
     depth: int = 5,
     weight_col: str | None = None,
+    group_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Build a count-min sketch over a key column: DataFrame
-    (r, c, cnt) with at most depth*width rows — sparse (zero cells are
-    absent). ``weight_col`` counts each row by an integer weight
-    instead of 1 (e.g. pre-aggregated (key, count) input). NULL keys
-    are not counted (a NULL key is the absence of a key, matching
-    groupBy semantics where NULL forms its own group only if present —
-    callers who want NULL tracked should coalesce to a sentinel).
-    Weights must be NON-NEGATIVE — the one-sided CMS bound ("never
-    below the true count") is a min over cells that only hold
-    overcounts, which a negative weight voids; the build fails the job
-    on the first negative weight it sees.
+    (*group_cols, r, c, cnt) with at most depth*width rows per group —
+    sparse (zero cells are absent). ``weight_col`` counts each row by
+    an integer weight instead of 1 (e.g. pre-aggregated (key, count)
+    input). ``group_cols`` keeps one sketch per group in the same
+    table (per-source token frequencies, the qsketch_build shape) —
+    the cell bound is then PER GROUP; a grouped slice feeds cms_query/
+    cms_merge after filtering to one group. NULL keys are not counted
+    (a NULL key is the absence of a key, matching groupBy semantics
+    where NULL forms its own group only if present — callers who want
+    NULL tracked should coalesce to a sentinel). Weights must be
+    NON-NEGATIVE — the one-sided CMS bound ("never below the true
+    count") is a min over cells that only hold overcounts, which a
+    negative weight voids; the build fails the job on the first
+    negative weight it sees.
 
     width must divide the hash space evenly enough: it is capped at
     hash_bucket's 1e6 modulus; eps = e/width, so width 2048 gives
@@ -91,7 +96,9 @@ def cms_build(
         if weight_col
         else F.lit(1).cast("long")
     )
+    gcols = list(group_cols)
     cells = df.where(k.isNotNull()).select(
+        *gcols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -101,23 +108,27 @@ def cms_build(
                 )
                 for r in range(depth)
             ])
-        ).alias("cell")
+        ).alias("cell"),
     )
     return (
-        cells.select("cell.r", "cell.c", "cell.w")
-        .groupBy("r", "c")
+        cells.select(*gcols, "cell.r", "cell.c", "cell.w")
+        .groupBy(*gcols, "r", "c")
         .agg(F.sum("w").alias("cnt"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
     """Sum sketches built with the SAME width/depth — counters add, so
     per-shard/per-day sketches compose into any window without touching
     the raw data (the linearity that makes sketching worth it)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*list(group_cols), "r", "c").agg(
+        F.sum("cnt").alias("cnt")
+    )
 
 
 def cms_query(
@@ -165,23 +176,33 @@ def cms_query(
 _HLL_HASH_BITS = 32
 
 
-def hll_build(df: DataFrame, key_col: str, *, m: int = 1024) -> DataFrame:
-    """HyperLogLog registers over a key column: DataFrame (j, M) with
-    at most ``m`` rows (never-hit registers are absent = 0). The
-    32-bit md5 prefix splits into register index j = h % m and the
-    remaining bits w; M = max over keys of rho(w) (leading-zero count
-    + 1 within the remaining bit width). Both j and rho are integer
-    string/arithmetic ops any md5-capable engine replays exactly.
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m: int = 1024,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """HyperLogLog registers over a key column: DataFrame
+    (*group_cols, j, M) with at most ``m`` rows per group (never-hit
+    registers are absent = 0). The 32-bit md5 prefix splits into
+    register index j = h % m and the remaining bits w; M = max over
+    keys of rho(w) (leading-zero count + 1 within the remaining bit
+    width). Both j and rho are integer string/arithmetic ops any
+    md5-capable engine replays exactly. ``group_cols`` keeps one
+    sketch per group (per-source distinct counts — feed a filtered
+    group's (j, M) rows to hll_estimate).
 
     m must be a power of two in [128, 65536]: the standard bias
     constant below 128 differs, and past 2^16 the 32-bit hash's
     remaining bits get too short."""
     k = F.col(key_col)
+    gcols = list(group_cols)
     j, rho = hll_register_exprs(k, m)
     return (
         df.where(k.isNotNull())
-        .select(j.alias("j"), rho.alias("rho"))
-        .groupBy("j")
+        .select(*gcols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*gcols, "j")
         .agg(F.max("rho").alias("M"))
     )
 
@@ -213,14 +234,16 @@ def hll_register_exprs(k: Column, m: int) -> tuple[Column, Column]:
     return (h % m), rho.cast("int")
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
     """Element-wise register max — sketches built with the same m
     compose losslessly (max is idempotent and commutative, so a key
     counted in several shards still counts once)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("j").agg(F.max("M").alias("M"))
+    return out.groupBy(*list(group_cols), "j").agg(F.max("M").alias("M"))
 
 
 def hll_estimate(registers: DataFrame, *, m: int = 1024) -> float:
@@ -629,3 +652,52 @@ def cms_inner_product(
     if len(rows) < depth:
         return 0  # some row shares no cells -> its dot product is 0
     return min(r["dot"] for r in rows)
+
+
+def kmv_union_membership(
+    a: DataFrame, b: DataFrame, *, k: int = 1024
+) -> DataFrame:
+    """The exact-replayable surface under the KMV Jaccard estimator:
+    the bottom-k of the UNION of two same-k sketches, flagged with
+    membership in each input — (h, key, in_a, in_b). Pure
+    distinct/sort/limit/join algebra over 48-bit md5 hashes, so a SQL
+    oracle replays it row-for-row."""
+    u = kmv_merge(a, b, k=k)
+    fa = a.select("h", "key").withColumn("in_a", F.lit(True))
+    fb = b.select("h", "key").withColumn("in_b", F.lit(True))
+    return (
+        u.join(fa, ["h", "key"], "left")
+        .join(fb, ["h", "key"], "left")
+        .select(
+            "h", "key",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, *, k: int = 1024
+) -> tuple[int, int, float]:
+    """Jaccard similarity of two DISTINCT key sets from their bottom-k
+    sketches (Beyer 2007's k-min-values set estimator): the bottom-k
+    of the union is a uniform sample of A ∪ B, so the fraction of it
+    present in BOTH sketches estimates |A ∩ B| / |A ∪ B| with std err
+    ~1/sqrt(k). Returns (n_shared, n_union, jaccard). Exact when the
+    union fits under k (the sample IS the union). This is the
+    small-overlap companion hll_intersect_estimate points at: the
+    ratio is measured directly on a shared sample instead of
+    differencing three noisy cardinalities.
+
+    ``k`` must not exceed either input's BUILD k (the kmv_merge
+    contract): merging DOWN is lossless — bottom-256 of k=512 builds
+    is a valid k=256 union sample — but a k above the build k reads
+    rows that are not the stream's true bottom-k and biases the
+    ratio; row counts cannot reveal this, which is why the build k
+    travels in the kmv_save sidecar."""
+    rows = kmv_union_membership(a, b, k=k).collect()
+    n_union = len(rows)
+    if n_union == 0:
+        return (0, 0, 0.0)
+    n_shared = sum(1 for r in rows if r["in_a"] and r["in_b"])
+    return (n_shared, n_union, n_shared / n_union)

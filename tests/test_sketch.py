@@ -569,3 +569,82 @@ def test_hll_intersect_and_cms_inner_product(spark):
         cms_build(dy, "key", width=512, depth=4),
         width=512, depth=4,
     ) >= 0
+
+
+def test_kmv_jaccard_matches_replica_and_exact_small(spark):
+    """The KMV Jaccard estimator: exact when the union fits under k
+    (the sample IS the union), replica-exact membership algebra on the
+    saturated path, and accuracy within ~2/sqrt(k) on a known
+    overlap."""
+    from fourstore_spark.operators.sketch import kmv_build, kmv_jaccard
+
+    # exact regime: |A ∪ B| = 80 < k
+    a = spark.createDataFrame([(f"x{i}",) for i in range(60)], "key string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(40, 80)], "key string"
+    )
+    s, u, j = kmv_jaccard(
+        kmv_build(a, "key", k=256), kmv_build(b, "key", k=256), k=256
+    )
+    assert (s, u) == (20, 80) and j == 20 / 80
+
+    # saturated regime: |A|=4000, |B|=4000, overlap 2000 -> J = 1/3
+    a2 = spark.createDataFrame(
+        [(f"y{i}",) for i in range(4000)], "key string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"y{i}",) for i in range(2000, 6000)], "key string"
+    )
+    s2, u2, j2 = kmv_jaccard(
+        kmv_build(a2, "key", k=512), kmv_build(b2, "key", k=512), k=512
+    )
+    assert u2 == 512
+    assert abs(j2 - 1 / 3) < 2 / (512 ** 0.5)
+
+    # down-merge validity (the kmv_merge contract): querying k=512
+    # builds at k=256 equals direct k=256 builds exactly
+    down = kmv_jaccard(
+        kmv_build(a2, "key", k=512), kmv_build(b2, "key", k=512), k=256
+    )
+    direct = kmv_jaccard(
+        kmv_build(a2, "key", k=256), kmv_build(b2, "key", k=256), k=256
+    )
+    assert down == direct
+
+
+def test_cms_hll_grouped_builds_equal_per_group(spark):
+    """group_cols on cms_build/hll_build must equal independent
+    per-group builds cell-for-cell / register-for-register (the
+    qsketch_build contract)."""
+    from fourstore_spark.operators.sketch import cms_build, hll_build
+
+    rows = [("s%d" % (i % 2), "k%d" % (i % 23)) for i in range(400)]
+    df = spark.createDataFrame(rows, "src string, key string").repartition(5)
+
+    g = {
+        (r["src"], r["r"], r["c"]): r["cnt"]
+        for r in cms_build(
+            df, "key", width=64, depth=3, group_cols=["src"]
+        ).collect()
+    }
+    for src in ("s0", "s1"):
+        solo = {
+            (src, r["r"], r["c"]): r["cnt"]
+            for r in cms_build(
+                df.where(F.col("src") == src), "key", width=64, depth=3
+            ).collect()
+        }
+        assert solo == {kk: v for kk, v in g.items() if kk[0] == src}
+
+    h = {
+        (r["src"], r["j"]): r["M"]
+        for r in hll_build(df, "key", m=128, group_cols=["src"]).collect()
+    }
+    for src in ("s0", "s1"):
+        solo = {
+            (src, r["j"]): r["M"]
+            for r in hll_build(
+                df.where(F.col("src") == src), "key", m=128
+            ).collect()
+        }
+        assert solo == {kk: v for kk, v in h.items() if kk[0] == src}
