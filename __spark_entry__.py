@@ -5155,6 +5155,39 @@ def _op_kmv_jaccard(spark, sf_dir):
     )
 
 
+def _op_langid_scores(spark, sf_dir):
+    """Multi-class language-ID scoring surface (operators/classifier.py
+    langid_scores): per-(doc, lang) mean-pooled integer logits against
+    a deterministic synthesized one-vs-rest weight stack (dense
+    per-lang weights + per-lang biases, the quality_classifier entry's
+    synthesis pattern with a lang-index offset). Every (doc, lang)
+    pair present — an argmax over a missing row is a wrong argmax."""
+    from fourstore_spark.operators.classifier import langid_scores
+
+    d = _docs(spark, sf_dir)
+    langs = sorted(
+        r[0]
+        for r in d.select("lang").where(
+            F.col("lang").isNotNull()
+        ).distinct().collect()
+    )
+    lab = spark.createDataFrame(
+        [(l, i) for i, l in enumerate(langs)], "lang string, li long"
+    )
+    weights = spark.range(4096).crossJoin(lab).select(
+        "lang",
+        F.col("id").alias("b"),
+        (
+            (F.col("id") * F.lit(2654435761) + F.col("li") * F.lit(7919))
+            % 2000001 - 1000000
+        ).alias("w_micro"),
+    )
+    biases = lab.select(
+        "lang", (F.col("li") * F.lit(1000)).alias("bias_micro")
+    )
+    return langid_scores(d, weights, biases, n_features=4096)
+
+
 def _round12_entries() -> dict[str, tuple]:
     r: dict[str, tuple] = {}
     # indexed LSH probe -> verification: exact cross-pairs answer
@@ -5277,6 +5310,39 @@ SELECT u.h, u.key,
 FROM u
 LEFT JOIN sa ON u.h = sa.h AND u.key = sa.key
 LEFT JOIN sb ON u.h = sb.h AND u.key = sb.key
+""",
+    )
+    # one-vs-rest langid scoring: same gram/bucket/mean-pool algebra
+    # as the quality_classifier oracle, crossed with the ranked lang
+    # list and offset per lang index
+    r["langid_scores"] = (
+        _op_langid_scores,
+        f"""
+WITH toks AS ({_LM_TOKS_SQL}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(t, [t[i] || ' ' || t[i + 1]
+                                for i in range(1, len(t))])) AS gram
+  FROM toks
+), f AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 8))::UBIGINT
+              % 1000000 AS BIGINT) % 4096 AS b
+  FROM grams
+), langs AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS li
+  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+), per AS (
+  SELECT f.doc_id, l.lang, l.li,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM((f.b * 2654435761 + l.li * 7919) % 2000001 - 1000000)
+              AS BIGINT) AS s
+  FROM f CROSS JOIN langs l GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, n AS n_grams,
+       CAST(round(1000000.0 * ((li * 1000 + s) / (1000000.0 * n)))
+            AS BIGINT) AS logit_micro
+FROM per
 """,
     )
     return r

@@ -362,3 +362,147 @@ def classifier_score_artifact(
         threshold_micro=meta.get("threshold_micro", 0),
         **kwargs,
     )
+
+
+# ---------------------------------------------------- multi-class langid
+# fastText's second standard role (after the quality filter): language
+# identification. One-vs-rest over the SAME deterministic binary
+# machinery — per label, train_quality_classifier(label-positive,
+# rest-negative) — so every determinism/oracle property (integer
+# micro-weights, hard-sigmoid recurrence, numpy-replica equality)
+# carries over unchanged. Scoring keeps the integer-exact logit
+# surface: per-(doc, lang) mean-pooled logits, argmax in logit space.
+
+MAX_LABELS = 64  # each label trains a full binary pass — K scales cost
+
+
+def train_langid(
+    df: DataFrame,
+    *,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 8,
+    lr: float = 4.0,
+    n_features: int = 4096,
+    max_labels: int = MAX_LABELS,
+) -> tuple[DataFrame, DataFrame]:
+    """One-vs-rest language-ID training: for each distinct label L,
+    fit the binary classifier on (label == L) vs the rest. Returns
+    (weights (lang, b, w_micro), biases (lang, bias_micro)) — both
+    label-count x n_features bounded, broadcastable. Labels collect
+    driver-side (guarded by ``max_labels``: K binary trains is the
+    cost model, and a label explosion usually means an unclean label
+    column, not a real language set)."""
+    labels = sorted(
+        r[0]
+        for r in df.select(label_col).where(
+            F.col(label_col).isNotNull()
+        ).distinct().limit(max_labels + 1).collect()
+    )
+    if len(labels) > max_labels:
+        raise ValueError(
+            f"> {max_labels} distinct labels in {label_col}: each label "
+            "trains a full binary classifier — clean the label column "
+            "or raise max_labels knowingly"
+        )
+    spark = df.sparkSession
+    wparts, brows = [], []
+    for lab in labels:
+        w, bias = train_quality_classifier(
+            df.where(F.col(label_col) == lab),
+            df.where(
+                F.col(label_col).isNotNull() & (F.col(label_col) != lab)
+            ),
+            iters=iters, lr=lr, text_col=text_col, id_col=id_col,
+            n_features=n_features,
+        )
+        wparts.append(w.select(F.lit(lab).alias("lang"), "b", "w_micro"))
+        brows.append((lab, int(bias)))
+    weights = wparts[0]
+    for w in wparts[1:]:
+        weights = weights.unionByName(w)
+    biases = spark.createDataFrame(brows, "lang string, bias_micro long")
+    return weights.localCheckpoint(), biases
+
+
+def langid_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    biases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+) -> DataFrame:
+    """Per-(doc, lang) mean-pooled logits: (doc_id, lang, n_grams,
+    logit_micro) — one row per document per label, INCLUDING labels
+    whose weights hit no bucket (bias-only logit), because an argmax
+    over a missing row is a wrong argmax. Same integer algebra as
+    classifier_logits:
+
+        z = (bias[lang] + sum_g w[lang][b(g)]) / (1e6 * n_grams)
+
+    Shape: the gram-occurrence stream joins the (lang, b) weight table
+    broadcast (inner — only hit buckets), sums per (doc, lang); the
+    per-doc gram totals cross the K-row label list and left-join those
+    sums. Two bounded-output aggregations, no corpus-sized shuffle
+    beyond them; weight table is K x n_features bounded."""
+    if n_features > MAX_FEATURES:
+        raise ValueError(
+            f"n_features={n_features} > hash modulus {MAX_FEATURES}"
+        )
+    from .lm import lm_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    g = toks.select(
+        "doc_id", F.explode(_grams_expr()).alias("gram")
+    ).select(
+        "doc_id", (hash_bucket(F.col("gram")) % n_features).alias("b")
+    )
+    hits = (
+        g.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w_micro").alias("sw"))
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    z = (
+        F.col("bias_micro") + F.coalesce("sw", F.lit(0))
+    ) / (F.lit(MICRO) * F.col("n_grams"))
+    return (
+        totals.join(F.broadcast(biases), how="cross")
+        .join(hits, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang", "n_grams",
+            F.round(z * MICRO, 0).cast("long").alias("logit_micro"),
+        )
+    )
+
+
+def langid_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    biases: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+) -> DataFrame:
+    """Argmax readout of langid_scores: (doc_id, lang, logit_micro)
+    with the highest logit per document, ties broken toward the
+    lexicographically SMALLEST label (deterministic — an argmax that
+    depends on row order is not a contract)."""
+    scores = langid_scores(
+        df, weights, biases,
+        text_col=text_col, id_col=id_col, n_features=n_features,
+    )
+    pick = F.min(
+        F.struct((-F.col("logit_micro")).alias("neg"), "lang")
+    ).alias("p")
+    return scores.groupBy("doc_id").agg(pick).select(
+        "doc_id",
+        F.col("p.lang").alias("lang"),
+        (-F.col("p.neg")).alias("logit_micro"),
+    )

@@ -309,3 +309,113 @@ def test_blank_documents_drop_like_lm_score(spark):
     w = spark.createDataFrame([(0, 0)], "b long, w_micro long")
     got = classifier_logits(df, w, n_features=64).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+# ---------------------------------------------------------- langid OvR
+def test_train_langid_equals_per_label_binary_trains(spark):
+    """One-vs-rest is EXACTLY K binary trains: each label's weight
+    slice and bias must equal a direct train_quality_classifier run on
+    (label, rest) — the determinism contract composes."""
+    from fourstore_spark.operators.classifier import (
+        train_langid,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (i, "en the table of spark merge " * 3 + f"x{i}", "en")
+        for i in range(8)
+    ] + [
+        (100 + i, "fr le table du spark fusion " * 3 + f"y{i}", "fr")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w, b = train_langid(df, iters=3, n_features=256)
+    biases = {r["lang"]: r["bias_micro"] for r in b.collect()}
+    assert set(biases) == {"en", "fr"}
+    for lab in ("en", "fr"):
+        dw, dbias = train_quality_classifier(
+            df.where(F.col("lang") == lab),
+            df.where(F.col("lang") != lab),
+            iters=3, n_features=256,
+        )
+        direct = {(r["b"], r["w_micro"]) for r in dw.collect()}
+        got = {
+            (r["b"], r["w_micro"])
+            for r in w.where(F.col("lang") == lab).select(
+                "b", "w_micro"
+            ).collect()
+        }
+        assert got == direct and biases[lab] == dbias
+
+
+def test_langid_scores_equal_binary_logits_and_predict_ties(spark):
+    """Per-label score slices must equal classifier_logits with that
+    label's weights/bias (same integer algebra), every (doc, label)
+    pair must be present even when no weight bucket hits (bias-only
+    row), and the argmax tie-break is the smallest label."""
+    from fourstore_spark.operators.classifier import (
+        classifier_logits,
+        langid_predict,
+        langid_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    # lang 'aa' weights live on buckets no document hashes into
+    # (n_features buckets exist; pick two unused ones deterministically
+    # by probing the real feature table)
+    from fourstore_spark.operators.classifier import doc_features
+
+    used = {
+        r["b"] for r in doc_features(df, n_features=64).collect()
+    }
+    free = sorted(set(range(64)) - used)[:2]
+    weights = spark.createDataFrame(
+        [("aa", free[0], 500_000), ("aa", free[1], -250_000)]
+        + [("bb", b, 100_000) for b in sorted(used)],
+        "lang string, b long, w_micro long",
+    )
+    biases = spark.createDataFrame(
+        [("aa", 0), ("bb", 0)], "lang string, bias_micro long"
+    )
+    sc = langid_scores(df, weights, biases, n_features=64)
+    rows = {(r["doc_id"], r["lang"]): r for r in sc.collect()}
+    assert set(rows) == {(1, "aa"), (1, "bb"), (2, "aa"), (2, "bb")}
+    # 'aa' hits nothing -> bias-only 0; 'bb' weights every used bucket
+    # at 100_000, so the mean-pooled logit is exactly 100_000
+    for (did, lang), r in rows.items():
+        assert r["logit_micro"] == (0 if lang == "aa" else 100_000)
+    for lang in ("aa", "bb"):
+        direct = {
+            r["doc_id"]: r["logit_micro"]
+            for r in classifier_logits(
+                df,
+                weights.where(F.col("lang") == lang).select("b", "w_micro"),
+                bias_micro=0, n_features=64,
+            ).collect()
+        }
+        for did in (1, 2):
+            assert rows[(did, lang)]["logit_micro"] == direct[did]
+
+    # equal-logit tie (both labels 0 on a bias-only doc set) -> 'aa'
+    tie_w = spark.createDataFrame(
+        [("aa", free[0], 1), ("bb", free[0], 1)],
+        "lang string, b long, w_micro long",
+    )
+    pred = langid_predict(df, tie_w, biases, n_features=64)
+    assert all(r["lang"] == "aa" for r in pred.collect())
+
+
+def test_train_langid_max_labels_guard(spark):
+    import pytest
+
+    from fourstore_spark.operators.classifier import train_langid
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"l{i}") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="distinct labels"):
+        train_langid(df, max_labels=3)
