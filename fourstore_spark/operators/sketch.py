@@ -538,10 +538,23 @@ def qsketch_quantile(
     b-ascending (= value-ascending) CDF — the lower-quantile
     convention, rank 1 at q -> 0+. The estimate's relative error vs
     the true rank-q value is <= 2^-(sub_bits+1) (zero when the value
-    landed in an exact small bucket). Scalar q in -> scalar out."""
+    landed in an exact small bucket). Scalar q in -> scalar out.
+
+    A DataFrame with columns beyond (b, cnt) is refused: selecting
+    just b/cnt from a GROUPED sketch would silently merge every
+    group's histogram into one wrong answer — slice one group first,
+    or use qsketch_group_quantiles."""
     import math
 
     if isinstance(sketch, DataFrame):
+        extra = set(sketch.columns) - {"b", "cnt"}
+        if extra:
+            raise ValueError(
+                f"sketch has extra columns {sorted(extra)}: this looks "
+                "like a GROUPED sketch — quantiles over mixed groups "
+                "are meaningless; filter to one group or use "
+                "qsketch_group_quantiles"
+            )
         rows = [(r["b"], r["cnt"]) for r in sketch.select("b", "cnt").collect()]
     else:
         rows = [(int(b), int(c)) for b, c in sketch]

@@ -648,3 +648,23 @@ def test_cms_hll_grouped_builds_equal_per_group(spark):
             ).collect()
         }
         assert solo == {kk: v for kk, v in h.items() if kk[0] == src}
+
+
+def test_qsketch_quantile_refuses_grouped_sketch(spark):
+    """Selecting b/cnt out of a grouped sketch would silently merge
+    every group's histogram — the readout must refuse instead."""
+    from fourstore_spark.operators.sketch import (
+        qsketch_build,
+        qsketch_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("g0", 5), ("g1", 500)], "g string, v long"
+    )
+    grouped = qsketch_build(df, "v", group_cols=["g"])
+    with pytest.raises(ValueError, match="GROUPED"):
+        qsketch_quantile(grouped, 0.5)
+    # a sliced group works
+    assert qsketch_quantile(
+        grouped.where(F.col("g") == "g0").select("b", "cnt"), 0.5
+    ) == 5
