@@ -542,3 +542,55 @@ def langid_predict(
         F.col("p.lang").alias("lang"),
         (-F.col("p.neg")).alias("logit_micro"),
     )
+
+
+def save_langid(
+    weights: DataFrame,
+    biases: DataFrame,
+    path: str,
+    *,
+    n_features: int = 4096,
+) -> None:
+    """Persist the one-vs-rest stack (the save_classifier shape): the
+    (lang, b, w_micro) weight table and (lang, bias_micro) biases as
+    parquet, with n_features and the label list pinned in a JSON
+    sidecar written LAST (a crashed save rebuilds instead of serving a
+    half-artifact). Scoring under a different n_features would hash
+    grams into different buckets — the sidecar is the contract."""
+    import json
+    import os
+
+    weights.write.mode("overwrite").parquet(
+        os.path.join(path, "weights")
+    )
+    biases.write.mode("overwrite").parquet(os.path.join(path, "biases"))
+    labels = sorted(
+        r["lang"] for r in biases.select("lang").distinct().collect()
+    )
+    with open(
+        os.path.join(path, "_langid.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(
+            {
+                "n_features": int(n_features),
+                "labels": labels,
+                "features": "word unigram+bigram, md5 hash_bucket",
+                "pooling": "mean",
+            },
+            fh,
+        )
+
+
+def load_langid(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """-> (weights, biases, n_features). Feed n_features to
+    langid_scores/langid_predict — never a default."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_langid.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return (
+        spark.read.parquet(os.path.join(path, "weights")),
+        spark.read.parquet(os.path.join(path, "biases")),
+        int(meta["n_features"]),
+    )

@@ -624,6 +624,110 @@ def stream_quality_filter(
     return scored
 
 
+def stream_langid_filter(
+    docs: DataFrame,
+    weights: DataFrame,
+    biases: DataFrame,
+    *,
+    keep_langs: list[str] | None = None,
+    n_features: int = 4096,
+    max_weight_rows: int = 5_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time language filtering — the streaming form of
+    operators.classifier.langid_predict with a PRETRAINED one-vs-rest
+    stack (the CCNet keep-target-languages step, run before anything
+    else touches an arriving page). Emits (doc_id, lang, logit_micro)
+    for the argmax label per document; ``keep_langs`` keeps only
+    documents predicted in the set (None = classify-only).
+
+    Same deployment shape as stream_quality_filter: weights + biases
+    collect once into the task closure (K x n_features bounded by the
+    hashing trick; guard trips only on a mis-built table), scoring is
+    an Arrow-batched STATELESS projection — no shuffle, no state
+    store, the same frame batch or streaming. Semantics equal
+    langid_predict exactly: Spark ``lm_tokens`` tokens, hashlib
+    replays hash_bucket bit-for-bit, half-away-from-zero rounding,
+    every label scored (bias-only included — an argmax over a missing
+    label is a wrong argmax), ties to the smallest label."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from .operators.lm import lm_tokens
+
+    if n_features > 1_000_000:
+        raise ValueError(
+            f"n_features={n_features} > the 1e6 hash_bucket modulus"
+        )
+    w_rows = weights.limit(max_weight_rows + 1).collect()
+    if len(w_rows) > max_weight_rows:
+        raise ValueError(
+            f"weight table exceeds {max_weight_rows} rows — a K-label "
+            "one-vs-rest stack is K x n_features bounded by "
+            "construction (was it built with a different n_features?)"
+        )
+    w: dict[str, dict[int, int]] = {}
+    for r in w_rows:
+        w.setdefault(r["lang"], {})[r["b"]] = r["w_micro"]
+    bias = {r["lang"]: int(r["bias_micro"]) for r in biases.collect()}
+    labels = sorted(set(w) | set(bias))
+    if not labels:
+        raise ValueError("empty one-vs-rest stack: no labels")
+    keep = set(keep_langs) if keep_langs is not None else None
+
+    def _round_half_up(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def _bucket(gram: str) -> int:
+        return (
+            int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        ) % n_features
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for did, toks in zip(pdf["doc_id"], pdf["__t"]):
+                toks = list(toks) if toks is not None else []
+                if not toks:
+                    continue
+                n = 2 * len(toks) - 1
+                sums = {lab: 0 for lab in labels}
+                for i, t in enumerate(toks):
+                    grams = [t]
+                    if i + 1 < len(toks):
+                        grams.append(f"{t} {toks[i + 1]}")
+                    for gram in grams:
+                        b = _bucket(gram)
+                        for lab in labels:
+                            sums[lab] += w.get(lab, {}).get(b, 0)
+                best, best_logit = None, None
+                for lab in labels:  # ascending -> strict > keeps ties low
+                    logit = _round_half_up(
+                        1e6 * ((bias.get(lab, 0) + sums[lab]) / (1e6 * n))
+                    )
+                    if best_logit is None or logit > best_logit:
+                        best, best_logit = lab, logit
+                if keep is None or best in keep:
+                    out.append((did, best, best_logit))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "lang", "logit_micro"]
+            )
+
+    did_t = docs.select(F.col(id_col).alias("doc_id")).schema[
+        "doc_id"
+    ].dataType.simpleString()
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        lm_tokens(F.col(text_col)).alias("__t"),
+    ).mapInPandas(
+        score, f"doc_id {did_t}, lang string, logit_micro long"
+    )
+
+
 def stream_ingest_dedup(
     docs_stream: DataFrame,
     index_path: str,

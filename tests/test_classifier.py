@@ -419,3 +419,76 @@ def test_train_langid_max_labels_guard(spark):
     )
     with pytest.raises(ValueError, match="distinct labels"):
         train_langid(df, max_labels=3)
+
+
+def test_stream_langid_filter_matches_predict_and_artifacts(
+    spark, tmp_path
+):
+    """stream_langid_filter (pretrained OvR stack, stateless Arrow
+    projection) equals batch langid_predict doc-for-doc through a real
+    availableNow run, keep_langs filters on the prediction, and
+    save_langid/load_langid round-trips the stack with n_features
+    pinned."""
+    from fourstore_spark.operators.classifier import (
+        langid_predict,
+        load_langid,
+        save_langid,
+        train_langid,
+    )
+    from fourstore_spark.streaming import stream_langid_filter
+
+    rows = (
+        [(i, "the table of spark merge join " * 2 + f"x{i}", "en")
+         for i in range(6)]
+        + [(50 + i, "le table du spark fusion et " * 2 + f"y{i}", "fr")
+           for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w, b = train_langid(df, iters=4, n_features=512)
+
+    score_docs = [(i, t) for i, t, _ in rows] + [
+        (998, "   "), (999, "mixed le table"),
+    ]
+    sdf = spark.createDataFrame(score_docs, "doc_id long, text string")
+    batch = {
+        tuple(r)
+        for r in langid_predict(sdf, w, b, n_features=512).collect()
+    }
+
+    src = tmp_path / "lstream"
+    for ci in range(2):
+        spark.createDataFrame(
+            [p for p in score_docs if p[0] % 2 == ci],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(src / f"b{ci}"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = stream_langid_filter(stream, w, b, n_features=512)
+    q = (
+        out.writeStream.format("memory").queryName("lf")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM lf").collect()}
+    assert got == batch
+
+    # keep_langs filters on the PREDICTED label
+    kept = {
+        r["doc_id"]
+        for r in stream_langid_filter(
+            sdf, w, b, n_features=512, keep_langs=["en"]
+        ).collect()
+    }
+    assert kept == {d for d, lang, _ in batch if lang == "en"}
+
+    # artifact round-trip pins n_features and replays identically
+    path = str(tmp_path / "langid_model")
+    save_langid(w, b, path, n_features=512)
+    w2, b2, nf = load_langid(spark, path)
+    assert nf == 512
+    again = {
+        tuple(r)
+        for r in langid_predict(sdf, w2, b2, n_features=nf).collect()
+    }
+    assert again == batch
