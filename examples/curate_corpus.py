@@ -2,6 +2,8 @@
 fourstore_spark operators — the canonical order most published pipelines
 (C4, CCNet, Gopher/MassiveWeb, Dolma, RefinedWeb) follow:
 
+    0. langid     — one-vs-rest fastText-style language ID (CCNet's
+                    first step; gate with keep_langs on a real crawl)
     1. scrub      — HTML strip, PII redaction, Unicode NFC
     2. rule gate  — Gopher quality flags (exact scaled-integer rules)
     3. clf gate   — fastText-style hashed n-gram classifier trained on
@@ -16,8 +18,9 @@ fourstore_spark operators — the canonical order most published pipelines
     7. select     — keep the head/middle buckets, cap per source domain
     8. pack/shard — fixed-token-budget packing, deterministic shards
     9. report     — CMS heavy-hitter tokens + HLL distinct-token count
-                    over the final selection (the sketches a 100 TB run
-                    keeps instead of a distinct-key groupBy)
+                    + qsketch doc-length quantiles over the final
+                    selection (the sketches a 100 TB run keeps instead
+                    of a distinct-key groupBy or a full sort)
 
 Run:  python examples/curate_corpus.py [sf_dir]   (default sf0.001)
 
@@ -59,6 +62,23 @@ def curate(spark: SparkSession, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n0 = docs.count()
+
+    # 0. language ID — CCNet's actual FIRST step: a one-vs-rest
+    # fastText-style stack trained on labeled data, argmax per doc.
+    # On a real crawl you would gate here (keep_langs=target set /
+    # streaming.stream_langid_filter at the frontier); the synthetic
+    # demo corpus is language-agnostic word soup, so this run reports
+    # the predicted distribution instead of gating on it
+    from fourstore_spark.operators.classifier import (
+        langid_predict,
+        train_langid,
+    )
+
+    lw, lb = train_langid(docs, iters=4, n_features=2048)
+    n_langs = (
+        langid_predict(docs, lw, lb, n_features=2048)
+        .select("lang").distinct().count()
+    )
 
     # 1. scrub (column-expression stages; normalize_unicode projects to
     # (doc_id, text, changed), so re-attach the metadata columns by id)
@@ -174,6 +194,8 @@ def curate(spark: SparkSession, sf_dir: str):
         cms_heavy_hitters,
         hll_build,
         hll_estimate,
+        qsketch_build,
+        qsketch_quantile,
     )
 
     toks = docs.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
@@ -181,8 +203,16 @@ def curate(spark: SparkSession, sf_dir: str):
         toks, "tok", width=1024, depth=4, threshold=50
     ).count()
     distinct_est = hll_estimate(hll_build(toks, "tok", m=1024), m=1024)
+    # doc-length quantiles from the histogram sketch — the per-shard
+    # mergeable answer to "what does the selected length distribution
+    # look like" (no sort, bucket-bounded)
+    p50, p99 = qsketch_quantile(
+        qsketch_build(docs.select(F.length("text").alias("len")), "len"),
+        [0.50, 0.99],
+    )
     return {
         "input_docs": n0,
+        "langid_langs": n_langs,
         "after_rules": n_rules,
         "after_classifier": n_clf,
         "after_dedup": n_dedup,
@@ -192,6 +222,8 @@ def curate(spark: SparkSession, sf_dir: str):
         "shards": shards.select("shard").distinct().count(),
         "heavy_tokens_ge50": heavy,
         "distinct_tokens_est": round(distinct_est),
+        "len_p50": p50,
+        "len_p99": p99,
     }
 
 

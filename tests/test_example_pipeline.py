@@ -39,6 +39,10 @@ def test_curation_pipeline_end_to_end(spark):
     # tests/test_sketch.py; this is the composition check)
     assert stats["heavy_tokens_ge50"] >= 0
     assert stats["distinct_tokens_est"] > 0
+    # langid step classified every doc into the labeled language set
+    assert 1 <= stats["langid_langs"] <= 5
+    # doc-length quantile sketch: ordered positive readouts
+    assert 0 < stats["len_p50"] <= stats["len_p99"]
 
 
 def test_retrieval_indexes_example(spark, tmp_path):

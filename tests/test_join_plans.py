@@ -419,3 +419,33 @@ def test_cap_per_group_under_cap_groups_skip_window(spark):
     )
     out = cap_per_group(df, "source", 100)
     assert out.count() == 50
+
+
+def test_langid_weights_broadcast_and_edit_distance_no_cartesian(spark):
+    """langid_scores' K x n_features weight stack must BROADCAST onto
+    the gram stream (the classifier_logits pin, multi-class form), and
+    edit_distance_pairs must never plan a cartesian product — its
+    candidate join is a block-key equi-join by construction."""
+    from pyspark.sql import functions as F
+
+    from fourstore_spark.operators.classifier import langid_scores
+    from fourstore_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = spark.createDataFrame(
+        [("en", 0), ("fr", 1)], "lang string, li long"
+    )
+    weights = spark.range(512).crossJoin(lab).select(
+        "lang", F.col("id").alias("b"),
+        ((F.col("id") * 7919 + F.col("li")) % 1001 - 500).alias("w_micro"),
+    )
+    biases = lab.select("lang", (F.col("li") * 100).alias("bias_micro"))
+    plan = _plan(langid_scores(docs, weights, biases, n_features=512))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+    pairs = edit_distance_pairs(
+        docs.select("doc_id", "text"), max_dist=1
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
