@@ -1302,3 +1302,57 @@ def edit_distance_pairs(
         .select("id_a", "id_b", dist.alias("dist"))
         .where(F.col("dist") >= 0)
     )
+
+
+def edit_distance_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dist: int = 1,
+    block_chars: int = 4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Survivors of edit-distance dedup — the shape that survives
+    duplicate-heavy corpora. ``edit_distance_pairs`` emits ID-level
+    pairs, which is what verification and auditing want, but its
+    output is QUADRATIC in duplicate multiplicity: near-dup-ness is a
+    function of the STRING pair, so ten thousand copies of one title
+    are C(10k, 2) dist-0 pairs carrying one bit of information (the
+    synthetic part table at sf3: 600k rows, 64 distinct names —
+    ~3.5e9 id pairs vs 64 strings). Here exact duplicates resolve by
+    groupBy (one representative = min id per distinct normalized
+    string), the blocked levenshtein join runs over the DISTINCT
+    string set only, and connected components + min-id survivors run
+    on the representative graph. Returns the kept rows of ``df``
+    (blank/NULL-text rows pass through — nothing to compare) — same
+    contract as components.resolve_duplicate_clusters over the pair
+    producer, and equal to that composition whenever the hot-block cap
+    bites the same way (equality pinned in tests/test_fuzz_dedup.py;
+    note ``max_block`` here counts DISTINCT STRINGS per block — the
+    quantity that actually bounds comparisons — while the id-level
+    path counts ids, so a block of 10k copies of one title is dropped
+    there and correctly deduped here), without ever materializing an
+    id-level pair."""
+    from .components import resolve_duplicate_clusters
+
+    s = F.lower(F.trim(F.col(text_col)))
+    ids = df.select(F.col(id_col).alias("__id"), s.alias("s")).where(
+        s.isNotNull() & (s != "")
+    )
+    reps = ids.groupBy("s").agg(F.min("__id").alias("rep"))
+    rep_pairs = edit_distance_pairs(
+        reps, text_col="s", id_col="rep",
+        max_dist=max_dist, block_chars=block_chars, max_block=max_block,
+    ).where(F.col("dist") > 0)  # dist-0 pairs impossible on a distinct set
+    surviving_reps = resolve_duplicate_clusters(
+        reps.select("rep"), rep_pairs.select("id_a", "id_b"), id_col="rep"
+    )
+    keep = ids.join(
+        reps.join(surviving_reps.select("rep"), "rep").select("s", "rep"),
+        "s",
+    ).where(F.col("__id") == F.col("rep")).select(
+        F.col("__id").alias(id_col)
+    )
+    blanks = df.where(s.isNull() | (s == "")).select(F.col(id_col))
+    return df.join(keep.unionByName(blanks), id_col, "left_semi")

@@ -370,3 +370,60 @@ def test_edit_distance_pairs_recall_contract_and_clusters(spark):
     )
     ids = {r["doc_id"] for r in surv.collect()}
     assert ids == {1}  # one cluster {1,2,3,4} via 2-3; min-id survives
+
+
+def test_edit_distance_clusters_equals_pair_composition(spark):
+    """edit_distance_clusters (string-level dedup, no id pairs) must
+    keep exactly the rows the naive resolve-over-id-pairs composition
+    keeps when no block is capped — and stay linear where the naive
+    path is quadratic in duplicate multiplicity."""
+    import random
+
+    from fourstore_spark.operators.components import (
+        resolve_duplicate_clusters,
+    )
+    from fourstore_spark.operators.dedup import (
+        edit_distance_clusters,
+        edit_distance_pairs,
+    )
+
+    random.seed(5)
+    words = ["alpha", "beta", "gamma", "delta", "tango"]
+    strings = [" ".join(random.choice(words) for _ in range(2))
+               for _ in range(25)]
+    rows, next_id = [], 0
+    for s in strings:
+        for _ in range(random.randrange(1, 5)):  # duplicate multiplicity
+            rows.append((next_id, s)); next_id += 1
+        if random.random() < 0.5:  # a near-dup variant
+            pos = random.randrange(len(s))
+            rows.append((next_id, s[:pos] + "x" + s[pos + 1:]))
+            next_id += 1
+    rows.append((next_id, "   "))  # blank passes through both paths
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+
+    naive = {
+        r["doc_id"]
+        for r in resolve_duplicate_clusters(
+            df,
+            edit_distance_pairs(df, max_dist=1).select("id_a", "id_b"),
+        ).collect()
+    }
+    fast = {
+        r["doc_id"]
+        for r in edit_distance_clusters(df, max_dist=1).collect()
+    }
+    assert fast == naive
+
+    # degenerate duplicate-heavy input: 3000 copies of one name would
+    # be ~4.5M id pairs; the cluster path compares 2 strings once
+    heavy = spark.createDataFrame(
+        [(i, "same title") for i in range(3000)]
+        + [(9000, "same titlx"), (9001, "other thing")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in edit_distance_clusters(heavy, max_dist=1).collect()
+    }
+    assert kept == {0, 9001}  # min id of the near-dup cluster + loner
