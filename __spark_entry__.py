@@ -2870,6 +2870,11 @@ SELECT doc_id FROM (
 # the driver's verification window: exactly the first 50 registry entries,
 # one per SURVEY §2 / LLM-pipeline component family.
 _HEAD = [
+    # Next-in-line promotion candidates (all full-oracle, local-gate
+    # green through r12): langid_scores, dedup_edit_distance,
+    # kmv_jaccard_overlap, qsketch_quantiles; rotation-out candidates:
+    # long-green rows whose machinery another window row still
+    # exercises (see the per-row notes below for precedent).
     "lm_stupid_backoff",        # LLM: trigram stupid-backoff LM (r9;
                                 #   rotated in r10 — o3_soft_limit_exact
                                 #   to local gate after 9 green rounds,
