@@ -987,3 +987,62 @@ def compact_sketch_store(spark, store_path: str) -> None:
         import shutil
 
         shutil.rmtree(old)
+
+
+def init_sketch_store(
+    docs: DataFrame,
+    store_path: str,
+    *,
+    text_col: str = "text",
+    value_col: str | None = "n_chars",
+    cms_width: int = 2048,
+    cms_depth: int = 5,
+    hll_m: int = 1024,
+    sub_bits: int = 5,
+) -> None:
+    """Bootstrap a sketch store from an EXISTING batch corpus — the
+    missing half of the stream_sketch_ingest lifecycle: a crawl rarely
+    starts from zero; it starts from a landed corpus whose statistics
+    the stream should extend, not recompute. Writes the same layout
+    the stream writes (``<kind>/batch=base`` + the ``_sketches.json``
+    sidecar, sidecar last), so a subsequent stream_sketch_ingest with
+    the SAME params appends its numeric batch ids alongside and
+    read_sketch_store merges seamlessly (bootstrap==rebuild equality
+    pinned in tests/test_streaming.py). Refuses an already-initialized
+    store (re-bootstrapping would double-count the corpus — the same
+    additive-counter hazard the stream's batch-keyed dirs solve)."""
+    import json
+    import os
+
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import (
+        cms_build,
+        hll_build,
+        qsketch_build,
+    )
+
+    side = os.path.join(store_path, "_sketches.json")
+    if os.path.isfile(side):
+        raise ValueError(
+            f"sketch store {store_path} already initialized: "
+            "re-bootstrapping would double-count its corpus (counters "
+            "add) — start a new store or stream increments into it"
+        )
+    params = {
+        "cms_width": int(cms_width), "cms_depth": int(cms_depth),
+        "hll_m": int(hll_m), "sub_bits": int(sub_bits),
+        "value_col": value_col,
+    }
+    toks = docs.select(F.explode(lm_tokens(F.col(text_col))).alias("tok"))
+    cms_build(toks, "tok", width=cms_width, depth=cms_depth).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/cms/batch=base")
+    hll_build(toks, "tok", m=hll_m).write.mode("overwrite").parquet(
+        f"{store_path}/hll/batch=base"
+    )
+    if value_col is not None:
+        qsketch_build(docs, value_col, sub_bits=sub_bits).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/qsketch/batch=base")
+    with open(side, "w", encoding="utf-8") as fh:
+        json.dump(params, fh)

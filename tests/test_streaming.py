@@ -467,3 +467,60 @@ def test_stream_sketch_ingest_matches_batch_and_compacts(spark, tmp_path):
     with _pytest.raises(Exception, match="do not merge"):
         q2.awaitTermination(120)
         raise RuntimeError("stream should have failed")
+
+
+def test_init_sketch_store_bootstrap_then_stream(spark, tmp_path):
+    """The bootstrap-then-stream lifecycle: init_sketch_store over an
+    existing corpus half, stream the other half in, and the merged
+    readout must equal batch sketches over the whole corpus;
+    re-bootstrapping refuses (counters add); compaction of the mixed
+    base+numeric store preserves the readout."""
+    from fourstore_spark.operators.lm import lm_tokens
+    from fourstore_spark.operators.sketch import cms_build, hll_build
+    from fourstore_spark.streaming import (
+        compact_sketch_store,
+        init_sketch_store,
+        read_sketch_store,
+        stream_sketch_ingest,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+    )
+    store = str(tmp_path / "bs_store")
+    init_sketch_store(
+        docs.where("doc_id % 2 = 0"), store,
+        cms_width=128, cms_depth=3, hll_m=128, sub_bits=4,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already initialized"):
+        init_sketch_store(docs, store, cms_width=128, cms_depth=3,
+                          hll_m=128, sub_bits=4)
+
+    src = tmp_path / "bs_in"
+    docs.where("doc_id % 2 = 1").write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "f*"))
+    q = stream_sketch_ingest(
+        stream, store, str(tmp_path / "bs_ck"),
+        cms_width=128, cms_depth=3, hll_m=128, sub_bits=4,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    toks = docs.select(F.explode(lm_tokens(F.col("text"))).alias("tok"))
+    exp_cms = sorted(
+        tuple(r) for r in cms_build(toks, "tok", width=128, depth=3).collect()
+    )
+    exp_hll = sorted(
+        tuple(r) for r in hll_build(toks, "tok", m=128).collect()
+    )
+    merged, params = read_sketch_store(spark, store)
+    assert params["cms_width"] == 128
+    assert sorted(tuple(r) for r in merged["cms"].collect()) == exp_cms
+    assert sorted(tuple(r) for r in merged["hll"].collect()) == exp_hll
+
+    compact_sketch_store(spark, store)
+    merged2, _ = read_sketch_store(spark, store)
+    assert sorted(tuple(r) for r in merged2["cms"].collect()) == exp_cms
