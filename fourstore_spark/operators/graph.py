@@ -107,6 +107,24 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
+    # The contrib groupBy's node set (distinct dst of e_deg) is ALSO
+    # loop-invariant, and the only thing the remaining nodes (no
+    # in-edges) ever receive is the constant teleport base — so the
+    # per-iteration `nodes LEFT JOIN contrib` (a full node-table
+    # shuffle join every pass) collapses to a one-time anti-join whose
+    # constant rows are UNIONed onto each iteration's contrib
+    # projection. Per-iteration work drops from 2 joins + 1 groupBy to
+    # 1 join + 1 groupBy (r12 opt round; values identical — the same
+    # rank recurrence, partitioned by who computes it).
+    noin_ranks = (
+        nodes.join(
+            e_deg.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.lit(base).cast("long").alias("rank"))
+        .localCheckpoint()
+    )
     for step in range(iters):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -117,18 +135,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(m, 0)) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        )
+        ranks = contrib.select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * m) div 100")
+            ).cast("long").alias("rank"),
+        ).unionByName(noin_ranks)
         if (step + 1) % checkpoint_every == 0 and step + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
