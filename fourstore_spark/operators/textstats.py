@@ -23,6 +23,33 @@ STOPWORDS = {
 }
 
 
+# the 68 chars the quality/punct heuristics treat as "not punctuation":
+# ASCII alphanumerics plus Java regex \s = [ \t\n\x0B\f\r]. Counting
+# chars outside this set as length(translate(x, SET, '')) is
+# value-identical to regexp_count(x, '[^a-zA-Z0-9\s]') — both count
+# code points not in the set — but translate is a per-char table lookup
+# where the regex engine steps a matcher per char (r12 optimization
+# round; same trick replaces the per-element aggregate() HOF that
+# summed token lengths in gopher_rules).
+_ALNUM_WS = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789 \t\n\x0b\f\r"
+)
+_WS = " \t\n\x0b\f\r"
+
+
+def _count_outside(text: Column, keep: str) -> Column:
+    """Number of code points of ``text`` NOT in the ``keep`` set
+    (= length after deleting every ``keep`` char)."""
+    return F.length(F.translate(text, keep, ""))
+
+
+def _count_inside(text: Column, chars: str) -> Column:
+    """Number of code points of ``text`` in the ``chars`` set."""
+    return F.length(text) - F.length(F.translate(text, chars, ""))
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed text (empty text -> empty array)."""
     t = F.trim(text)
@@ -39,7 +66,7 @@ def word_token_count(text: Column) -> Column:
     """BPE-ish token estimate: word pieces + punctuation marks counted
     separately (a cheap proxy for tokenizer-length filtering)."""
     words = F.size(F.split(F.trim(text), r"\s+"))
-    puncts = F.regexp_count(text, F.lit(r"[.,;:!?]"))
+    puncts = _count_inside(text, ".,;:!?")
     return (words + puncts).cast("long")
 
 
@@ -80,10 +107,10 @@ def quality_score(text: Column, n_tokens: Column | None = None) -> Column:
     n_tokens = (token_count(text) if n_tokens is None else n_tokens).cast(
         "double"
     )
-    # regexp_count beats length(regexp_replace(...)): counting matches
-    # skips materializing the stripped string per row (~15% on the q8
-    # one-pass scan at sf0.1)
-    punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+    # translate-and-length beats regexp_count (which itself beat
+    # length(regexp_replace(...))): one table-lookup pass per row, no
+    # regex matcher stepping (value-identical; see _ALNUM_WS)
+    punct = _count_outside(text, _ALNUM_WS).cast("double")
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
     mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     length_term = F.least(n_tokens / 100.0, F.lit(1.0))
@@ -128,7 +155,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     bpeish_words = F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(
         F.size("__toks")
     )
-    puncts = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    puncts = _count_inside(t, ".,;:!?")
     scores = {
         lang: F.size(
             F.array_intersect(
@@ -239,9 +266,12 @@ def gopher_rules(
         "doc_id",
         F.size("__t").cast("long").alias("n_words"),
         F.size("__l").cast("long").alias("n_lines"),
-        F.expr(
-            "aggregate(__t, 0L, (a, x) -> a + length(x))"
-        ).alias("word_chars"),
+        # sum of token lengths == count of non-whitespace chars of the
+        # (lowercased) text: one translate pass instead of an
+        # interpreted per-element aggregate() lambda over the array
+        _count_outside(F.lower(F.col("__raw")), _WS)
+        .cast("long")
+        .alias("word_chars"),
         F.regexp_count("__raw", F.lit(r"#|\.\.\.|…"))
         .cast("long")
         .alias("n_symbols"),

@@ -632,3 +632,84 @@ def test_gopher_rules_reference(spark):
     assert not flags[2]["ok_mean_len"]
     assert not flags[6]["ok_alpha"]
     assert not flags[7]["ok_stop"]
+
+
+def test_punct_translate_matches_regex(spark):
+    """r12 perf rewrite: the translate-based punctuation/word-char
+    counters must equal the regex forms they replaced, including on
+    unicode, control chars, case-changing-lower (Istanbul dotted I) and
+    empty/null text."""
+    from fourstore_spark.operators.textstats import (
+        _ALNUM_WS, _WS, _count_inside, _count_outside,
+    )
+
+    rows = [
+        "", " \t\n", "a\x0bb", "héllo, wörld!!",
+        "İstanbul İİ", "emoji \U0001f600 ... test",
+        "1 2\t3\n4\x0c5\r6", "plain words here.", None,
+    ]
+    sdf = spark.createDataFrame([(r,) for r in rows], "text string")
+    t = F.col("text")
+    old_word_chars = F.expr(
+        r"aggregate(CASE WHEN length(trim(lower(text))) = 0 THEN array()"
+        r" ELSE split(trim(lower(text)), '\\s+') END, 0L,"
+        r" (a, x) -> a + length(x))"
+    )
+    for r in sdf.select(
+        _count_outside(t, _ALNUM_WS).alias("n1"),
+        F.regexp_count(t, F.lit(r"[^a-zA-Z0-9\s]")).alias("o1"),
+        _count_inside(t, ".,;:!?").alias("n2"),
+        F.regexp_count(t, F.lit(r"[.,;:!?]")).alias("o2"),
+        _count_outside(F.lower(t), _WS).cast("long").alias("n3"),
+        old_word_chars.alias("o3"),
+    ).collect():
+        assert r["n1"] == r["o1"], r
+        assert r["n2"] == r["o2"], r
+        assert r["n3"] == r["o3"], r
+
+
+def test_ahash_neardup_first_band_dedup(spark):
+    """r12 perf rewrite: ahash_neardup_pairs dedups candidate pairs by
+    keeping only the first colliding band — the result must equal the
+    old dropDuplicates form (one row per qualifying pair), and the plan
+    must carry NO exchange after the band join."""
+    from fourstore_spark.operators.multimodal import ahash_neardup_pairs
+
+    # groups of near-identical hashes (single-bit flips across both
+    # words) plus isolated values; mirrors the trend harness synth
+    h = spark.range(200).select(
+        F.col("id").alias("media_id"),
+        F.expr(
+            "cast((id div 8) * 2654435761 % 4294967296 as bigint)"
+        ).alias("ahash_hi"),
+        F.expr(
+            "cast((id div 8) * 40503 % 4294967296 as bigint) ^ "
+            "(case when id % 8 = 0 then cast(0 as bigint) else "
+            "shiftleft(cast(1 as bigint), cast(id % 29 as int)) end)"
+        ).alias("ahash_lo"),
+    )
+    got = ahash_neardup_pairs(h, max_hamming=6)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    # old-form replica: keep every band collision, hamming filter, dedup
+    banded = []
+    hv = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in h.collect()}
+    exp = {}
+    ids = sorted(hv)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            (ahi, alo), (bhi, blo) = hv[a], hv[b]
+            ham = bin((ahi ^ bhi) & 0xFFFFFFFF).count("1") + bin(
+                (alo ^ blo) & 0xFFFFFFFF
+            ).count("1")
+            collides = any(
+                ((ahi if i >= 4 else alo) >> ((i % 4) * 8)) & 255
+                == ((bhi if i >= 4 else blo) >> ((i % 4) * 8)) & 255
+                for i in range(8)
+            )
+            if collides and ham <= 6:
+                exp[(a, b)] = ham
+    assert rows == exp
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the old dropDuplicates(id_a, id_b) planned a third exchange keyed
+    # on the pair — only the two band-join exchanges may remain
+    assert "hashpartitioning(id_a" not in plan, plan[:2000]
