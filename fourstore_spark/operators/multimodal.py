@@ -583,23 +583,19 @@ def ahash_neardup_pairs(
         "id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bk")
     ).select("id", "ahash_hi", "ahash_lo", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
-    xor_hi = F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
-    xor_lo = F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
-    ham = (F.bit_count(xor_hi) + F.bit_count(xor_lo)).cast("long")
-    # exact pair-dedup WITHOUT a shuffle: a pair colliding on k bands
-    # emits k join rows, but both hashes ride along, so each row can
-    # see every OTHER band's collision too — keep only the row whose
-    # band is the pair's FIRST colliding band. One surviving row per
-    # pair by construction, which deletes the old
-    # dropDuplicates(id_a, id_b) exchange (it shuffled every duplicate
-    # of every candidate pair) from the plan entirely.
-    first_band = F.lit(None).cast("int")
-    for i in reversed(range(8)):
-        src = xor_hi if i >= 4 else xor_lo
-        byte_zero = (
-            F.shiftright(src, (i % 4) * 8).bitwiseAND(F.lit(255)) == 0
-        )
-        first_band = F.when(byte_zero, F.lit(i)).otherwise(first_band)
+    ham = (
+        F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+        + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+    ).cast("long")
+    # hamming-verify INSIDE the join projection, BEFORE the pair dedup:
+    # a pair colliding on k bands emits k duplicates, so deduping first
+    # would shuffle every band collision — filtering first shrinks the
+    # dedup exchange to actual near-duplicates.
+    # (r12 note: a shuffle-free "keep only the first colliding band"
+    # dedup was tried and REVERTED — the extra per-row band-mask CASE
+    # runs on every join-candidate row, which at sf3 measured 8-14%
+    # SLOWER than this small qualifying-pairs exchange; see
+    # OPTIMIZATION_r12.md.)
     return (
         a.join(
             b,
@@ -607,9 +603,10 @@ def ahash_neardup_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .where((ham <= max_hamming) & (F.col("a.band") == first_band))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
