@@ -192,7 +192,10 @@ def _banded_rows(
     one bucket. Shared by the one-shot candidate generator and the
     written index (identical parameters => identical buckets, which is
     what makes index probes comparable to fresh signatures)."""
-    df = _ensure_parallel(df)
+    # spread keyed by the doc id: minhash_signatures' groupBy(__id)
+    # reuses this exchange instead of adding a second one (r12 opt
+    # round — one Exchange + one AQE stage fewer, values identical)
+    df = _ensure_parallel(df, by=[id_col])
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
@@ -1009,7 +1012,7 @@ def write_lsh_index(
     import os
 
     sig = minhash_signatures(
-        _ensure_parallel(df), text_col, id_col,
+        _ensure_parallel(df, by=[id_col]), text_col, id_col,
         num_hashes=num_hashes, shingle_k=shingle_k,
     ).localCheckpoint()  # feeds both the bands and the sigs writes
     banded = _bands_from_sig(
@@ -1065,7 +1068,7 @@ def append_lsh_index(
 
     m = _read_lsh_meta(path)
     sig = minhash_signatures(
-        _ensure_parallel(df), text_col, id_col,
+        _ensure_parallel(df, by=[id_col]), text_col, id_col,
         num_hashes=m["num_hashes"], shingle_k=m["shingle_k"],
     ).localCheckpoint()
     banded = _bands_from_sig(
@@ -1131,7 +1134,7 @@ def lsh_query_index(
     m = _read_lsh_meta(path)
     nh, nd = m["num_hashes"], m["n_dirs"]
     qsig = minhash_signatures(
-        _ensure_parallel(queries), text_col, id_col,
+        _ensure_parallel(queries, by=[id_col]), text_col, id_col,
         num_hashes=nh, shingle_k=m["shingle_k"],
     ).localCheckpoint()
     qb = _bands_from_sig(qsig, num_hashes=nh, bands=m["bands"]).withColumn(
