@@ -567,18 +567,41 @@ def ahash_neardup_pairs(
     h = hashes.where(F.col("ahash_lo").isNotNull()).select(
         F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
     )
-    # one scan, 8-way explode in the projection — NOT a union of 8
-    # selects, which would rescan the hash source per band per join
-    # side (16 scans for the self-join)
-    bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright(
-                F.col("ahash_hi" if i >= 4 else "ahash_lo"), (i % 4) * 8
-            ).bitwiseAND(F.lit(255)).alias("key"),
-        )
-        for i in range(8)
-    ])
+
+    # one scan, banded explode in the projection — NOT a union of
+    # per-band selects, which would rescan the hash source per band per
+    # join side
+    def _bkey(i: int) -> Column:
+        return F.shiftright(
+            F.col("ahash_hi" if i >= 4 else "ahash_lo"), (i % 4) * 8
+        ).bitwiseAND(F.lit(255))
+
+    if max_hamming <= 6:
+        # two-band blocking (r12 opt round): hamming <= 6 flips bits in
+        # at most 6 of the 8 byte-bands, so >= 2 bands stay identical
+        # and every qualifying pair collides on >= 1 of the C(8,2)=28
+        # band PAIRS. Joining on 16-bit pair keys (65536 buckets) instead
+        # of 8-bit single keys (256) cuts the random-collision candidate
+        # count — the join's quadratic term — by ~256x per band pair,
+        # while the banded-row explode only grows 8 -> 28 (linear).
+        # Values identical: the exact bit_count verify keeps the same
+        # survivors, dropDuplicates the same pair set.
+        from itertools import combinations
+
+        bands = F.array(*[
+            F.struct(
+                F.lit(n).alias("band"),
+                F.shiftleft(_bkey(i), 8).bitwiseOR(_bkey(j)).alias("key"),
+            )
+            for n, (i, j) in enumerate(combinations(range(8), 2))
+        ])
+    else:
+        # max_hamming == 7 only guarantees ONE identical band: fall back
+        # to single-byte banding
+        bands = F.array(*[
+            F.struct(F.lit(i).alias("band"), _bkey(i).alias("key"))
+            for i in range(8)
+        ])
     banded = h.select(
         "id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bk")
     ).select("id", "ahash_hi", "ahash_lo", "bk.band", "bk.key")
