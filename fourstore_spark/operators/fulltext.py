@@ -353,6 +353,19 @@ def _dmeta(word: str) -> tuple[str, str]:
 # pandas_udf registration needs a live SparkSession — build lazily
 _UDF_CACHE: dict = {}
 
+# Worker-process memo for the pure (token, lang) -> stem / token ->
+# metaphone functions (r12 opt round, guide §4): the UDFs run per token
+# OCCURRENCE, but Zipf repetition makes distinct tokens orders of
+# magnitude rarer than occurrences, so the pure-Python stemmer loop is
+# mostly recomputing known answers. The dict lives at module level in
+# the Python worker, persisting across Arrow batches AND tasks of the
+# same worker process. Bounded: cleared when it reaches _MEMO_CAP keys
+# (a few tens of MB worst case), so a 100 TB vocabulary can't grow it
+# without bound — after a clear it simply re-warms.
+_MEMO_CAP = 1 << 20
+_STEM_MEMO: dict = {}
+_DMETA_MEMO: dict = {}
+
 
 def lang_stem_udf():
     """(token, lang) -> stem, dispatching per the literal's language tag
@@ -365,15 +378,23 @@ def lang_stem_udf():
 
         @pandas_udf("string")
         def _stem(tokens: pd.Series, langs: pd.Series) -> pd.Series:
-            def one(t, lang):
+            memo = _STEM_MEMO
+            out = []
+            for t, lg in zip(tokens, langs):
                 if not t:
-                    return None
-                fn = stemmer_for(lang if isinstance(lang, str) else None)
-                return fn(t) if fn else None
-
-            return pd.Series(
-                [one(t, lg) for t, lg in zip(tokens, langs)]
-            )
+                    out.append(None)
+                    continue
+                key = (t, lg) if isinstance(lg, str) else (t, None)
+                try:
+                    out.append(memo[key])
+                except KeyError:
+                    fn = stemmer_for(key[1])
+                    v = fn(t) if fn else None
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[key] = v
+                    out.append(v)
+            return pd.Series(out)
 
         _UDF_CACHE["lang_stem"] = _stem
     return _UDF_CACHE["lang_stem"]
@@ -384,11 +405,20 @@ def dmetaphone_udf():
 
         @pandas_udf("array<string>")
         def _dm(tokens: pd.Series) -> pd.Series:
+            memo = _DMETA_MEMO
+
             def keys(t):
                 if not t:
                     return []
-                p, a = _dmeta(t)
-                return [k for k in (p, a) if k]
+                try:
+                    return memo[t]
+                except KeyError:
+                    p, a = _dmeta(t)
+                    v = [k for k in (p, a) if k]
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[t] = v
+                    return v
 
             return tokens.map(keys)
 
