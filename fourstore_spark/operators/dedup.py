@@ -83,6 +83,20 @@ def _derived_hash(h1: Column, h2: Column, i: int) -> Column:
     return h1.bitwiseXOR(rot)
 
 
+def _derived_hash_sql(h1: str, h2: str, i: int) -> str:
+    """SQL-string form of _derived_hash, byte-identical semantics.
+
+    The Column form costs ~8 py4j round trips per hash; at num_hashes=32
+    the aggregate list alone was ~0.75 s of driver wall per query build
+    (cProfile, r12 opt round). One expr() string parses in the JVM in a
+    single call — same parsed expression tree, same values (pinned by the
+    HOF differential in tests/test_fuzz_dedup.py)."""
+    r = i % 64
+    if r == 0:
+        return f"({h1} ^ {h2})"
+    return f"({h1} ^ (shiftleft({h2}, {r}) | shiftrightunsigned({h2}, {64 - r})))"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -102,30 +116,29 @@ def minhash_signatures(
     independent seeded hashes, same LSH geometry. The HOF formulation
     lives in tests/test_fuzz_dedup.py as the differential reference.
     """
-    t = F.lower(F.col(text_col))
+    # selectExpr strings over Column chains: the same parsed expressions
+    # in a handful of py4j calls instead of one call per Column op —
+    # the build phase of this function was ~0.36 s of driver wall per
+    # query (r12 opt round), all socket round trips. Values pinned by
+    # the HOF differential (tests/test_fuzz_dedup.py).
+    idq = id_col.replace("`", "``")
+    tq = text_col.replace("`", "``")
     ex = (
-        df.select(F.col(id_col).alias("__id"), t.alias("__t"))
-        .select(
+        df.selectExpr(f"`{idq}` AS __id", f"lower(`{tq}`) AS __t")
+        .selectExpr(
             "__id",
             "__t",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(F.length("__t") - shingle_k, F.lit(0))
-                )
-            ).alias("__i"),
+            f"explode(sequence(0, greatest(length(__t) - {shingle_k}, 0)))"
+            " AS __i",
         )
-        .select(
-            "__id", F.expr(f"substring(__t, __i + 1, {shingle_k})").alias("__sh")
-        )
-        .select(
-            "__id",
-            F.xxhash64("__sh").alias("__h1"),
-            F.xxhash64("__sh", F.lit(1)).alias("__h2"),
+        .selectExpr("__id", f"substring(__t, __i + 1, {shingle_k}) AS __sh")
+        .selectExpr(
+            "__id", "xxhash64(__sh) AS __h1", "xxhash64(__sh, 1) AS __h2"
         )
     )
     return ex.groupBy("__id").agg(
         *[
-            F.min(_derived_hash(F.col("__h1"), F.col("__h2"), i)).alias(f"__h{i}")
+            F.expr(f"min({_derived_hash_sql('__h1', '__h2', i)}) AS __h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -144,18 +157,13 @@ def _bucket_pairs(
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
         .where((F.size("__ids") > 1) & (F.size("__ids") <= max_bucket))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("__ids"),
-                    i + F.lit(2),
-                    F.size(F.col("__ids")) - i - F.lit(1),
-                ),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # SQL lambda form of the nested transform — the Python-lambda HOFs
+    # cost ~0.2 s of py4j chatter per query build (r12 opt round); the
+    # parsed expression is the same nested transform/slice/struct tree
+    pair_structs = F.expr(
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -207,16 +215,20 @@ def _bands_from_sig(
 ) -> DataFrame:
     """Band/bucket rows from a minhash_signatures frame."""
     rows = num_hashes // bands
-    band_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"__h{b * rows + r}") for r in range(rows)], F.lit(b)
-                ).alias("bucket"),
-            )
+    # one expr() string instead of bands x (struct + xxhash64 + lits)
+    # Column calls — ~0.3 s of py4j round trips per query build at
+    # bands=8 (r12 opt round); identical parsed expressions (the int
+    # literals keep their Python types: `b` is an INT literal on both
+    # paths, so the xxhash64 input bytes are unchanged)
+    band_buckets = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS band, xxhash64("
+            + ", ".join(f"__h{b * rows + r}" for r in range(rows))
+            + f", {b}) AS bucket)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig.select("__id", F.explode(band_buckets).alias("bb")).select(
         "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")

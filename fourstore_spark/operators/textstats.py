@@ -142,6 +142,15 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+# built Column expressions memoized per text_col: Columns are unresolved
+# expression wrappers (they bind to a DataFrame only at select time), so
+# the exact same objects are reusable across queries — constructing this
+# tree costs ~1,000 py4j round trips (~0.4 s of driver wall, measured
+# r12 opt round) and the bench/pipeline case calls text_stats repeatedly
+# in one process. Same values by construction: identical objects.
+_TEXT_STATS_MEMO: dict[str, tuple] = {}
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats frame.
 
@@ -152,42 +161,50 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     scan.  CollapseProject keeps the staging projection separate because
     the arrays are referenced more than once, so codegen evaluates each
     split exactly once per row."""
-    t = F.col(text_col)
-    # n_tokens staged as a scalar count (regexp_count — see token_count)
-    # instead of a materialized token array whose only consumer was
-    # size(); __ltoks stays an array because lang scoring intersects it
-    staged = df.select(
-        "*",
-        token_count(t).alias("__ntok"),
-        F.array_distinct(tokens(F.lower(t))).alias("__ltoks"),
-    )
-    n_tokens = F.col("__ntok")
-    # word_token_count semantics: split(trim(text)) yields [''] (size 1)
-    # for empty text where tokens() yields []
-    bpeish_words = F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(
-        F.col("__ntok")
-    )
-    puncts = _count_inside(t, ".,;:!?")
-    scores = {
-        lang: F.size(
-            F.array_intersect(
-                F.col("__ltoks"), F.array(*[F.lit(w) for w in words])
-            )
+    memo = _TEXT_STATS_MEMO.get(text_col)
+    if memo is None:
+        t = F.col(text_col)
+        # n_tokens staged as a scalar count (regexp_count — see
+        # token_count) instead of a materialized token array whose only
+        # consumer was size(); __ltoks stays an array because lang
+        # scoring intersects it
+        staged_cols = (
+            token_count(t).alias("__ntok"),
+            F.array_distinct(tokens(F.lower(t))).alias("__ltoks"),
         )
-        for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    lang = F.lit("und")
-    for lg in sorted(STOPWORDS, reverse=True):
-        lang = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(lang)
-    return staged.select(
-        "*",
-        n_tokens.alias("n_tokens"),
-        (bpeish_words + puncts).cast("long").alias("n_bpeish_tokens"),
-        lang.alias("lang_guess"),
-        quality_score(t, n_tokens).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
-    ).drop("__ntok", "__ltoks")
+        n_tokens = F.col("__ntok")
+        # word_token_count semantics: split(trim(text)) yields ['']
+        # (size 1) for empty text where tokens() yields []
+        bpeish_words = F.when(F.length(F.trim(t)) == 0, F.lit(1)).otherwise(
+            F.col("__ntok")
+        )
+        puncts = _count_inside(t, ".,;:!?")
+        scores = {
+            lang: F.size(
+                F.array_intersect(
+                    F.col("__ltoks"), F.array(*[F.lit(w) for w in words])
+                )
+            )
+            for lang, words in STOPWORDS.items()
+        }
+        best = F.greatest(*scores.values())
+        lang = F.lit("und")
+        for lg in sorted(STOPWORDS, reverse=True):
+            lang = F.when((best > 0) & (scores[lg] == best), F.lit(lg)).otherwise(
+                lang
+            )
+        out_cols = (
+            n_tokens.alias("n_tokens"),
+            (bpeish_words + puncts).cast("long").alias("n_bpeish_tokens"),
+            lang.alias("lang_guess"),
+            quality_score(t, n_tokens).alias("quality"),
+            fingerprint(t).alias("fingerprint"),
+        )
+        memo = (staged_cols, out_cols)
+        _TEXT_STATS_MEMO[text_col] = memo
+    staged_cols, out_cols = memo
+    staged = df.select("*", *staged_cols)
+    return staged.select("*", *out_cols).drop("__ntok", "__ltoks")
 
 
 def top_ngrams(
