@@ -105,6 +105,40 @@ def bigram_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def _padded_gram_counts(toks: DataFrame, order: int) -> DataFrame:
+    """Fused n-gram counting: ONE corpus pass whose (w1..wN, c) output
+    yields every lower-order count table by re-aggregating the
+    vocab-sized result instead of re-scanning the corpus.
+
+    Emits one row per TOKEN OCCURRENCE — position i carries
+    (t[i], t[i+1], ..., t[i+order-1]) with NULL padding past the end of
+    the document — then one map-side-combined groupBy over the padded
+    tuple. Exact identities (each position is counted exactly once):
+
+        c1(w)        = sum of c over rows with w1 = w
+        c12(a, b)    = sum of c over rows with (w1, w2) = (a, b), w2 != NULL
+        c123(a,b,c)  = the rows with w3 != NULL themselves
+
+    so unigram/bigram(/trigram) tables derived from this output are
+    integer-identical to unigram_counts/bigram_counts/trigram_counts —
+    for the cost of one tokenize+explode scan instead of `order`."""
+    fields = ["t[i] AS w1"] + [
+        f"CASE WHEN i < size(t) - {j} THEN t[i + {j}] END AS w{j + 1}"
+        for j in range(1, order)
+    ]
+    padded = F.expr(
+        "transform(sequence(0, size(t) - 1), "
+        f"i -> struct({', '.join(fields)}))"
+    )
+    cols = [f"p.w{j + 1}" for j in range(order)]
+    return (
+        toks.select(F.explode(padded).alias("p"))
+        .select(*cols)
+        .groupBy(*[f"w{j + 1}" for j in range(order)])
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def lm_score(
     df: DataFrame,
     unigrams: DataFrame | None = None,
@@ -131,6 +165,12 @@ def lm_score(
     dropped mass falls back to the smoothed floor ln(k / (c1 + k*V)),
     and the now-small LM broadcasts instead of shuffling the corpus.
     """
+    # NOTE (r12): a fused padded-pair count pass (_padded_gram_counts,
+    # kept for stupid_backoff_score where it removes THREE corpus
+    # passes) was tried here too and REVERTED by measurement: lm_score
+    # only saves the cheap token-explode pass (3 -> 2 scans) while
+    # paying a heavier padded explode + an extra checkpoint job —
+    # interleaved A/B best-of-4: sf1 10.2 -> 11.9 s, sf3 29.3 -> 29.9 s.
     self_train = unigrams is None and bigrams is None and prune_top is None
     if unigrams is None:
         unigrams = unigram_counts(df, text_col, id_col)
@@ -388,13 +428,32 @@ def stupid_backoff_score(
         .select("doc_id", F.explode(tri).alias("p"))
         .select("doc_id", "p.w1", "p.w2", "p.w3")
     )
-    uni = unigram_counts(train_df, text_col, id_col)
-    big = bigram_counts(train_df, text_col, id_col)
-    tric = trigram_counts(train_df, text_col, id_col)
+    # FUSED counting: uni/big/tric all derive from ONE padded-trigram
+    # corpus pass over train_df (see _padded_gram_counts). The previous
+    # form paid FIVE train-corpus tokenize+explode passes — unigram
+    # counts (materialized), bigram counts TWICE (c12 and c23 are
+    # separate consumers of an unmaterialized plan), trigram counts —
+    # where one suffices; counts are integer-identical by construction.
+    counts = _padded_gram_counts(
+        _tokenized(train_df, text_col, id_col), 3
+    ).localCheckpoint()
+    tric = counts.where(F.col("w3").isNotNull()).select(
+        "w1", "w2", "w3", F.col("c").alias("c123")
+    )
+    # big feeds two scoring joins (c12 context + c23 backoff) — derive
+    # it once from the checkpoint and materialize (bigram-vocab-sized)
+    big = (
+        counts.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c12"))
+        .localCheckpoint()
+    )
     # materialize the vocab-sized table before the N job: uni feeds two
     # scoring joins AND this aggregate — without the checkpoint each
-    # use re-tokenizes the training corpus (lm_score discipline)
-    uni = uni.localCheckpoint()
+    # use re-reads the gram-count checkpoint (lm_score discipline)
+    uni = (
+        counts.groupBy("w1").agg(F.sum("c").alias("c1")).localCheckpoint()
+    )
     n_tokens = uni.agg(F.sum("c1")).head()[0]
 
     c12 = big.select(

@@ -143,6 +143,41 @@ def test_hashed_surfaces_are_integer(docs):
     assert all(f.dataType.typeName() == "long" for f in bs.schema.fields)
 
 
+def test_padded_gram_counts_match_classic_tables(docs):
+    """The r12 fused count pass (one padded-gram scan feeding every
+    lower-order table) must be integer-identical to the classic
+    per-order passes — including the 1-token / 2-token / blank-doc
+    edges where the NULL padding does the boundary accounting."""
+    from fourstore_spark.operators.lm import (
+        _padded_gram_counts,
+        _tokenized,
+        trigram_counts,
+    )
+
+    toks = _tokenized(docs, "text", "doc_id")
+    c2 = _padded_gram_counts(toks, 2)
+    uni = {r["w1"]: r["c1"] for r in
+           c2.groupBy("w1").agg(F.sum("c").alias("c1")).collect()}
+    assert uni == {r["w1"]: r["c1"] for r in unigram_counts(docs).collect()}
+    big = {(r["w1"], r["w2"]): r["c"] for r in
+           c2.where(F.col("w2").isNotNull()).collect()}
+    assert big == {(r["w1"], r["w2"]): r["c12"]
+                   for r in bigram_counts(docs).collect()}
+
+    c3 = _padded_gram_counts(toks, 3)
+    uni3 = {r["w1"]: r["c1"] for r in
+            c3.groupBy("w1").agg(F.sum("c").alias("c1")).collect()}
+    assert uni3 == uni
+    big3 = {(r["w1"], r["w2"]): r["c12"] for r in
+            c3.where(F.col("w2").isNotNull())
+            .groupBy("w1", "w2").agg(F.sum("c").alias("c12")).collect()}
+    assert big3 == big
+    tri3 = {(r["w1"], r["w2"], r["w3"]): r["c"] for r in
+            c3.where(F.col("w3").isNotNull()).collect()}
+    assert tri3 == {(r["w1"], r["w2"], r["w3"]): r["c123"]
+                    for r in trigram_counts(docs).collect()}
+
+
 def test_no_cartesian_in_scoring_plan(docs):
     plan = lm_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
