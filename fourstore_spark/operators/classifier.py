@@ -224,7 +224,16 @@ def train_quality_classifier(
             F.col(text_col).alias(text_col),
         )
     )
-    # one tokenization for all iterations (lm_score discipline)
+    # one tokenization for all iterations (lm_score discipline),
+    # PRE-PARTITIONED BY doc_id (r13, guide §2.4/§5): doc_features'
+    # output is keyed (doc_id, b), which does NOT satisfy the training
+    # window's ClusteredDistribution(doc_id) — without this repartition
+    # every one of the ``iters`` window aggregates re-exchanged the
+    # whole feature table to doc_id. localCheckpoint preserves the
+    # physical output partitioning, so the per-iteration plan is now
+    # exchange-free up to the n_features-bounded gradient groupBy.
+    # The partition count derives from the cluster (defaultParallelism),
+    # not a local constant.
     feats = (
         doc_features(
             labeled, text_col=text_col, id_col="__id",
@@ -235,6 +244,7 @@ def train_quality_classifier(
             F.when(F.col("doc_id").startswith("p:"), F.lit(1))
             .otherwise(F.lit(0)),
         )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .localCheckpoint()
     )
     n_docs = feats.select("doc_id").distinct().count()
@@ -431,6 +441,9 @@ def train_langid(
             "or raise max_labels knowingly"
         )
     spark = df.sparkSession
+    # pre-partitioned by doc_id for the same reason as
+    # train_quality_classifier: K labels x ``iters`` window aggregates
+    # all reuse this one exchange (r13)
     feats_lab = (
         doc_features(
             base, text_col=text_col, id_col=id_col, n_features=n_features
@@ -442,6 +455,7 @@ def train_langid(
             ),
             "doc_id",
         )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .localCheckpoint()
     )
     n_docs = feats_lab.select("doc_id").distinct().count()

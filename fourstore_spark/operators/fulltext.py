@@ -405,22 +405,29 @@ def dmetaphone_udf():
 
         @pandas_udf("array<string>")
         def _dm(tokens: pd.Series) -> pd.Series:
+            # batch-dedup on top of the cross-batch memo (r13, guide
+            # §4.2): the pure-Python _dmeta state machine runs once per
+            # DISTINCT token of the batch (pd.unique), and the
+            # per-OCCURRENCE expansion is one C-level dict map instead
+            # of a Python closure call with try/except per row. The
+            # batch-local ``lookup`` also carries the ''/None -> []
+            # rows and survives a mid-batch memo clear.
             memo = _DMETA_MEMO
-
-            def keys(t):
+            lookup = {}
+            for t in pd.unique(tokens):
                 if not t:
-                    return []
+                    lookup[t] = []
+                    continue
                 try:
-                    return memo[t]
+                    lookup[t] = memo[t]
                 except KeyError:
                     p, a = _dmeta(t)
                     v = [k for k in (p, a) if k]
                     if len(memo) >= _MEMO_CAP:
                         memo.clear()
                     memo[t] = v
-                    return v
-
-            return tokens.map(keys)
+                    lookup[t] = v
+            return tokens.map(lookup)
 
         _UDF_CACHE["dmeta"] = _dm
     return _UDF_CACHE["dmeta"]

@@ -131,8 +131,15 @@ def _padded_gram_counts(toks: DataFrame, order: int) -> DataFrame:
         f"i -> struct({', '.join(fields)}))"
     )
     cols = [f"p.w{j + 1}" for j in range(order)]
+    # guard, not just a precondition: for size(t) = 0 Spark's
+    # sequence(0, -1) DESCENDS ([0, -1]) and would emit two all-NULL
+    # rows per blank doc, corrupting c1 and n_tokens (or raising
+    # INVALID_ARRAY_INDEX under ANSI). Current callers pass _tokenized
+    # output (already size > 0) so this filter drops nothing today —
+    # it pins the invariant for future callers (ADVICE r12).
     return (
-        toks.select(F.explode(padded).alias("p"))
+        toks.where(F.size("t") > 0)
+        .select(F.explode(padded).alias("p"))
         .select(*cols)
         .groupBy(*[f"w{j + 1}" for j in range(order)])
         .agg(F.count("*").alias("c"))
@@ -434,6 +441,14 @@ def stupid_backoff_score(
     # counts (materialized), bigram counts TWICE (c12 and c23 are
     # separate consumers of an unmaterialized plan), trigram counts —
     # where one suffices; counts are integer-identical by construction.
+    # Storage tradeoff (ADVICE r12): this checkpoint is TRIGRAM-vocab-
+    # sized — the largest table in the pipeline — where the pre-fusion
+    # form only materialized the unigram table. localCheckpoint stores
+    # MEMORY_AND_DISK: blocks that exceed executor storage memory spill
+    # to executor-local disk (the same storage class a shuffle write
+    # uses), so at the 100 TB design point the cost is disk footprint
+    # and eviction pressure, not an OOM mode; the three saved corpus
+    # tokenize+explode scans dominate that cost off the local job floor.
     counts = _padded_gram_counts(
         _tokenized(train_df, text_col, id_col), 3
     ).localCheckpoint()

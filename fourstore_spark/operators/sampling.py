@@ -126,13 +126,20 @@ def top_fraction_by_score(
     """
     import math
 
-    hist = df.groupBy(score_col).count().collect()
-    if len(hist) > max_distinct_scores:
+    # materialize the histogram ONCE on the executors, then probe its
+    # cardinality BEFORE any driver collect: with an unrounded float
+    # score the histogram is corpus-sized and the old
+    # collect-then-check ordering OOMed the driver inside the collect
+    # the guard exists to prevent (guide §5 driver discipline)
+    hist_df = df.groupBy(score_col).count().localCheckpoint()
+    n_distinct = hist_df.limit(max_distinct_scores + 1).count()
+    if n_distinct > max_distinct_scores:
         raise ValueError(
-            f"{len(hist)} distinct {score_col!r} values exceed "
-            f"max_distinct_scores={max_distinct_scores}: round the score "
-            "(the histogram threshold walk is driver-side by design)"
+            f"over {max_distinct_scores} distinct {score_col!r} values "
+            f"exceed max_distinct_scores={max_distinct_scores}: round the "
+            "score (the histogram threshold walk is driver-side by design)"
         )
+    hist = hist_df.collect()
     n = sum(r["count"] for r in hist)
     k = math.ceil(frac * n)
     if k <= 0:

@@ -505,17 +505,26 @@ def kmeans_fit(
     """
     import numpy as np
 
+    # decode/normalize the vector table ONCE per fit (r13, guide §5):
+    # every iteration previously re-derived its assignment from the raw
+    # corpus — ``iters`` (+2 for the dim probe and seeding) full parquet
+    # scans and vec->double decodes where one suffices. The checkpoint
+    # is the narrow (id, double[]) projection only; values are identical
+    # (the same cast was applied inside each iteration before).
+    base = corpus.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint()
     if dim is None:
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        dim = base.select(F.size(F.col(vec_col))).first()[0]
     seed_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        base.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     cents = np.array([list(r[1]) for r in seed_rows], dtype="float64")
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     k = len(cents)
     for _ in range(iters):
         assigned = ivf_assign(
-            corpus, [[float(x) for x in c] for c in cents], id_col, vec_col
+            base, [[float(x) for x in c] for c in cents], id_col, vec_col
         )
         v = _to_double(F.col(vec_col))
         means = (

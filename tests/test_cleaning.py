@@ -422,6 +422,31 @@ def test_top_fraction_by_score_exact_threshold_and_ties(spark):
     assert kept2 == [0, 1, 2, 10, 11, 12, 13, 14]
 
 
+def test_top_fraction_guard_probes_before_collect(spark):
+    """The max_distinct_scores guard must fire from a bounded
+    cardinality probe, not after collecting the (potentially
+    corpus-sized) histogram to the driver (VERDICT r12 #4)."""
+    import pytest
+
+    from fourstore_spark.operators.sampling import top_fraction_by_score
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, q double"
+    )
+    with pytest.raises(ValueError, match="max_distinct_scores"):
+        top_fraction_by_score(
+            docs, 0.5, "q", "doc_id", max_distinct_scores=3
+        )
+    # at exactly the bound the walk still runs and stays exact
+    kept = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(
+            docs, 0.3, "q", "doc_id", max_distinct_scores=10
+        ).collect()
+    )
+    assert kept == [7, 8, 9]
+
+
 def test_dedup_lines_drop_all_and_rebuild(spark):
     docs = spark.createDataFrame(
         [
