@@ -225,15 +225,23 @@ def train_quality_classifier(
         )
     )
     # one tokenization for all iterations (lm_score discipline),
-    # PRE-PARTITIONED BY doc_id (r13, guide §2.4/§5): doc_features'
-    # output is keyed (doc_id, b), which does NOT satisfy the training
-    # window's ClusteredDistribution(doc_id) — without this repartition
-    # every one of the ``iters`` window aggregates re-exchanged the
-    # whole feature table to doc_id. localCheckpoint preserves the
-    # physical output partitioning, so the per-iteration plan is now
-    # exchange-free up to the n_features-bounded gradient groupBy.
-    # The partition count derives from the cluster (defaultParallelism),
-    # not a local constant.
+    # PRE-PARTITIONED AND PRE-SORTED BY doc_id (r13, guide §2.4/§5):
+    # doc_features' output is keyed (doc_id, b), which does NOT satisfy
+    # the training window's ClusteredDistribution(doc_id) — without
+    # this every one of the ``iters`` window aggregates re-exchanged
+    # (and re-sorted) the whole feature table to doc_id. persist() is
+    # load-bearing here where localCheckpoint is NOT: a checkpointed
+    # plan comes back as Scan ExistingRDD with UnknownPartitioning
+    # (measured on this Spark: the doc_id exchange stayed in every
+    # iteration), while InMemoryRelation preserves both the hash
+    # partitioning and the sort order, so each iteration plans as
+    # cache scan -> broadcast weight join -> Window with NO exchange
+    # and NO sort up to the n_features-bounded gradient groupBy.
+    # MEMORY_AND_DISK: blocks that exceed storage memory spill to
+    # executor-local disk — no new OOM mode at the 100 TB design
+    # point, and the table is the narrow exploded feature projection,
+    # not the corpus. The partition count derives from the cluster
+    # (defaultParallelism), not a local constant.
     feats = (
         doc_features(
             labeled, text_col=text_col, id_col="__id",
@@ -245,12 +253,18 @@ def train_quality_classifier(
             .otherwise(F.lit(0)),
         )
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint()
+        .sortWithinPartitions("doc_id")
+        .persist()
     )
-    n_docs = feats.select("doc_id").distinct().count()
-    if n_docs == 0:
-        raise ValueError("no non-blank documents to train on")
-    return _gd_train(feats, n_docs, iters=iters, lr=lr)
+    try:
+        n_docs = feats.select("doc_id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("no non-blank documents to train on")
+        return _gd_train(feats, n_docs, iters=iters, lr=lr)
+    finally:
+        # the returned weight table is a driver-built literal DataFrame
+        # (no lineage into feats) — safe to release the cache here
+        feats.unpersist()
 
 
 def _gd_train(
@@ -271,16 +285,15 @@ def _gd_train(
     # per-iteration shape (r12, measured -47% vs the groupBy+re-join
     # form in a same-session A/B at sf1, identical weights): the
     # per-doc logit is a WINDOW sum over the doc's feature rows — the
-    # residual lands on every row in the same shuffle that grouped the
+    # residual lands on every row in the partition that grouped the
     # doc, so the doc-count-sized aggregate-then-rejoin round trip
     # disappears. The bias gradient (raw residual sum — see the
     # recurrence note above) rides the same aggregation as the weight
-    # gradients via a b = -1 sentinel emitted from each doc's first
-    # row (min b marks it; (doc_id, b) rows are unique). One shuffle
-    # to doc_id + one n_features-bounded groupBy per iteration, one
-    # job, no checkpoint (r12 also measured localCheckpoint here
-    # SLOWER than recompute — shuffle-stage reuse already made the
-    # old double evaluation cheap).
+    # gradients as a second aggregate column over each doc's first row
+    # (min b marks it; (doc_id, b) rows are unique). With feats cached
+    # pre-partitioned/pre-sorted by doc_id (r13), each iteration is
+    # ZERO corpus shuffles: cache scan -> broadcast weight join ->
+    # window -> one n_features-bounded groupBy, one job.
     win = Window.partitionBy("doc_id")
     for _ in range(iters):
         wdf = spark.createDataFrame(
@@ -304,22 +317,29 @@ def _gd_train(
             .alias("r_micro"),
             (F.col("b") == F.min("b").over(win)).alias("__first"),
         )
+        # bias gradient FUSED into the weight-gradient aggregation
+        # (r13): the old form unioned a b = -1 sentinel branch onto the
+        # gradient stream, which duplicated the join+window subtree —
+        # cheap while a per-iteration doc_id Exchange existed (shuffle
+        # stage reuse covered the second evaluation), but a full second
+        # window pass once the cache removed that exchange. Summing the
+        # first-row residuals as a second aggregate per bucket and
+        # adding the n_features-bounded partials driver-side is the
+        # same exact integer total: sum_b sum_{first rows in b} r ==
+        # sum_{first rows} r.
         grad = rows.select(
             "b",
             F.round(
                 F.col("r_micro") * F.col("cnt") / F.col("n_grams"), 0
             ).cast("long").alias("c"),
-        ).unionByName(
-            rows.where("__first").select(
-                F.lit(-1).alias("b"), F.col("r_micro").alias("c")
-            )
+            F.when(F.col("__first"), F.col("r_micro")).alias("rb"),
         )
-        gb = grad.groupBy("b").agg(F.sum("c").alias("g")).collect()
+        gb = grad.groupBy("b").agg(
+            F.sum("c").alias("g"), F.sum("rb").alias("gb")
+        ).collect()
         gbias = 0
         for r in gb:
-            if r["b"] == -1:
-                gbias = r["g"] or 0
-                continue
+            gbias += r["gb"] or 0
             step = round(lr * r["g"] / n_docs)
             if step:
                 w[r["b"]] = w.get(r["b"], 0) - step
@@ -441,9 +461,11 @@ def train_langid(
             "or raise max_labels knowingly"
         )
     spark = df.sparkSession
-    # pre-partitioned by doc_id for the same reason as
-    # train_quality_classifier: K labels x ``iters`` window aggregates
-    # all reuse this one exchange (r13)
+    # pre-partitioned + pre-sorted by doc_id and PERSISTED for the same
+    # reason as train_quality_classifier (persist, not localCheckpoint:
+    # only InMemoryRelation preserves the partitioning/ordering — see
+    # the note there): K labels x ``iters`` window aggregates all reuse
+    # this one exchange (r13)
     feats_lab = (
         doc_features(
             base, text_col=text_col, id_col=id_col, n_features=n_features
@@ -456,24 +478,34 @@ def train_langid(
             "doc_id",
         )
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint()
+        .sortWithinPartitions("doc_id")
+        .persist()
     )
-    n_docs = feats_lab.select("doc_id").distinct().count()
-    if n_docs == 0:
-        raise ValueError("no non-blank documents to train on")
-    wparts, brows = [], []
-    for lab in labels:
-        feats = feats_lab.withColumn(
-            "__y", (F.col("__label") == lab).cast("int")
+    try:
+        n_docs = feats_lab.select("doc_id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("no non-blank documents to train on")
+        wparts, brows = [], []
+        for lab in labels:
+            feats = feats_lab.withColumn(
+                "__y", (F.col("__label") == lab).cast("int")
+            )
+            w, bias = _gd_train(feats, n_docs, iters=iters, lr=lr)
+            wparts.append(
+                w.select(F.lit(lab).alias("lang"), "b", "w_micro")
+            )
+            brows.append((lab, int(bias)))
+        weights = wparts[0]
+        for w in wparts[1:]:
+            weights = weights.unionByName(w)
+        biases = spark.createDataFrame(
+            brows, "lang string, bias_micro long"
         )
-        w, bias = _gd_train(feats, n_docs, iters=iters, lr=lr)
-        wparts.append(w.select(F.lit(lab).alias("lang"), "b", "w_micro"))
-        brows.append((lab, int(bias)))
-    weights = wparts[0]
-    for w in wparts[1:]:
-        weights = weights.unionByName(w)
-    biases = spark.createDataFrame(brows, "lang string, bias_micro long")
-    return weights.localCheckpoint(), biases
+        # per-label weight tables are driver-built literals — the
+        # checkpoint below materializes nothing that reads feats_lab
+        return weights.localCheckpoint(), biases
+    finally:
+        feats_lab.unpersist()
 
 
 def langid_scores(
