@@ -403,31 +403,38 @@ def lang_stem_udf():
 def dmetaphone_udf():
     if "dmeta" not in _UDF_CACHE:
 
+        import numpy as np
+
         @pandas_udf("array<string>")
         def _dm(tokens: pd.Series) -> pd.Series:
             # batch-dedup on top of the cross-batch memo (r13, guide
-            # §4.2): the pure-Python _dmeta state machine runs once per
-            # DISTINCT token of the batch (pd.unique), and the
-            # per-OCCURRENCE expansion is one C-level dict map instead
-            # of a Python closure call with try/except per row. The
-            # batch-local ``lookup`` also carries the ''/None -> []
-            # rows and survives a mid-batch memo clear.
+            # §4.2): ONE pd.factorize hash pass over the batch yields
+            # both the distinct tokens and each occurrence's code, the
+            # pure-Python _dmeta state machine runs once per DISTINCT
+            # token, and the per-occurrence expansion is a single
+            # vectorized object-array take — no per-row Python closure,
+            # and no second per-occurrence hash pass (Series.map(dict)
+            # re-hashes every occurrence; codes.take does not). Nulls
+            # factorize to the -1 sentinel, which take() wraps to the
+            # trailing [] slot — same ''/None -> [] contract as before.
             memo = _DMETA_MEMO
-            lookup = {}
-            for t in pd.unique(tokens):
+            codes, uniques = pd.factorize(tokens, use_na_sentinel=True)
+            vals = np.empty(len(uniques) + 1, dtype=object)
+            for j, t in enumerate(uniques):
                 if not t:
-                    lookup[t] = []
+                    vals[j] = []
                     continue
                 try:
-                    lookup[t] = memo[t]
+                    vals[j] = memo[t]
                 except KeyError:
                     p, a = _dmeta(t)
                     v = [k for k in (p, a) if k]
                     if len(memo) >= _MEMO_CAP:
                         memo.clear()
                     memo[t] = v
-                    lookup[t] = v
-            return tokens.map(lookup)
+                    vals[j] = v
+            vals[len(uniques)] = []
+            return pd.Series(vals.take(codes), index=tokens.index)
 
         _UDF_CACHE["dmeta"] = _dm
     return _UDF_CACHE["dmeta"]
