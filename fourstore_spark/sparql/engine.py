@@ -147,64 +147,59 @@ class SparqlResult:
 
         types: var -> 'lex' | 'num' | 'int' | 'ts' | 'date' | 'bool'
         Unlisted vars default to 'lex'.
+
+        Built as ONE selectExpr over SQL expression strings (r13, the
+        88abff0 expr-string treatment applied to the hot constructor of
+        the bench path: the compiled SPARQL plan is cached, so flat()
+        IS the per-run build phase — the old per-Column form made ~250
+        py4j round trips per call, ~0.05 s of the flagship's 0.40 s
+        wall). The parsed expressions are identical to the old Column
+        trees; per-type semantics:
+
+        - num0: canonicalizes IEEE signed zero (-0.0 + 0.0 == +0.0) for
+          oracles on engines that render/hash the two zeros differently.
+        - dec: exact decimal results — parse the full-precision lexical
+          form, normalized to scale 6 for oracle comparison.
+        - dec6: double quantized to DECIMAL(38,6) — removes double-
+          RENDERING freedom from the contract hash while verifying the
+          value to 6 places (oracle mirrors the CAST).
+        - long6: round(x * 1e6) as BIGINT — integers hash identically
+          on every engine build (decimal object shape does not); oracle
+          mirrors CAST(ROUND(x * 1000000) AS BIGINT).
+        - decstr: exact-decimal compared as STRINGS at scale 6 (the
+          oracle emits expected constants as string literals — no
+          decimal arithmetic on its side).
         """
-        cols = []
+        exprs = []
         for var in self.df.columns:
             t = types.get(var, "lex")
-            c = self.df[var]
+            q = f"`{var}`"
             if t == "lex":
-                cols.append(c["lex"].alias(var))
+                e = f"{q}.lex"
             elif t == "num":
-                cols.append(c["num"].alias(var))
+                e = f"{q}.num"
             elif t == "num0":
-                # like 'num' but canonicalizes IEEE signed zero (-0.0 ->
-                # +0.0): for contract entries whose oracle runs on engines
-                # that render/hash the two zeros differently across
-                # versions. x + 0.0 == +0.0 for both zeros.
-                cols.append((c["num"] + F.lit(0.0)).alias(var))
+                e = f"({q}.num + 0.0D)"
             elif t == "int":
-                cols.append(c["num"].cast("long").alias(var))
+                e = f"CAST({q}.num AS BIGINT)"
             elif t == "dec":
-                # exact decimal results: parse the full-precision lexical
-                # form, normalized to scale 6 for oracle comparison
-                cols.append(c["lex"].cast("decimal(38,6)").alias(var))
+                e = f"CAST({q}.lex AS DECIMAL(38,6))"
             elif t == "dec6":
-                # double results quantized to DECIMAL(38,6): removes every
-                # cross-engine/cross-build double-RENDERING freedom (signed
-                # zero, trailing-digit formatting) from the contract hash
-                # while still verifying the numeric VALUE to 6 places. The
-                # oracle side mirrors with CAST(... AS DECIMAL(38,6)).
-                cols.append(c["num"].cast("decimal(38,6)").alias(var))
+                e = f"CAST({q}.num AS DECIMAL(38,6))"
             elif t == "long6":
-                # scaled-BIGINT contract surface: round(x * 1e6) as a plain
-                # 64-bit integer. DECIMAL(38,6) (r6) still hashed
-                # differently across DuckDB builds (decimal object shape is
-                # an engine freedom); integers have one representation on
-                # every build ever made. Verifies the value to 6 places.
-                # Oracle mirrors with CAST(ROUND(x * 1000000) AS BIGINT).
-                cols.append(
-                    F.round(c["num"] * F.lit(1000000.0), 0)
-                    .cast("long")
-                    .alias(var)
-                )
+                e = f"CAST(round({q}.num * 1000000.0D, 0) AS BIGINT)"
             elif t == "decstr":
-                # exact-decimal results compared as STRINGS at scale 6:
-                # the engine does the real exact-decimal math; only the
-                # comparison surface is a VARCHAR, which hashes identically
-                # on every build (the oracle emits the expected constants
-                # as string literals — no decimal arithmetic on its side).
-                cols.append(
-                    c["lex"].cast("decimal(38,6)").cast("string").alias(var)
-                )
+                e = f"CAST(CAST({q}.lex AS DECIMAL(38,6)) AS STRING)"
             elif t == "ts":
-                cols.append(F.to_timestamp(c["lex"]).alias(var))
+                e = f"to_timestamp({q}.lex)"
             elif t == "date":
-                cols.append(F.to_date(c["lex"]).alias(var))
+                e = f"to_date({q}.lex)"
             elif t == "bool":
-                cols.append((c["lex"] == "true").alias(var))
+                e = f"({q}.lex = 'true')"
             else:
                 raise ValueError(t)
-        return self.df.select(*cols)
+            exprs.append(f"{e} AS {q}")
+        return self.df.selectExpr(*exprs)
 
 
 class SparqlEngine:
