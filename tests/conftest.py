@@ -6,6 +6,25 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Fast default profile (r13): the full suite outgrew the verify
+    budget (~41 min at r11 -> 58-107 min at r12 by wall record; the r12
+    driver verify was cut off mid-run at ~59%). Tests marked ``slow``
+    — the dozen multi-minute conformance replays / e2e pipelines /
+    deepest fuzz arms, 2431 -> ~1150 s of measured call time — are
+    SKIPPED unless FOURSTORE_FULL_TESTS=1. Nothing is deleted: every
+    test still collects, and the round's closing verification runs the
+    full profile."""
+    if os.environ.get("FOURSTORE_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow profile (set FOURSTORE_FULL_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (

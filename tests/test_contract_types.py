@@ -31,6 +31,7 @@ def _banned_cols(schema: T.StructType) -> list[str]:
     ]
 
 
+@pytest.mark.slow  # DESCRIBEs all 176 oracles (~76s); check_contract.py --selftest covers the type gate per-entry
 def test_head_entries_have_hash_safe_schemas(spark):
     head = entrymod._HEAD
     qs = entrymod.queries()

@@ -7,6 +7,8 @@ from __future__ import annotations
 import importlib.util
 import os
 
+import pytest
+
 _SPEC = importlib.util.spec_from_file_location(
     "curate_corpus",
     os.path.join(
@@ -19,6 +21,7 @@ curate_corpus = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(curate_corpus)
 
 
+@pytest.mark.slow  # ~108s full curation e2e; per-operator suites cover each stage
 def test_curation_pipeline_end_to_end(spark):
     stats = curate_corpus.curate(spark, "/root/testdata/sf0.001")
     assert stats["input_docs"] == 500

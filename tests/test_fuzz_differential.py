@@ -563,6 +563,7 @@ def _expr_eval(e):
     return a if a is not None else _expr_eval(e[2])
 
 
+@pytest.mark.slow  # deepest expression-tower arm (~22s); sibling differential arms keep per-commit coverage
 @given(e=_expr_strategy())
 @settings(**_SETTINGS)
 def test_scalar_expression_matches_reference_eval(fuzz_env, e):

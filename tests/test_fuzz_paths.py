@@ -126,6 +126,7 @@ def _path_eval(p) -> set:
     return zero | inner  # opt
 
 
+@pytest.mark.slow  # ~29s property-path fuzz; test_property_paths keeps the deterministic coverage
 @given(p=_paths())
 @settings(
     max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "35")),

@@ -124,6 +124,7 @@ def _rows(engine, q):
     return Counter(out), list(res.df.columns)
 
 
+@pytest.mark.slow  # ~42s two-engine SERVICE fuzz; test_service.py keeps the deterministic coverage
 @given(shape=shapes)
 @settings(**_SETTINGS)
 def test_bind_join_matches_plain_service(local, remote, monkeypatch, shape):

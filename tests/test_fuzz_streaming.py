@@ -84,6 +84,7 @@ _SETTINGS = dict(
 _N = [0]  # unique sink names across hypothesis examples
 
 
+@pytest.mark.slow  # ~46s availableNow replay fuzz; test_streaming.py keeps the deterministic stream==batch pins
 @given(spec=corpora, split=splits)
 @settings(**_SETTINGS)
 def test_stream_corpus_clean_matches_batch(spark, tmp_path_factory, spec, split):

@@ -165,6 +165,7 @@ class TestSpanFuzz:
 # chunking actually splits (timestamps span ~200s; 30s chunks give up
 # to 7 chunks per key) and boundary reconciliation is exercised hard
 class TestSaltedEquivalence:
+    @pytest.mark.slow  # ~31s salted-asof fuzz; test_skew_temporal keeps the 10^6-row deterministic pin
     @settings(**_SETTINGS)
     @given(left=left_rows, right=right_rows)
     def test_asof_salted_matches_plain(self, spark, left, right):

@@ -111,6 +111,7 @@ def _model_apply(model: set, op) -> set:
     return model | add
 
 
+@pytest.mark.slow  # ~59s update-sequence fuzz; test_update keeps the deterministic coverage
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
 @settings(
     max_examples=int(__import__("os").environ.get("FUZZ_EXAMPLES", "25")),

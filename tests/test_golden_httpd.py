@@ -68,6 +68,7 @@ EXCUSES: dict[str, str] = {
 SKIP_OK: dict[str, str] = {}
 
 
+@pytest.mark.slow  # ~69s full httpd script replay; test_httpd keeps the endpoint coverage
 @pytest.mark.usefixtures("spark")
 def test_reference_httpd_scripts(spark):
     srv = SparqlHttpServer(spark, port=0)

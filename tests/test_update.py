@@ -215,6 +215,7 @@ def test_insert_where_with_property_path(spark):
     ]
 
 
+@pytest.mark.slow  # ~45s commit-cost sweep; functional update coverage stays in the rest of this file
 def test_commit_is_o_delta_for_additive_writes(spark, ue):
     """r8 verdict item 4: an HTTP write window of INSERT DATA / LOAD /
     add_quads must NOT re-materialize the whole store per commit — only

@@ -41,6 +41,7 @@ def _tests(spark):
     return _tests_cache
 
 
+@pytest.mark.slow  # ~190s full W3C conformance sweep; run in the full profile and at round close
 def test_w3c_suite_all_green(spark):
     report = []
     for t in _tests(spark):
