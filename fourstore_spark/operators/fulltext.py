@@ -376,25 +376,47 @@ def lang_stem_udf():
     if "lang_stem" not in _UDF_CACHE:
         from fourstore_spark.operators.stemmers import stemmer_for
 
+        import numpy as np
+
         @pandas_udf("string")
         def _stem(tokens: pd.Series, langs: pd.Series) -> pd.Series:
+            # batch-dedup on the PAIR key (r13, guide §4.2, the
+            # dmetaphone factorize treatment): tokens and langs
+            # factorize independently (two C hash passes), the code
+            # pair folds into one int64, and a third factorize over the
+            # ints yields the distinct (token, lang) pairs plus each
+            # occurrence's slot — the pure-Python stemmer (and the
+            # memo probe) runs once per DISTINCT pair, expansion is one
+            # vectorized take. Nulls: a None token factorizes to the
+            # -1 sentinel -> ti < 0 -> None, same as the old
+            # ``not t`` row loop; a None/absent lang -> li < 0 ->
+            # key (t, None) -> Porter, exactly as before.
             memo = _STEM_MEMO
-            out = []
-            for t, lg in zip(tokens, langs):
+            codes_t, uniq_t = pd.factorize(tokens, use_na_sentinel=True)
+            codes_l, uniq_l = pd.factorize(langs, use_na_sentinel=True)
+            L = len(uniq_l) + 1
+            combined = (codes_t.astype(np.int64) + 1) * L + (codes_l + 1)
+            pair_codes, uniq_pairs = pd.factorize(combined)
+            vals = np.empty(len(uniq_pairs), dtype=object)
+            for j, pc in enumerate(uniq_pairs):
+                ti = pc // L - 1
+                t = uniq_t[ti] if ti >= 0 else None
                 if not t:
-                    out.append(None)
+                    vals[j] = None
                     continue
+                li = pc % L - 1
+                lg = uniq_l[li] if li >= 0 else None
                 key = (t, lg) if isinstance(lg, str) else (t, None)
                 try:
-                    out.append(memo[key])
+                    vals[j] = memo[key]
                 except KeyError:
                     fn = stemmer_for(key[1])
                     v = fn(t) if fn else None
                     if len(memo) >= _MEMO_CAP:
                         memo.clear()
                     memo[key] = v
-                    out.append(v)
-            return pd.Series(out)
+                    vals[j] = v
+            return pd.Series(vals.take(pair_codes), index=tokens.index)
 
         _UDF_CACHE["lang_stem"] = _stem
     return _UDF_CACHE["lang_stem"]
